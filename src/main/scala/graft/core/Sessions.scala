@@ -1,0 +1,28 @@
+package graft.core
+
+import org.apache.spark.sql.SparkSession
+
+/** One place to build correctly-tuned sessions for this engine.
+  *
+  * Scale stance: these settings are what we would ship to a 1000-executor
+  * cluster, modulo `master`. AQE handles runtime re-planning (skew joins,
+  * partition coalescing); shuffle partitions default low for local mode and
+  * would be raised (or left to AQE) on a real cluster.
+  */
+object Sessions {
+  def local(cores: Int = Runtime.getRuntime.availableProcessors()): SparkSession =
+    tune(SparkSession.builder().master(s"local[$cores]"), cores).getOrCreate()
+
+  def tune(b: SparkSession.Builder, shufflePartitions: Int): SparkSession.Builder =
+    b.config("spark.sql.shuffle.partitions", shufflePartitions.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.autoBroadcastJoinThreshold", (64L * 1024 * 1024).toString)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.shuffle.spill.compress", "true")
+      .config("spark.sql.parquet.filterPushdown", "true")
+      .config("spark.sql.parquet.aggregatePushdown", "true")
+      .config("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
+      .config("spark.ui.enabled", "false")
+}

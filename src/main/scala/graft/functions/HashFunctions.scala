@@ -1,0 +1,80 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Hash families for MinHash / SimHash sketching.
+  *
+  * Strategy: hash each token ONCE with Spark's codegen'd `xxhash64`, then
+  * derive the k MinHash functions as affine transforms of that base hash
+  * (`h_i = a_i * h + b_i`, odd multipliers, natural 64-bit overflow). This
+  * is the standard trick that turns k hash passes over the text into one
+  * pass plus k cheap integer ops — the difference between O(k·len) and
+  * O(len + k) per document, which matters at 100 TB.
+  */
+object HashFunctions {
+
+  /** MinHash signature (array<long> of length k) over an array of string
+    * shingles. Empty shingle sets get Long.MaxValue sentinels.
+    *
+    * The k hash functions are `xxhash64(base, i)` where `base` is the one
+    * full-string hash — the string is scanned once, and each derived hash
+    * is a constant-size (12-byte) re-hash, i.e. O(len + k) per document.
+    * (An affine `a*h+b` family would be marginally cheaper but overflows
+    * under ANSI arithmetic; re-hashing stays wraparound-free.)
+    */
+  def minhashSignature(shingles: Column, k: Int, seed: Long = 42L): Column = {
+    val base = transform(shingles, s => xxhash64(s, lit(seed)))
+    val sig = (0 until k).map { i =>
+      coalesce(
+        array_min(transform(base, h => xxhash64(h, lit(i)))),
+        lit(Long.MaxValue))
+    }
+    array(sig: _*)
+  }
+
+  /** Group a k-length signature into `bands` band-hash values for LSH
+    * banding: two documents collide on a band iff that band's signature
+    * rows are all equal. Returns array<struct<band:int, h:long>>.
+    *
+    * Band hashes are multi-arg xxhash64 over the band's signature
+    * elements — fully codegen'd, no string building. IMPORTANT: pass a
+    * MATERIALIZED signature column (from a cached/checkpointed stage),
+    * not the raw minhashSignature expression: lambda-based expressions
+    * get no common-subexpression elimination, so an inline signature
+    * would be recomputed once per band.
+    */
+  def lshBands(signature: Column, bands: Int, rowsPerBand: Int): Column = {
+    val entries = (0 until bands).map { b =>
+      val elems = (1 to rowsPerBand).map(r =>
+        element_at(signature, b * rowsPerBand + r))
+      struct(lit(b).as("band"), xxhash64(elems: _*).as("h"))
+    }
+    array(entries: _*)
+  }
+
+  /** 64-bit SimHash over token hashes: bit j of the result is the sign of
+    * sum over tokens of (+1 if bit j of xxhash64(token) else -1).
+    * Near-duplicate docs land within small Hamming distance.
+    */
+  def simhash64(tokens: Column): Column = {
+    val hashes = transform(tokens, t => xxhash64(t))
+    val bits = (0 until 64).map { j =>
+      val votes = aggregate(hashes, lit(0L),
+        (acc, h) => acc + when(shiftright(h, j).bitwiseAND(1L) === 1L, 1L).otherwise(-1L))
+      when(votes > 0, lit(1L << j)).otherwise(lit(0L))
+    }
+    // Disjoint bits: OR-composition, immune to ANSI overflow checking.
+    bits.reduce((a: Column, b: Column) => a.bitwiseOR(b))
+  }
+
+  /** Hamming distance between two long-encoded bit vectors. */
+  def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** Jaccard similarity of two string arrays treated as sets. */
+  def jaccard(a: Column, b: Column): Column = {
+    val inter = size(array_intersect(a, b)).cast("double")
+    val union = size(array_union(a, b)).cast("double")
+    when(union > 0, inter / union).otherwise(lit(0.0))
+  }
+}

@@ -1,0 +1,57 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** One driver-checkable query: a Spark build function over a scale-factor
+  * directory plus (when SQL-expressible) the equivalent DuckDB oracle SQL
+  * over the same parquet tables.
+  *
+  * Column-name contract: the driver sorts columns by name before hashing,
+  * so the Spark result and the oracle result must use IDENTICAL column
+  * names — every computed column is aliased on both sides.
+  *
+  * Determinism contract: money sums go through DECIMAL so that Spark's
+  * partial-aggregation order and DuckDB's single-node order cannot produce
+  * different floating-point roundings; per-row double arithmetic is kept
+  * bitwise-identical on both sides (same IEEE ops in the same order).
+  */
+final case class QueryDef(
+    build: (SparkSession, String) => DataFrame,
+    oracle: Option[String],
+    bench: Boolean = false)
+
+/** Engine-agnostic deterministic rounding: floor(x*p + 0.5)/p is a fixed
+  * sequence of IEEE-754 ops, so Spark and DuckDB produce bit-identical
+  * results. (Spark's own `round` goes through the double's shortest
+  * decimal string + HALF_UP, which disagrees with binary rounding on
+  * values like 1222.745 — exactly the kind of money midpoint TPC-H data
+  * is full of.)
+  */
+object Det {
+  import org.apache.spark.sql.Column
+  import org.apache.spark.sql.functions.floor
+
+  def r2(c: Column): Column = floor(c * 100 + 0.5) / 100
+  def r4(c: Column): Column = floor(c * 10000 + 0.5) / 10000
+
+  def sqlR2(expr: String): String = s"floor(($expr) * 100 + 0.5) / 100"
+  def sqlR4(expr: String): String = s"floor(($expr) * 10000 + 0.5) / 10000"
+}
+
+object Tables {
+  /** Load one fixture table. The `events` table carries TIMESTAMP(NANOS)
+    * parquet timestamps, which Spark cannot read natively — read them as
+    * nano longs and truncate to microseconds (integer `div`, matching
+    * DuckDB's ns->us truncation exactly).
+    */
+  def load(spark: SparkSession, dir: String, name: String): DataFrame =
+    if (name == "events") {
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      spark.read.parquet(s"$dir/$name.parquet")
+        .withColumn("ts",
+          org.apache.spark.sql.functions.timestamp_micros(
+            org.apache.spark.sql.functions.expr("ts div 1000")))
+    } else {
+      spark.read.parquet(s"$dir/$name.parquet")
+    }
+}

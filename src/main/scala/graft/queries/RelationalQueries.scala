@@ -1,0 +1,203 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Ops
+
+/** The reference's stateless operator catalog exercised as driver-checkable
+  * queries (reference: pkg/processing/default_filter_operators.go:11-75 and
+  * default_operators.go:61-268), plus TPC-H-style relational queries that
+  * are the bench headliners.
+  *
+  * Scale notes, per query, live on the definitions below. The common theme:
+  * every filter/projection here compiles to a single whole-stage-codegen'd
+  * scan stage with the predicate pushed into the parquet reader.
+  */
+object RelationalQueries {
+
+  def defs: Map[String, QueryDef] = Map(
+    // --- filter family (reference: default_filter_operators.go) --------
+
+    // Greater (reference :23-28): pushed to parquet scan as value > 100.
+    "q_filter_greater" -> QueryDef(
+      (s, dir) => Ops.greater(col("value"), 100.0)(
+        Tables.load(s, dir, "events")).select("event_id", "user_id", "value"),
+      Some("SELECT event_id, user_id, value FROM events WHERE value > 100")),
+
+    // Smaller (reference :31-36).
+    "q_filter_smaller" -> QueryDef(
+      (s, dir) => Ops.smaller(col("value"), 10.0)(
+        Tables.load(s, dir, "events")).select("event_id", "value"),
+      Some("SELECT event_id, value FROM events WHERE value < 10")),
+
+    // Even (reference :39-44): truncate-then-parity, pinned by
+    // default_operators_test.go:117-143. Spark's double->long cast
+    // truncates toward zero; DuckDB CAST rounds, hence trunc() there.
+    "q_filter_even" -> QueryDef(
+      (s, dir) => Ops.even(col("value"))(
+        Tables.load(s, dir, "events")).select("event_id", "value"),
+      Some("SELECT event_id, value FROM events " +
+        "WHERE CAST(trunc(value) AS BIGINT) % 2 = 0")),
+
+    // Odd (reference :47-52).
+    "q_filter_odd" -> QueryDef(
+      (s, dir) => Ops.odd(col("value"))(
+        Tables.load(s, dir, "events")).select("event_id", "value"),
+      Some("SELECT event_id, value FROM events " +
+        "WHERE CAST(trunc(value) AS BIGINT) % 2 <> 0")),
+
+    // Contains (reference :70-75): substring filter on strings.
+    "q_filter_contains" -> QueryDef(
+      (s, dir) => Ops.containsOp(col("text"), "vector")(
+        Tables.load(s, dir, "documents")).select("doc_id", "source"),
+      Some("SELECT doc_id, source FROM documents " +
+        "WHERE contains(text, 'vector')")),
+
+    // Limit (reference :55-67): the reference's unsynchronized counter is
+    // "approximately first n"; we pin an explicit order for determinism.
+    "q_limit" -> QueryDef(
+      (s, dir) => Ops.limitOp(100, col("event_id"))(
+        Tables.load(s, dir, "events")).select("event_id", "value"),
+      Some("SELECT event_id, value FROM events ORDER BY event_id LIMIT 100")),
+
+    // --- map family (reference: default_operators.go) ------------------
+
+    // Map (reference :104-113) as a column-level 1:1 transform. The
+    // product is double IEEE math — bitwise identical on both engines —
+    // so no decimal detour is needed for a per-row value.
+    "q_map_project" -> QueryDef(
+      (s, dir) => Ops.mapOp(
+        col("l_orderkey"), col("l_linenumber"),
+        Det.r2(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .as("net_price"))(Tables.load(s, dir, "lineitem")),
+      Some("SELECT l_orderkey, l_linenumber, " +
+        "floor(l_extendedprice * (1.0 - l_discount) * 100 + 0.5) / 100 AS net_price " +
+        "FROM lineitem")),
+
+    // Convert (reference :61-76): numeric cast, truncation semantics.
+    "q_convert" -> QueryDef(
+      (s, dir) => Ops.convert(col("value"), "long", "value_int")(
+        Tables.load(s, dir, "events")).select("event_id", "value_int"),
+      Some("SELECT event_id, CAST(trunc(value) AS BIGINT) AS value_int " +
+        "FROM events")),
+
+    // SelectFromMap (reference :81-101): project one key out of a dynamic
+    // payload; missing key -> NULL (default_operators_test.go:339-362).
+    // The events.props column is a JSON document = the reference's
+    // map[string]any event.
+    "q_select_from_map" -> QueryDef(
+      (s, dir) => Ops.selectFromJson(col("props"), "k", "k")(
+        Tables.load(s, dir, "events")).select("event_id", "k"),
+      Some("SELECT event_id, json_extract_string(props, '$.k') AS k " +
+        "FROM events")),
+
+    // --- TPC-H-style heavy hitters (bench headliners) -------------------
+
+    // Pricing summary (TPC-H Q1 shape): one scan, map-side partial agg,
+    // 32-partition shuffle of ~8 groups. Money sums go through
+    // DECIMAL(18,4) so the sum is exact and order-independent.
+    "q1_pricing" -> QueryDef(
+      (s, dir) => Tables.load(s, dir, "lineitem")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          Det.r2(sum(col("l_quantity").cast("decimal(18,2)")).cast("double"))
+            .as("sum_qty"),
+          Det.r2(sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double"))
+            .as("sum_base"),
+          // Per-row products are quantized with the deterministic floor
+          // form BEFORE the decimal cast: double->decimal rounding itself
+          // differs between engines (Spark goes through the shortest
+          // decimal string, DuckDB rounds the binary value).
+          Det.r2(sum(Det.r4(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+            .cast("decimal(18,4)")).cast("double")).as("sum_disc"),
+          Det.r2(sum(Det.r4(col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+            * (lit(1.0) + col("l_tax"))).cast("decimal(18,4)")).cast("double"))
+            .as("sum_charge"),
+          count(lit(1)).as("n_rows")),
+      Some("""SELECT l_returnflag, l_linestatus,
+        floor(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) * 100 + 0.5) / 100 AS sum_qty,
+        floor(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) * 100 + 0.5) / 100 AS sum_base,
+        floor(CAST(sum(CAST(floor(l_extendedprice * (1.0 - l_discount) * 10000 + 0.5) / 10000 AS DECIMAL(18,4))) AS DOUBLE) * 100 + 0.5) / 100 AS sum_disc,
+        floor(CAST(sum(CAST(floor(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax) * 10000 + 0.5) / 10000 AS DECIMAL(18,4))) AS DOUBLE) * 100 + 0.5) / 100 AS sum_charge,
+        count(*) AS n_rows
+        FROM lineitem GROUP BY l_returnflag, l_linestatus"""),
+      bench = true),
+
+    // Revenue by nation/region: 3-way join where nation and region are
+    // broadcast (they are tiny at every SF — 25 and 5 rows), so the only
+    // shuffle is the final 25-group aggregation. At 100 TB the
+    // customer->orders join would co-partition on custkey; AQE handles
+    // skew.
+    "q_revenue_nation" -> QueryDef(
+      (s, dir) => {
+        val customer = Tables.load(s, dir, "customer")
+        val orders = Tables.load(s, dir, "orders")
+        val nation = Tables.load(s, dir, "nation")
+        val region = Tables.load(s, dir, "region")
+        orders.join(customer, orders("o_custkey") === customer("c_custkey"))
+          .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+          .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+          .groupBy("r_name", "n_name")
+          .agg(
+            Det.r2(sum(col("o_totalprice").cast("decimal(18,2)")).cast("double"))
+              .as("revenue"),
+            count(lit(1)).as("n_orders"))
+      },
+      Some("""SELECT r_name, n_name,
+        floor(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) * 100 + 0.5) / 100 AS revenue,
+        count(*) AS n_orders
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        GROUP BY r_name, n_name"""),
+      bench = true),
+
+    // Brand volume: fact-to-dim join; part is broadcastable at every SF
+    // we run (200 rows/SF-unit scales to ~20k at sf100 — still tiny).
+    "q_brand_volume" -> QueryDef(
+      (s, dir) => Tables.load(s, dir, "lineitem")
+        .join(broadcast(Tables.load(s, dir, "part")),
+          col("l_partkey") === col("p_partkey"))
+        .groupBy("p_brand")
+        .agg(
+          Det.r2(sum(col("l_quantity").cast("decimal(18,2)")).cast("double"))
+            .as("sum_qty"),
+          count(lit(1)).as("n_items")),
+      Some("""SELECT p_brand,
+        floor(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) * 100 + 0.5) / 100 AS sum_qty,
+        count(*) AS n_items
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        GROUP BY p_brand"""),
+      bench = true),
+
+    // Order-priority histogram per status (grouped count — the simplest
+    // shuffle-once aggregate).
+    "q_order_priority" -> QueryDef(
+      (s, dir) => Tables.load(s, dir, "orders")
+        .groupBy("o_orderstatus", "o_orderpriority")
+        .agg(count(lit(1)).as("n")),
+      Some("SELECT o_orderstatus, o_orderpriority, count(*) AS n " +
+        "FROM orders GROUP BY o_orderstatus, o_orderpriority")),
+
+    // Top customers by spend: join + agg + deterministic top-k
+    // (rank by value with key tiebreak so the cut is stable).
+    "q_top_customers" -> QueryDef(
+      (s, dir) => {
+        val orders = Tables.load(s, dir, "orders")
+        val customer = Tables.load(s, dir, "customer")
+        orders.groupBy("o_custkey")
+          .agg(Det.r2(sum(col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")).as("spend"))
+          .join(customer, col("o_custkey") === col("c_custkey"))
+          .select(col("c_custkey"), col("c_name"), col("spend"))
+          .orderBy(col("spend").desc, col("c_custkey"))
+          .limit(10)
+      },
+      Some("""SELECT c_custkey, c_name, spend FROM (
+          SELECT o_custkey,
+            floor(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) * 100 + 0.5) / 100 AS spend
+          FROM orders GROUP BY o_custkey) t
+        JOIN customer ON o_custkey = c_custkey
+        ORDER BY spend DESC, c_custkey LIMIT 10""")))
+}

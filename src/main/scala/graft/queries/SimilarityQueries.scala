@@ -1,0 +1,227 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.{HashFunctions, TextFunctions, VectorFunctions}
+
+/** Deduplication and similarity-search queries — the training-data-pipeline
+  * operators this engine adds beyond the reference's catalog.
+  *
+  * Scale design:
+  *  - Exact dedup groups on a 128-bit digest (md5) instead of the full
+  *    text, so the shuffle carries 16 bytes + ids per row, not documents.
+  *  - Near-dup candidates come from an equi-join on shared 5-gram
+  *    shingles (exact) or MinHash LSH band buckets (approximate) — both
+  *    are shuffle joins on small keys; nothing ever does O(n²) pairwise
+  *    comparison over the corpus.
+  *  - ANN is brute-force top-k against a broadcast query set (the
+  *    baseline), with an LSH-bucketed variant for the big-big case.
+  */
+object SimilarityQueries {
+
+  private val Ngram = 5
+  private val JaccardThreshold = 0.8
+
+  /** doc_id + distinct word-5-gram shingle set. */
+  private def shingleSets(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents")
+      .select(col("doc_id"),
+        array_distinct(TextFunctions.wordShingles(col("text"), Ngram)).as("sh"))
+
+  /** (a, b, inter, na, nb, j) for candidate pairs sharing >= 1 shingle. */
+  private def jaccardPairs(s: SparkSession, dir: String): DataFrame = {
+    val sets = shingleSets(s, dir).cache()
+    val ex = sets.select(col("doc_id"), explode(col("sh")).as("s"))
+    val sizes = sets.select(col("doc_id"), size(col("sh")).as("n"))
+    val pairs = ex.as("x").join(ex.as("y"),
+        col("x.s") === col("y.s") && col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+      .agg(count(lit(1)).as("inter"))
+    pairs
+      .join(sizes.withColumnRenamed("doc_id", "a").withColumnRenamed("n", "na"), "a")
+      .join(sizes.withColumnRenamed("doc_id", "b").withColumnRenamed("n", "nb"), "b")
+      .withColumn("j", Det.r4(col("inter").cast("double") /
+        (col("na") + col("nb") - col("inter"))))
+  }
+
+  private def jaccardOracle(minJ: Double): String =
+    s"""WITH sh AS (
+      SELECT doc_id, unnest(list_distinct(list_transform(
+        generate_series(1, greatest(len(toks) - ${Ngram - 1}, 0)),
+        i -> list_aggregate(toks[i:i+${Ngram - 1}], 'string_agg', ' ')))) AS s
+      FROM (SELECT doc_id, list_filter(regexp_split_to_array(text, '\\s+'),
+        t -> len(t) > 0) AS toks FROM documents)),
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+    pairs AS (
+      SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS inter
+      FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id
+      GROUP BY 1, 2)
+    SELECT a, b, inter, sa.n AS na, sb.n AS nb,
+      floor(CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) * 10000 + 0.5) / 10000 AS j
+    FROM pairs
+    JOIN sizes sa ON a = sa.doc_id
+    JOIN sizes sb ON b = sb.doc_id
+    WHERE floor(CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) * 10000 + 0.5) / 10000 >= $minJ"""
+
+  /** DuckDB double dot product with the same left-to-right fold order as
+    * VectorFunctions.dot.
+    */
+  private def oracleDot(a: String, b: String): String =
+    s"""list_sum(list_transform(generate_series(1, len($a)),
+       i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))"""
+
+  def defs: Map[String, QueryDef] = Map(
+    // Exact dedup on a digest key: one shuffle of (16-byte key, id).
+    "q_dedup_exact" -> QueryDef(
+      (s, dir) => Tables.load(s, dir, "documents")
+        .groupBy(md5(col("text").cast("binary")).as("fp"))
+        .agg(min(col("doc_id")).as("keeper"), count(lit(1)).as("n_copies")),
+      Some("SELECT md5(text) AS fp, min(doc_id) AS keeper, " +
+        "count(*) AS n_copies FROM documents GROUP BY md5(text)")),
+
+    // Distinct-text census per source (dropDuplicates shape).
+    "q_dedup_distinct" -> QueryDef(
+      (s, dir) => Tables.load(s, dir, "documents")
+        .groupBy("source")
+        .agg(countDistinct(col("text")).as("n_unique"),
+          count(lit(1)).as("n_docs")),
+      Some("SELECT source, count(DISTINCT text) AS n_unique, " +
+        "count(*) AS n_docs FROM documents GROUP BY source")),
+
+    // Exact n-gram Jaccard near-dup pairs via shared-shingle candidate
+    // join — fully oracle-checked (integer intersection/union counts, so
+    // the jaccard double is bit-identical on both engines).
+    "q_ngram_jaccard" -> QueryDef(
+      (s, dir) => jaccardPairs(s, dir)
+        .where(col("j") >= JaccardThreshold)
+        .select("a", "b", "inter", "na", "nb", "j"),
+      Some(jaccardOracle(JaccardThreshold)),
+      bench = true),
+
+    // MinHash + LSH banding (64 perms, 16 bands x 4 rows), candidates
+    // verified with exact Jaccard. Seeded affine hash family — output is
+    // deterministic, but xxhash64 is not reproducible in DuckDB, so this
+    // is rows-only checked; its recall against q_ngram_jaccard at j>=0.8
+    // is 1 - (1-j^4)^16 > 0.999.
+    "q_minhash_lsh" -> QueryDef(
+      (s, dir) => {
+        val sets = shingleSets(s, dir).cache()
+        // Materialize the signature before banding (lambda expressions get
+        // no CSE — inline, the 64-hash signature would be recomputed per
+        // band and per join side). At cluster scale this stage would be a
+        // checkpoint/parquet write instead of a cache.
+        val sigs = sets.select(col("doc_id"),
+          HashFunctions.minhashSignature(col("sh"), 64).as("sig")).cache()
+        val banded = sigs.select(col("doc_id"),
+          explode(HashFunctions.lshBands(col("sig"), 16, 4)).as("bh"))
+          .select(col("doc_id"), col("bh.band"), col("bh.h"))
+        val cands = banded.as("x").join(banded.as("y"),
+            col("x.band") === col("y.band") && col("x.h") === col("y.h") &&
+              col("x.doc_id") < col("y.doc_id"))
+          .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+          .distinct()
+        cands
+          .join(sets.select(col("doc_id").as("a"), col("sh").as("sha")), "a")
+          .join(sets.select(col("doc_id").as("b"), col("sh").as("shb")), "b")
+          .withColumn("j", Det.r4(HashFunctions.jaccard(col("sha"), col("shb"))))
+          .where(col("j") >= JaccardThreshold)
+          .select("a", "b", "j")
+      },
+      None,
+      bench = true),
+
+    // SimHash near-dup: 64-bit signatures; pairs within Hamming distance 3
+    // found by exact match on 4 16-bit sub-blocks (pigeonhole: distance <=3
+    // leaves >=1 of 4 blocks identical) — LSH-style banding, no O(n^2).
+    "q_simhash" -> QueryDef(
+      (s, dir) => {
+        val sigs = Tables.load(s, dir, "documents")
+          .select(col("doc_id"),
+            HashFunctions.simhash64(TextFunctions.tokens(col("text"))).as("sig"))
+          .cache()
+        val blocks = sigs.select(col("doc_id"), col("sig"),
+          explode(array((0 until 4).map(i =>
+            struct(lit(i).as("blk"),
+              shiftrightunsigned(col("sig"), i * 16)
+                .bitwiseAND(0xFFFFL).as("v"))): _*)).as("b"))
+          .select(col("doc_id"), col("sig"), col("b.blk"), col("b.v"))
+        blocks.as("x").join(blocks.as("y"),
+            col("x.blk") === col("y.blk") && col("x.v") === col("y.v") &&
+              col("x.doc_id") < col("y.doc_id"))
+          .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
+            HashFunctions.hamming64(col("x.sig"), col("y.sig")).as("dist"))
+          .distinct()
+          .where(col("dist") <= 3)
+      },
+      None),
+
+    // Brute-force cosine top-10 ANN for 8 query vectors against the whole
+    // corpus: broadcast the tiny query side; scores rounded to 4 decimals
+    // BEFORE ranking (with vec_id tiebreak) so the top-k cut is stable
+    // across engines and partitionings.
+    "q_ann_cosine" -> QueryDef(
+      (s, dir) => {
+        val emb = Tables.load(s, dir, "embeddings")
+        val q = emb.where(col("vec_id") < 8)
+          .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+        val scored = emb.crossJoin(broadcast(q))
+          .select(col("q_id"), col("vec_id"),
+            Det.r4(VectorFunctions.cosine(col("q_emb"), col("embedding")))
+              .as("score"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("q_id"))
+          .orderBy(col("score").desc, col("vec_id"))
+        scored.withColumn("rn", row_number().over(w))
+          .where(col("rn") <= 10)
+          .select("q_id", "vec_id", "score", "rn")
+      },
+      Some(s"""WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb
+          FROM embeddings WHERE vec_id < 8),
+        scored AS (
+          SELECT q.q_id, e.vec_id,
+            floor(${oracleDot("q.q_emb", "e.embedding")} /
+              (sqrt(${oracleDot("q.q_emb", "q.q_emb")}) *
+               sqrt(${oracleDot("e.embedding", "e.embedding")})) * 10000 + 0.5) / 10000 AS score
+          FROM q, embeddings e)
+        SELECT q_id, vec_id, score, rn FROM (
+          SELECT *, row_number() OVER (
+            PARTITION BY q_id ORDER BY score DESC, vec_id) AS rn
+          FROM scored) t
+        WHERE rn <= 10"""),
+      bench = true),
+
+    // Per-label centroid (elementwise mean): posexplode + exact decimal
+    // sums so the means are order-independent.
+    "q_embed_centroid" -> QueryDef(
+      (s, dir) => Tables.load(s, dir, "embeddings")
+        .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
+        .groupBy(col("label"), (col("pos") + 1).as("pos"))
+        .agg(Det.r4(
+          sum(col("v").cast("double").cast("decimal(28,10)")).cast("double") /
+            count(lit(1))).as("mean_v")),
+      Some("""SELECT label, generate_subscripts(embedding, 1) AS pos,
+          unnest(embedding) AS v
+        FROM embeddings""").map(inner =>
+        s"""SELECT label, pos,
+          floor(CAST(sum(CAST(CAST(v AS DOUBLE) AS DECIMAL(28,10))) AS DOUBLE)
+            / count(*) * 10000 + 0.5) / 10000 AS mean_v
+          FROM ($inner) t GROUP BY label, pos""")),
+
+    // Embedding near-dup via random-hyperplane LSH (16-bit buckets), then
+    // in-bucket exact cosine > 0.99. Seeded planes: deterministic, not
+    // DuckDB-reproducible -> rows-only check.
+    "q_embed_neardup" -> QueryDef(
+      (s, dir) => {
+        val emb = Tables.load(s, dir, "embeddings")
+          .select(col("vec_id"), col("embedding"),
+            VectorFunctions.hyperplaneBucket(col("embedding"), 64, 16).as("bkt"))
+        emb.as("x").join(emb.as("y"),
+            col("x.bkt") === col("y.bkt") && col("x.vec_id") < col("y.vec_id"))
+          .select(col("x.vec_id").as("a"), col("y.vec_id").as("b"),
+            Det.r4(VectorFunctions.cosine(col("x.embedding"), col("y.embedding")))
+              .as("score"))
+          .where(col("score") > 0.99)
+      },
+      None))
+}

@@ -1,0 +1,123 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+import graft.operators.Ops
+
+/** Text-analysis queries over the `documents` table: tokenization
+  * (reference Tokenize, pkg/processing/default_operators.go:264-268 /
+  * FlatMap :221-242) plus the training-data-pipeline operators (token
+  * stats, quality scoring, language ID, fingerprinting).
+  *
+  * Everything is a per-row codegen'd expression inside the scan stage —
+  * the only shuffles are the final aggregations. At 100 TB these scale
+  * linearly with input bytes and are bound by parquet decode, not compute.
+  */
+object TextQueries {
+
+  /** DuckDB-side tokenizer identical to TextFunctions.tokens. */
+  private val oracleTokens =
+    """list_filter(regexp_split_to_array(text, '\s+'), t -> len(t) > 0)"""
+
+  def defs: Map[String, QueryDef] = Map(
+    // Tokenize / FlatMap: 1:N explode, one row per token.
+    "q_tokenize" -> QueryDef(
+      (s, dir) => Ops.tokenize(col("text"), "token")(
+        Tables.load(s, dir, "documents")).select("doc_id", "token"),
+      Some(s"SELECT doc_id, unnest($oracleTokens) AS token FROM documents")),
+
+    // Global word count — tokenize + group (the reference's word-count
+    // example collapsed over all windows).
+    "q_wordcount" -> QueryDef(
+      (s, dir) => Ops.tokenize(col("text"), "token")(
+        Tables.load(s, dir, "documents"))
+        .groupBy("token").agg(count(lit(1)).as("n")),
+      Some(s"""SELECT token, count(*) AS n FROM (
+        SELECT unnest($oracleTokens) AS token FROM documents) t
+        GROUP BY token"""),
+      bench = true),
+
+    // Token statistics: exact token count + approximate BPE token count
+    // (ceil(len/4) subwords per word) + punctuation count.
+    "q_token_stats" -> QueryDef(
+      (s, dir) => Tables.load(s, dir, "documents")
+        .select(col("doc_id"),
+          TextFunctions.tokenCount(col("text")).cast("long").as("n_tokens"),
+          TextFunctions.approxBpeTokenCount(col("text")).as("n_bpe"),
+          TextFunctions.punctCount(col("text")).cast("long").as("n_punct")),
+      Some(s"""SELECT doc_id,
+        CAST(len($oracleTokens) AS BIGINT) AS n_tokens,
+        CAST(coalesce(list_sum(list_transform($oracleTokens,
+          t -> greatest(CAST(ceil(len(t) / 4.0) AS BIGINT), 1))), 0)
+          + (len(text) - len(regexp_replace(text,
+              '[.,;:!?''"()\\[\\]{}-]', '', 'g'))) AS BIGINT) AS n_bpe,
+        CAST(len(text) - len(regexp_replace(text,
+          '[.,;:!?''"()\\[\\]{}-]', '', 'g')) AS BIGINT) AS n_punct
+        FROM documents""")),
+
+    // Language ID: marker-word argmax with (score, lang) lexicographic
+    // tie-break — greatest() over structs reproduces Spark's array_max
+    // over struct(score, lang) exactly.
+    "q_langid" -> QueryDef(
+      (s, dir) => Tables.load(s, dir, "documents")
+        .select(col("doc_id"),
+          TextFunctions.langId(col("text")).as("lang_pred")),
+      Some {
+        val markers = Seq(
+          "en" -> Seq("the", "and", "of", "to", "is", "that", "it", "with", "for", "was"),
+          "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "mit", "den", "zu"),
+          "fr" -> Seq("le", "la", "les", "et", "est", "une", "que", "pour", "dans", "des"),
+          "es" -> Seq("el", "la", "los", "las", "es", "una", "que", "por", "con", "para"),
+          "it" -> Seq("il", "la", "che", "di", "non", "una", "per", "sono", "con", "del"))
+        val structs = markers.map { case (lang, ws) =>
+          val arr = ws.map(w => s"'$w'").mkString("[", ", ", "]")
+          s"""struct_pack(score := CAST(len(list_filter(
+             list_transform($oracleTokens, t -> lower(t)),
+             t -> list_contains($arr, t))) AS INTEGER), lang := '$lang')"""
+        }.mkString(",\n")
+        s"""SELECT doc_id,
+          CASE WHEN g.score > 0 THEN g.lang ELSE 'unknown' END AS lang_pred
+          FROM (SELECT doc_id,
+            list_aggregate([$structs], 'max') AS g FROM documents) t"""
+      }),
+
+    // Quality score: composite of length / stopword-ratio / punctuation
+    // heuristics; identical double expression order on both engines.
+    "q_quality" -> QueryDef(
+      (s, dir) => Tables.load(s, dir, "documents")
+        .select(col("doc_id"),
+          TextFunctions.qualityScore(col("text")).as("quality")),
+      Some {
+        val stop = Seq("the", "a", "an", "and", "or", "of", "to", "in", "is",
+          "it", "that", "for", "on", "with", "as", "was", "at", "by", "be",
+          "this").map(w => s"'$w'").mkString("[", ", ", "]")
+        s"""WITH t AS (SELECT doc_id, text, $oracleTokens AS toks FROM documents),
+        m AS (SELECT doc_id,
+          CAST(len(toks) AS BIGINT) AS nt,
+          CAST(len(list_filter(toks, x -> list_contains($stop, lower(x)))) AS BIGINT) AS nstop,
+          CAST(len(text) AS BIGINT) AS nchars,
+          CAST(len(text) - len(regexp_replace(text,
+            '[.,;:!?''"()\\[\\]{}-]', '', 'g')) AS BIGINT) AS npunct
+          FROM t)
+        SELECT doc_id, floor((
+          least(CAST(nt AS DOUBLE) / 50.0, 1.0) +
+          least((CASE WHEN nt > 0 THEN CAST(nstop AS DOUBLE) / nt ELSE 0.0 END) * 4.0, 1.0) +
+          greatest(1.0 - (CASE WHEN nchars > 0 THEN CAST(npunct AS DOUBLE) / nchars ELSE 0.0 END) * 5.0, 0.0)
+        ) / 3.0 * 10000 + 0.5) / 10000 AS quality FROM m"""
+      }),
+
+    // Rolling-hash fingerprint: polynomial base-257 mod 1e9+7 over the
+    // character codes — reproducible in plain SQL arithmetic, so fully
+    // oracle-checked.
+    "q_fingerprint" -> QueryDef(
+      (s, dir) => Tables.load(s, dir, "documents")
+        .select(col("doc_id"),
+          TextFunctions.fingerprint(col("text")).as("fp")),
+      Some("""SELECT doc_id,
+        list_reduce(
+          list_prepend(CAST(0 AS BIGINT),
+            list_transform(generate_series(1, len(text)), i -> ascii(text[i]))),
+          (acc, c) -> (CAST(acc AS BIGINT) * 257 + c) % 1000000007) AS fp
+        FROM documents""")))
+}

@@ -1,0 +1,56 @@
+#!/usr/bin/env python3
+"""Local stand-in for the driver's correctness gate: reads the parquet
+results Verify dumped, runs each oracle SQL in DuckDB over the same
+scale-factor tables, and compares (schema by sorted column names, values
+as sorted row multisets). Usage: check_correctness.py <sfDir> <outDir>.
+"""
+import json
+import sys
+
+import duckdb
+
+sfdir, outdir = sys.argv[1], sys.argv[2]
+con = duckdb.connect()
+for t in ("region nation customer supplier part orders lineitem events "
+          "documents embeddings").split():
+    con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sfdir}/{t}.parquet'")
+
+oracle = json.load(open(f"{outdir}/oracle_sql.json"))
+ok = bad = 0
+for name, sql in sorted(oracle.items()):
+    try:
+        got = con.sql(
+            f"SELECT * FROM read_parquet('{outdir}/{name}/*.parquet')").df()
+        want = con.sql(sql).df()
+    except Exception as e:
+        print(f"FAIL {name}: {type(e).__name__}: {e}")
+        bad += 1
+        continue
+    got = got.reindex(sorted(got.columns), axis=1)
+    want = want.reindex(sorted(want.columns), axis=1)
+    if list(got.columns) != list(want.columns):
+        print(f"FAIL {name}: columns {list(got.columns)} != {list(want.columns)}")
+        bad += 1
+        continue
+    g = got.sort_values(by=list(got.columns)).reset_index(drop=True)
+    w = want.sort_values(by=list(want.columns)).reset_index(drop=True)
+    if len(g) != len(w):
+        print(f"FAIL {name}: rows {len(g)} != {len(w)}")
+        bad += 1
+        continue
+    try:
+        import pandas as pd
+        pd.testing.assert_frame_equal(g, w, check_dtype=False,
+                                      check_exact=True)
+        print(f"ok   {name} ({len(g)} rows)")
+        ok += 1
+    except AssertionError as e:
+        print(f"FAIL {name}: value mismatch\n{str(e)[:500]}")
+        diff = g.compare(w) if g.shape == w.shape else None
+        if diff is not None and not diff.empty:
+            print(diff.head(5).to_string())
+        bad += 1
+
+print(f"\n{ok} ok, {bad} failed, "
+      f"{len(oracle)} oracled of total declared")
+sys.exit(1 if bad else 0)
