@@ -1,0 +1,136 @@
+package graft.streaming
+
+import scala.collection.mutable
+import scala.reflect.runtime.universe.TypeTag
+
+import org.apache.spark.sql.{Dataset, Encoder, SparkSession}
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.StreamingQuery
+
+import graft.core.EventEnvelope
+
+/** Typed topic identity. Two streams may share a topic name with different
+  * content types — the registry key is the (topic, type) pair, mirroring
+  * the reference's StreamID{Topic, TopicType}
+  * (reference: pkg/pubsub/stream_id.go:27-30; coexistence pinned by
+  * pkg/pubsub/pub_sub_test.go:102-118).
+  */
+final case class StreamKey(topic: String, typeName: String)
+
+final class StreamTypeMismatchException(msg: String)
+  extends IllegalArgumentException(msg)
+
+/** One registered topic: an in-memory streaming source of enveloped
+  * events plus the handles needed to publish into it.
+  *
+  * Spark stance: the reference's sync/async/sorted delivery coordinators
+  * (reference: pkg/pubsub/stream.go:240-251) collapse into the micro-batch
+  * pipeline — delivery is always asynchronous-batched, and event-time
+  * ordering (the sorted mode's purpose) is recovered per-batch or via
+  * watermarked event-time operators rather than by a sorting ingest
+  * buffer.
+  */
+final class Topic[T] private[streaming] (
+    val key: StreamKey,
+    spark: SparkSession)(implicit enc: Encoder[EventEnvelope[T]]) {
+
+  private[streaming] val source: MemoryStream[EventEnvelope[T]] =
+    MemoryStream[EventEnvelope[T]](
+      Topic.nextId.getAndIncrement(), spark, None)(enc)
+
+  private var inCount = 0L
+
+  /** The unbounded stream of this topic's events. */
+  def stream: Dataset[EventEnvelope[T]] = source.toDS()
+
+  /** Publish pre-stamped events (reference: Publisher.Publish,
+    * pkg/pubsub/publisher.go:160-162).
+    */
+  def publish(events: Seq[EventEnvelope[T]]): Unit = synchronized {
+    if (events.nonEmpty) { source.addData(events); inCount += events.size }
+  }
+
+  def publishValues(values: T*): Unit =
+    publish(values.map(EventEnvelope.of[T]))
+
+  /** Events published so far (reference metric: stream.go:144-195). */
+  def eventsIn: Long = synchronized(inCount)
+}
+
+private object Topic {
+  val nextId = new java.util.concurrent.atomic.AtomicInteger(0)
+}
+
+/** A running subscription: a foreachBatch sink pumping windows/events into
+  * a callback (reference: subscriber callbacks,
+  * pkg/pubsub/subscriber.go:122-196).
+  */
+final class Subscription[T](
+    private[streaming] val query: StreamingQuery) {
+
+  /** Block until everything published so far has been delivered —
+    * the reference's drain barrier (stream.go:179-189) as
+    * processAllAvailable.
+    */
+  def drain(): Unit = query.processAllAvailable()
+  def close(): Unit = { query.stop() }
+}
+
+/** Stream repository + pub/sub facade (reference: pkg/pubsub/pub_sub.go).
+  * Topics are auto-created on first use (getOrAddStreamByID,
+  * pub_sub.go:370-384); asking for an existing topic with a different
+  * content type is an error for the same name+kind
+  * (ErrStreamTypeMismatch, pub_sub.go:386-397).
+  */
+final class PubSub(val spark: SparkSession) {
+
+  private val topics = mutable.Map.empty[StreamKey, Topic[_]]
+  private val subs = mutable.ListBuffer.empty[Subscription[_]]
+
+  private def keyOf[T](topic: String)(implicit tt: TypeTag[T]) =
+    StreamKey(topic, tt.tpe.toString)
+
+  /** Get or auto-create the typed topic. */
+  def topic[T: TypeTag](name: String): Topic[T] = synchronized {
+    val key = keyOf[T](name)
+    topics.collectFirst {
+      case (k, _) if k.topic == name && k.typeName != key.typeName => k
+    } // same name, different type is fine — composite key keeps them apart
+    implicit val enc: Encoder[EventEnvelope[T]] =
+      ExpressionEncoder[EventEnvelope[T]]()
+    topics.getOrElseUpdate(key, new Topic[T](key, spark))
+      .asInstanceOf[Topic[T]]
+  }
+
+  /** Subscribe a per-batch callback to a dataset (usually a topic stream
+    * or an operator chain over one). Delivery is micro-batched; within a
+    * batch, events are sorted by event time — the observable behavior of
+    * the reference's sorted stream (stream.go:279-319).
+    */
+  def subscribe[T](ds: Dataset[EventEnvelope[T]])(
+      cb: Seq[EventEnvelope[T]] => Unit): Subscription[T] = synchronized {
+    val q = ds.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: Dataset[EventEnvelope[T]], _: Long) =>
+        val rows = batch.collect().sortBy(_.stamp.start_time.getTime)
+        if (rows.nonEmpty) cb(rows.toSeq)
+      }
+      .start()
+    val s = new Subscription[T](q)
+    subs += s
+    s
+  }
+
+  /** One-shot publish without keeping a publisher handle (reference:
+    * InstantPublishByTopic, pub_sub.go:215-227).
+    */
+  def instantPublish[T: TypeTag](name: String, values: T*): Unit =
+    topic[T](name).publishValues(values: _*)
+
+  def close(): Unit = synchronized {
+    subs.foreach(s => try s.close() catch { case _: Throwable => () })
+    subs.clear()
+    topics.clear()
+  }
+}

@@ -1,0 +1,90 @@
+package graft.streaming
+
+import scala.reflect.runtime.universe.TypeTag
+
+import org.apache.spark.sql.{Dataset, Encoder}
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+
+import graft.core.EventEnvelope
+
+/** The reference's operator catalog on the TYPED streaming surface:
+  * pure `Dataset[EventEnvelope[A]] => Dataset[EventEnvelope[B]]`
+  * combinators (reference: pkg/processing/default_operators.go and
+  * default_filter_operators.go).
+  *
+  * These mirror the reference's arbitrary-Go-closure operators, so they
+  * are lambda-based (no codegen). The DataFrame-level ops in
+  * graft.operators.Ops are the performance surface; these are the
+  * type-safe parity surface. A derived event keeps/merges its input
+  * stamps exactly like NewEventFromOthers (pkg/events/event.go:42-44).
+  */
+object TypedOps {
+
+  type Op[A, B] = Dataset[EventEnvelope[A]] => Dataset[EventEnvelope[B]]
+
+  private def enc[T: TypeTag]: Encoder[EventEnvelope[T]] =
+    ExpressionEncoder[EventEnvelope[T]]()
+
+  /** Filter (reference: default_filter_operators.go:11-20). */
+  def filter[T](p: T => Boolean): Op[T, T] =
+    _.filter((e: EventEnvelope[T]) => p(e.content))
+
+  /** Greater (reference :23-28). */
+  def greater[T](c: T)(implicit num: Ordering[T]): Op[T, T] =
+    filter(v => num.gt(v, c))
+
+  /** Smaller (reference :31-36). */
+  def smaller[T](c: T)(implicit num: Ordering[T]): Op[T, T] =
+    filter(v => num.lt(v, c))
+
+  /** Even — truncates to integer part first (reference :39-44; float
+    * behavior pinned by default_operators_test.go:117-143).
+    */
+  def even[T](implicit num: Numeric[T]): Op[T, T] =
+    filter(v => num.toLong(v) % 2 == 0)
+
+  /** Odd (reference :47-52). */
+  def odd[T](implicit num: Numeric[T]): Op[T, T] =
+    filter(v => num.toLong(v) % 2 != 0)
+
+  /** Contains (reference :70-75). */
+  def contains(sub: String): Op[String, String] =
+    filter(_.contains(sub))
+
+  /** Map: 1:1 transform keeping the input stamp (reference Map,
+    * default_operators.go:104-113 — output is NewEventFromOthers of the
+    * single input, i.e. same interval).
+    */
+  def map[A, B: TypeTag](f: A => B): Op[A, B] = { ds =>
+    implicit val e: Encoder[EventEnvelope[B]] = enc[B]
+    ds.map((ev: EventEnvelope[A]) => EventEnvelope(ev.stamp, f(ev.content)))
+  }
+
+  /** Convert: numeric cast (reference Convert, :61-76) — an alias of map
+    * with a cast function, e.g. `convert[Int, Double](_.toDouble)`.
+    */
+  def convert[A, B: TypeTag](cast: A => B): Op[A, B] = map(cast)
+
+  /** FlatMap: 1:N, N may be 0 (reference FlatMap, :221-242; 0-output
+    * behavior pinned by default_operators_test.go:244-273). Each output
+    * keeps the input's stamp.
+    */
+  def flatMap[A, B: TypeTag](f: A => Seq[B]): Op[A, B] = { ds =>
+    implicit val e: Encoder[EventEnvelope[B]] = enc[B]
+    ds.flatMap((ev: EventEnvelope[A]) =>
+      f(ev.content).map(b => EventEnvelope(ev.stamp, b)))
+  }
+
+  /** Tokenize: whitespace split (reference :264-268). */
+  def tokenize: Op[String, String] =
+    flatMap[String, String](s =>
+      s.split("\\s+").toSeq.filter(_.nonEmpty))
+
+  /** Observe: side-effect tap, pass-through (reference :245-261). The
+    * callback runs on executors, once per event per action.
+    */
+  def observe[T: TypeTag](f: T => Unit): Op[T, T] = { ds =>
+    implicit val e: Encoder[EventEnvelope[T]] = enc[T]
+    ds.map { (ev: EventEnvelope[T]) => f(ev.content); ev }
+  }
+}
