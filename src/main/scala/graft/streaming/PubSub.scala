@@ -122,6 +122,35 @@ final class PubSub(val spark: SparkSession) {
     s
   }
 
+  /** Batch subscriber with a selection policy (reference:
+    * SubscriberWithSelectionPolicy, pkg/pubsub/config.go:37-41 +
+    * newBufferForSubscriber, subscriber.go:277-289): the callback receives
+    * whole windows. SelectNext delivers one-event windows; counting and
+    * temporal policies window via the stateful/watermarked operators.
+    */
+  def subscribeBatch[T: TypeTag](ds: Dataset[EventEnvelope[T]],
+      policy: SelectionPolicy)(
+      cb: WindowBatch[T] => Unit): Subscription[T] = synchronized {
+    val windows: Dataset[WindowBatch[T]] = policy match {
+      case SelectNext =>
+        StatefulOps.countingWindows[T](1, 1)(ds)
+      case CountingWindowPolicy(n, shift) =>
+        StatefulOps.countingWindows[T](n, shift)(ds)
+      case TemporalWindowPolicy(length, slide) =>
+        TemporalOps.temporalBatches[T](length,
+          Some(slide).filter(_ != length))(ds)
+    }
+    val q = windows.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: Dataset[WindowBatch[T]], _: Long) =>
+        batch.collect().sortBy(_.windowId).foreach(cb); ()
+      }
+      .start()
+    val s = new Subscription[T](q)
+    subs += s
+    s
+  }
+
   /** One-shot publish without keeping a publisher handle (reference:
     * InstantPublishByTopic, pub_sub.go:215-227).
     */

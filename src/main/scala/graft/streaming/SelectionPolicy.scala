@@ -1,0 +1,63 @@
+package graft.streaming
+
+/** Window ("selection") policies — the serializable configs of the
+  * reference (reference: pkg/events/selection_policy.go:43-53, factory
+  * :272-320; JSON/YAML round-trip :322-348).
+  *
+  * - SelectNext: one event per firing (counting(1,1)).
+  * - CountingWindowPolicy(n, shift): size-n windows sliding by shift;
+  *   overlap when shift<n, skip when shift>n.
+  * - TemporalWindowPolicy(length, slide): event-time windows; closed when
+  *   a later event arrives (Spark: 0-delay watermark — equivalent
+  *   data-driven punctuation, SURVEY §2.4).
+  */
+sealed trait SelectionPolicy
+
+case object SelectNext extends SelectionPolicy
+
+final case class CountingWindowPolicy(n: Int, shift: Int)
+  extends SelectionPolicy {
+  require(n > 0 && shift > 0)
+}
+
+/** Durations are Spark interval strings, e.g. "600 seconds". */
+final case class TemporalWindowPolicy(length: String, slide: String)
+  extends SelectionPolicy
+
+object TemporalWindowPolicy {
+  def tumbling(length: String): TemporalWindowPolicy =
+    TemporalWindowPolicy(length, length)
+}
+
+object SelectionPolicy {
+  /** JSON round-trip (reference: SelectionPolicyConfig,
+    * selection_policy.go:322-348). Minimal hand-rolled codec — the config
+    * surface is three fixed shapes.
+    */
+  def toJson(p: SelectionPolicy): String = p match {
+    case SelectNext => """{"type":"SelectNext"}"""
+    case CountingWindowPolicy(n, shift) =>
+      s"""{"type":"CountingWindow","size":$n,"slide":$shift}"""
+    case TemporalWindowPolicy(length, slide) =>
+      s"""{"type":"TemporalWindow","length":"$length","slide":"$slide"}"""
+  }
+
+  def fromJson(json: String): SelectionPolicy = {
+    def str(k: String): Option[String] =
+      s""""$k"\\s*:\\s*"([^"]*)"""".r.findFirstMatchIn(json).map(_.group(1))
+    def num(k: String): Option[Int] =
+      s""""$k"\\s*:\\s*(\\d+)""".r.findFirstMatchIn(json).map(_.group(1).toInt)
+    str("type") match {
+      case Some("SelectNext") => SelectNext
+      case Some("CountingWindow") =>
+        CountingWindowPolicy(
+          num("size").getOrElse(1), num("slide").getOrElse(1))
+      case Some("TemporalWindow") =>
+        TemporalWindowPolicy(
+          str("length").getOrElse("0 seconds"),
+          str("slide").orElse(str("length")).getOrElse("0 seconds"))
+      case other =>
+        throw new IllegalArgumentException(s"unknown policy type: $other")
+    }
+  }
+}

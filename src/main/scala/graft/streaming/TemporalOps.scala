@@ -1,0 +1,159 @@
+package graft.streaming
+
+import scala.reflect.runtime.universe.TypeTag
+
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Encoder}
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+import org.apache.spark.sql.functions._
+
+import graft.core.EventEnvelope
+
+/** Temporal-window operators on the streaming surface (reference:
+  * TemporalWindowPolicy, pkg/events/selection_policy.go:130-137,
+  * 178-215; BatchSum/BatchCount, default_operators.go:18-58).
+  *
+  * Spark mapping: built-in `window()` buckets + a 0-delay watermark. The
+  * reference closes a window only when a later event arrives on the
+  * stream; Spark's watermark advances at micro-batch end from the
+  * observed max event time — the same data-driven punctuation, so a
+  * window emits once an event at/past its end has been seen (SURVEY
+  * §2.4). Known divergence: the reference also emits EMPTY windows
+  * between two distant events (selection_policy_test.go:146-201); Spark's
+  * grouped aggregation cannot produce groups with no rows — documented as
+  * a semantic difference.
+  *
+  * Scale: hash aggregation with map-side partials — the shuffle carries
+  * one partial row per (window, key) per task, never raw events.
+  */
+object TemporalOps {
+
+  /** Windowed aggregation over enveloped events. Output rows carry
+    * window_start/window_end (epoch-aligned bucket) plus the merged
+    * event stamp (min start / max end over member events — the
+    * NewEventFromOthers lineage, timestamper.go:22-50) and the given
+    * aggregates over the `content` column.
+    */
+  def windowAgg[T](length: String, slide: Option[String] = None)(
+      aggs: Column*)(ds: Dataset[EventEnvelope[T]]): DataFrame = {
+    val w = slide.fold(window(col("event_time"), length))(s =>
+      window(col("event_time"), length, s))
+    ds.toDF()
+      .withColumn("event_time", col("stamp.start_time"))
+      .withWatermark("event_time", "0 seconds")
+      .groupBy(w)
+      .agg(
+        min(col("stamp.start_time")).as("stamp_start"),
+        (max(col("stamp.end_time")).as("stamp_end") +: aggs): _*)
+      .withColumn("window_start", col("window.start"))
+      .withColumn("window_end", col("window.end"))
+      .drop("window")
+  }
+
+  /** BatchSum (reference: default_operators.go:18-38). */
+  def batchSum[T](length: String, slide: Option[String] = None)(
+      ds: Dataset[EventEnvelope[T]]): DataFrame =
+    windowAgg(length, slide)(sum(col("content")).as("sum_value"))(ds)
+
+  /** BatchCount (reference: default_operators.go:41-58). */
+  def batchCount[T](length: String, slide: Option[String] = None)(
+      ds: Dataset[EventEnvelope[T]]): DataFrame =
+    windowAgg(length, slide)(count(lit(1)).as("n_events"))(ds)
+
+  /** Per-window word count — the reference's canonical custom pipeline
+    * operator (reference: examples/processing/customOperator/main.go:17-42).
+    */
+  def wordCountWindow(length: String)(
+      ds: Dataset[EventEnvelope[String]]): DataFrame =
+    ds.toDF()
+      .withColumn("event_time", col("stamp.start_time"))
+      .withWatermark("event_time", "0 seconds")
+      .withColumn("word",
+        explode(graft.functions.TextFunctions.tokens(col("content"))))
+      .groupBy(window(col("event_time"), length), col("word"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("window_start", col("window.start"))
+      .drop("window")
+
+  /** Generic windowed batch: collect each temporal window's events into
+    * one WindowBatch (the unit handed to the reference's pipeline
+    * operators and batch subscribers, operator_engine.go:88-92). windowId
+    * is the bucket's epoch-second start.
+    */
+  def temporalBatches[T: TypeTag](length: String,
+      slide: Option[String] = None)(
+      ds: Dataset[EventEnvelope[T]]): Dataset[WindowBatch[T]] = {
+    implicit val enc: Encoder[WindowBatch[T]] =
+      ExpressionEncoder[WindowBatch[T]]()
+    val w = slide.fold(window(col("event_time"), length))(s =>
+      window(col("event_time"), length, s))
+    ds.toDF()
+      .withColumn("event_time", col("stamp.start_time"))
+      .withWatermark("event_time", "0 seconds")
+      .groupBy(w)
+      .agg(
+        min(col("stamp.start_time")).as("stamp_start"),
+        max(col("stamp.end_time")).as("stamp_end"),
+        sort_array(collect_list(struct(
+          col("stamp.start_time").as("t"), col("content").as("c"))))
+          .as("evs"))
+      .select(
+        col("window.start").cast("long").as("windowId"),
+        struct(
+          col("stamp_start").as("start_time"),
+          col("stamp_end").as("end_time"),
+          map().cast("map<string,string>").as("meta")).as("stamp"),
+        col("evs.c").as("events"))
+      .as[WindowBatch[T]]
+  }
+}
+
+/** Stream-stream windowed joins (reference: JoinOperatorEngine,
+  * pkg/processing/operator_engine.go:294-448; Join/LeftJoin,
+  * default_operators.go:117-218).
+  *
+  * Both sides get a 0-delay watermark and a tumbling bucket column; the
+  * bucket is part of the equi-join key, so Spark's stream-stream join
+  * keeps at most one window of state per key per side and evicts it as
+  * the watermark passes — the reference's per-window buffer GC
+  * (operator_engine.go:434-446), distributed.
+  */
+object StreamJoins {
+
+  // The bucket must stay the watermark-derived window STRUCT: Spark's
+  // outer stream-stream join only recognizes state-eviction bounds when
+  // the watermarked window column itself is a join key (a projected
+  // .start field loses the event-time lineage).
+  private def bucketed(df: DataFrame, ts: String, length: String,
+      side: String): DataFrame =
+    df.withColumn(s"${side}_time", col(ts))
+      .withWatermark(s"${side}_time", "0 seconds")
+      .withColumn(s"${side}_w", window(col(s"${side}_time"), length))
+      // keep exactly ONE event-time column per side: the window struct
+      .drop(s"${side}_time")
+
+  /** Windowed inner equi-join of two streams on (key, bucket). */
+  def windowedInner(left: DataFrame, right: DataFrame, key: String,
+      tsLeft: String, tsRight: String, length: String): DataFrame = {
+    val l = bucketed(left, tsLeft, length, "l")
+    val r = bucketed(right, tsRight, length, "r")
+    l.join(r,
+      l(key) === r(key) && col("l_w") === col("r_w"))
+      .drop(r(key)).drop("r_w")
+      .withColumn("window_start", col("l_w.start")).drop("l_w")
+  }
+
+  /** Windowed left-outer: unmatched left rows emit with NULL right side
+    * once the watermark closes their window (reference LeftJoin,
+    * default_operators.go:186-207).
+    */
+  def windowedLeftOuter(left: DataFrame, right: DataFrame, key: String,
+      tsLeft: String, tsRight: String, length: String): DataFrame = {
+    val l = bucketed(left, tsLeft, length, "l")
+    val r = bucketed(right, tsRight, length, "r")
+    l.join(r,
+      l(key) === r(key) && col("l_w") === col("r_w"),
+      "left_outer")
+      .drop(r(key)).drop("r_w")
+      .withColumn("window_start", col("l_w.start")).drop("l_w")
+  }
+}

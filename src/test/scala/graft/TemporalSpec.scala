@@ -1,0 +1,189 @@
+package graft
+
+import java.sql.Timestamp
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.functions.col
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.core.{EventEnvelope, Sessions}
+import graft.streaming._
+
+/** Temporal-window streaming parity (reference:
+  * pkg/events/selection_policy_test.go temporal cases; JoinOperatorEngine
+  * tests pkg/processing/operators_test.go:372-383 — tests send a trailing
+  * trigger event to close the last window, exactly as the reference's
+  * data-driven punctuation requires).
+  */
+class TemporalSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark: SparkSession =
+    Sessions.tune(SparkSession.builder().master("local[4]")
+      .config("spark.sql.streaming.checkpointLocation",
+        s"/tmp/graft-ckpt-t-${System.nanoTime()}"), 4).getOrCreate()
+
+  override def afterAll(): Unit = {
+    QueryRepository.closeAll()
+    spark.stop()
+  }
+
+  private val base = 1700000000000L // epoch-aligned test clock
+  private def ts(sec: Int) = new Timestamp(base + sec * 1000L)
+
+  private def runToCompletion[R](df: DataFrame)(
+      publish: () => Unit)(collect: Seq[Row] => R): R = {
+    val rows = mutable.Buffer.empty[Row]
+    val q = df.writeStream.outputMode("append")
+      .foreachBatch { (b: Dataset[Row], _: Long) =>
+        rows.synchronized { rows ++= b.collect() }; ()
+      }.start()
+    publish()
+    q.processAllAvailable()
+    q.stop()
+    collect(rows.toSeq)
+  }
+
+  test("temporal batchSum: window closes when a later event arrives") {
+    val ps = new PubSub(spark)
+    val t = ps.topic[Double]("tsum")
+    val df = TemporalOps.batchSum[Double]("10 seconds")(t.stream)
+    val got = runToCompletion(df) { () =>
+      t.publish(Seq(
+        EventEnvelope.at(ts(1), 1.0),
+        EventEnvelope.at(ts(3), 2.0),
+        EventEnvelope.at(ts(11), 5.0))) // trigger: closes [0,10)
+    } { rows =>
+      rows.map(r => (r.getAs[Timestamp]("window_start"),
+        r.getAs[Double]("sum_value"))).toMap
+    }
+    // only [base, base+10) closed; the window holding 5.0 stays open
+    assert(got == Map(new Timestamp(base) -> 3.0))
+    ps.close()
+  }
+
+  test("boundary event excluded from closing window (ref :202-232)") {
+    val ps = new PubSub(spark)
+    val t = ps.topic[Double]("tbound")
+    val df = TemporalOps.batchCount[Double]("10 seconds")(t.stream)
+    val got = runToCompletion(df) { () =>
+      // event exactly at the boundary belongs to the NEXT window
+      t.publish(Seq(
+        EventEnvelope.at(ts(0), 1.0),
+        EventEnvelope.at(ts(10), 2.0),  // boundary: next window
+        EventEnvelope.at(ts(21), 3.0))) // closes both earlier windows
+    } { rows =>
+      rows.map(r => (r.getAs[Timestamp]("window_start").getTime,
+        r.getAs[Long]("n_events"))).toMap
+    }
+    assert(got == Map(base -> 1L, (base + 10000) -> 1L))
+    ps.close()
+  }
+
+  test("sliding temporal window: event lands in length/slide windows") {
+    val ps = new PubSub(spark)
+    val t = ps.topic[Double]("tslide")
+    val df = TemporalOps.batchCount[Double](
+      "10 seconds", Some("5 seconds"))(t.stream)
+    val got = runToCompletion(df) { () =>
+      t.publish(Seq(
+        EventEnvelope.at(ts(7), 1.0),   // windows starting at 0 and 5
+        EventEnvelope.at(ts(30), 9.9))) // trigger
+    } { rows =>
+      rows.map(r => (r.getAs[Timestamp]("window_start").getTime,
+        r.getAs[Long]("n_events"))).toMap
+    }
+    assert(got == Map(base -> 1L, (base + 5000) -> 1L))
+    ps.close()
+  }
+
+  test("subscribeBatch with temporal policy delivers whole windows") {
+    val ps = new PubSub(spark)
+    val t = ps.topic[Int]("tbatch")
+    val batches = mutable.Buffer.empty[WindowBatch[Int]]
+    val sub = ps.subscribeBatch(t.stream,
+      TemporalWindowPolicy.tumbling("10 seconds")) { wb =>
+      batches.synchronized { batches += wb }; ()
+    }
+    t.publish(Seq(
+      EventEnvelope.at(ts(1), 10),
+      EventEnvelope.at(ts(2), 20),
+      EventEnvelope.at(ts(15), 99))) // trigger
+    sub.drain()
+    sub.close()
+    assert(batches.map(_.events) == Seq(Seq(10, 20)))
+    // merged stamp = min/max of member events
+    assert(batches.head.stamp.start_time == ts(1))
+    assert(batches.head.stamp.end_time == ts(2))
+    ps.close()
+  }
+
+  test("subscribeBatch with counting policy and SelectNext") {
+    val ps = new PubSub(spark)
+    val t = ps.topic[Int]("cbatch")
+    val counting = mutable.Buffer.empty[Seq[Int]]
+    val singles = mutable.Buffer.empty[Seq[Int]]
+    val s1 = ps.subscribeBatch(t.stream, CountingWindowPolicy(2, 2)) { wb =>
+      counting.synchronized { counting += wb.events }; ()
+    }
+    val s2 = ps.subscribeBatch(t.stream, SelectNext) { wb =>
+      singles.synchronized { singles += wb.events }; ()
+    }
+    t.publish((1 to 4).map(i => EventEnvelope.at(ts(i), i)))
+    s1.drain(); s2.drain()
+    s1.close(); s2.close()
+    assert(counting.toSeq == Seq(Seq(1, 2), Seq(3, 4)))
+    assert(singles.toSeq == Seq(Seq(1), Seq(2), Seq(3), Seq(4)))
+    ps.close()
+  }
+
+  test("stream-stream windowed inner join on (key, bucket)") {
+    val ps = new PubSub(spark)
+    val lt = ps.topic[Int]("join-l")
+    val rt = ps.topic[Int]("join-r")
+    val l = lt.stream.toDF()
+      .select(col("content").as("k"), col("stamp.start_time").as("lts"))
+    val r = rt.stream.toDF()
+      .select(col("content").as("k"), col("stamp.start_time").as("rts"))
+    val joined = StreamJoins.windowedInner(l, r, "k", "lts", "rts",
+      "10 seconds")
+    val got = runToCompletion(joined) { () =>
+      lt.publish(Seq(EventEnvelope.at(ts(1), 7),
+        EventEnvelope.at(ts(25), 99)))
+      rt.publish(Seq(EventEnvelope.at(ts(3), 7),   // same bucket as l@1
+        EventEnvelope.at(ts(12), 7),               // different bucket
+        EventEnvelope.at(ts(25), 98)))
+    } { rows => rows.map(_.getAs[Int]("k")).toSeq }
+    assert(got == Seq(7)) // one pair: k=7 in bucket [0,10)
+    ps.close()
+  }
+
+  test("stream-stream left-outer join emits unmatched left on close") {
+    val ps = new PubSub(spark)
+    val lt = ps.topic[Int]("ljoin-l")
+    val rt = ps.topic[Int]("ljoin-r")
+    val l = lt.stream.toDF()
+      .select(col("content").as("k"), col("stamp.start_time").as("lts"))
+    val r = rt.stream.toDF()
+      .select(col("content").as("k"), col("stamp.start_time").as("rts"))
+    val joined = StreamJoins.windowedLeftOuter(l, r, "k", "lts", "rts",
+      "10 seconds")
+    val got = runToCompletion(joined) { () =>
+      lt.publish(Seq(
+        EventEnvelope.at(ts(1), 7),    // will match
+        EventEnvelope.at(ts(2), 8),    // no right partner
+        EventEnvelope.at(ts(40), 99))) // trigger to advance watermark
+      rt.publish(Seq(
+        EventEnvelope.at(ts(3), 7),
+        EventEnvelope.at(ts(40), 98)))
+    } { rows =>
+      rows.map(r => (r.getAs[Int]("k"),
+        Option(r.getAs[Timestamp]("rts")).isDefined)).toMap
+    }
+    assert(got.get(7).contains(true))  // matched pair
+    assert(got.get(8).contains(false)) // left passed through, NULL right
+    ps.close()
+  }
+}
