@@ -84,6 +84,9 @@ final class ContinuousQuery[T] private[streaming] (
     mutable.ListBuffer.empty[Seq[EventEnvelope[T]] => Unit]
   private val subscriptions = mutable.ListBuffer.empty[Subscription[T]]
   private var running = false
+  private val queryId = java.util.UUID.randomUUID().toString
+
+  private def ckptName(i: Int) = s"graft-query-$queryId-cb$i"
 
   /** Attach a consumer to the terminal stream (reference Subscribe,
     * continuous_query.go:103-116). Effective on (next) Run.
@@ -91,7 +94,8 @@ final class ContinuousQuery[T] private[streaming] (
   def subscribe(cb: Seq[EventEnvelope[T]] => Unit): ContinuousQuery[T] =
     synchronized {
       callbacks += cb
-      if (running) subscriptions += pubsub.subscribe(output)(cb)
+      if (running) subscriptions +=
+        pubsub.subscribe(output, Some(ckptName(callbacks.size - 1)))(cb)
       this
     }
 
@@ -99,7 +103,9 @@ final class ContinuousQuery[T] private[streaming] (
   def run(): ContinuousQuery[T] = synchronized {
     if (!running) {
       running = true
-      callbacks.foreach(cb => subscriptions += pubsub.subscribe(output)(cb))
+      callbacks.zipWithIndex.foreach { case (cb, i) =>
+        subscriptions += pubsub.subscribe(output, Some(ckptName(i)))(cb)
+      }
       QueryRepository.register(this)
     }
     this
@@ -108,6 +114,18 @@ final class ContinuousQuery[T] private[streaming] (
   /** Wait until all published events have flowed through every sink. */
   def drain(): Unit = synchronized(subscriptions.toList)
     .foreach(_.drain())
+
+  /** Drain-stop-restart — the Spark analogue of the reference's hot
+    * stream migration (migrateStream waits for the old coordinator to
+    * drain before swapping, stream.go:109-123, 179-189). Publishers keep
+    * publishing into the topic throughout; events landing between stop
+    * and restart are delivered by the restarted sinks' first batch.
+    */
+  def restart(): ContinuousQuery[T] = {
+    drain()
+    close()
+    run()
+  }
 
   /** Stop sinks and deregister (reference Close,
     * continuous_query.go:142-161).

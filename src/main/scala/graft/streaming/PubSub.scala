@@ -108,15 +108,23 @@ final class PubSub(val spark: SparkSession) {
     * batch, events are sorted by event time — the observable behavior of
     * the reference's sorted stream (stream.go:279-319).
     */
-  def subscribe[T](ds: Dataset[EventEnvelope[T]])(
+  def subscribe[T](ds: Dataset[EventEnvelope[T]],
+      checkpointName: Option[String] = None)(
       cb: Seq[EventEnvelope[T]] => Unit): Subscription[T] = synchronized {
-    val q = ds.writeStream
+    var w = ds.writeStream
       .outputMode("append")
       .foreachBatch { (batch: Dataset[EventEnvelope[T]], _: Long) =>
         val rows = batch.collect().sortBy(_.stamp.start_time.getTime)
         if (rows.nonEmpty) cb(rows.toSeq)
       }
-      .start()
+    // A stable checkpoint name lets a restarted subscription resume from
+    // its committed offset — the reference's migrate-without-loss
+    // guarantee (pub_sub_test.go:136-166).
+    checkpointName.foreach { n =>
+      spark.conf.getOption("spark.sql.streaming.checkpointLocation")
+        .foreach(base => w = w.option("checkpointLocation", s"$base/$n"))
+    }
+    val q = w.start()
     val s = new Subscription[T](q)
     subs += s
     s
