@@ -19,7 +19,8 @@ object SparkEntry {
       WindowQueries.defs ++
       JoinQueries.defs ++
       TextQueries.defs ++
-      SimilarityQueries.defs
+      SimilarityQueries.defs ++
+      MultimodalQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
