@@ -72,11 +72,19 @@ object Windows {
     *
     * Emits (window_id, row) pairs; callers aggregate over window_id.
     */
-  def countingWindowIds(orderBy: Seq[Column], n: Int, shift: Int): DataFrame => DataFrame = {
+  def countingWindowIds(orderBy: Seq[Column], n: Int, shift: Int,
+      partitionBy: Seq[Column] = Nil): DataFrame => DataFrame = {
     require(n > 0 && shift > 0)
     df => {
-      val rn = row_number().over(Window.orderBy(orderBy: _*)) - 1 // 0-based
-      val withRn = df.withColumn("_rn", rn)
+      val w =
+        if (partitionBy.isEmpty) Window.orderBy(orderBy: _*)
+        else Window.partitionBy(partitionBy: _*).orderBy(orderBy: _*)
+      val rn = row_number().over(w) - 1 // 0-based
+      // total rows (per partition) in the same single pass — no extra job
+      val total = count(lit(1)).over(
+        if (partitionBy.isEmpty) Window.partitionBy()
+        else Window.partitionBy(partitionBy: _*))
+      val withRn = df.withColumn("_rn", rn).withColumn("_total", total)
       // row r belongs to window w iff w*shift <= r < w*shift + n
       val firstW = greatest(ceil((col("_rn") - n + 1).cast("double") / shift), lit(0)).cast("long")
       val lastW = floor(col("_rn").cast("double") / shift).cast("long")
@@ -91,17 +99,17 @@ object Windows {
     }
   }
 
-  /** Complete counting windows only (a window fires when all n rows are
-    * present — reference requires buffer.Len() > range.End,
-    * selection_policy.go:144-146).
+  /** Complete counting windows only: a window fires iff all n of its rows
+    * exist, i.e. window_id*shift + n <= total rows (reference requires
+    * buffer.Len() > range.End, selection_policy.go:144-146). Single pass:
+    * the total comes from a window count, not a separate action.
     */
-  def countingWindowAgg(orderBy: Seq[Column], n: Int, shift: Int)(
+  def countingWindowAgg(orderBy: Seq[Column], n: Int, shift: Int,
+      partitionBy: Seq[Column] = Nil)(
       aggs: Seq[Column]): DataFrame => DataFrame = { df =>
-    val total = df.count()
-    val complete = Math.floorDiv(total - n, shift) // highest complete window id
-    countingWindowIds(orderBy, n, shift)(df)
-      .where(col("window_id") <= complete)
-      .groupBy(col("window_id"))
+    countingWindowIds(orderBy, n, shift, partitionBy)(df)
+      .where(col("window_id") * shift + n <= col("_total"))
+      .groupBy(partitionBy :+ col("window_id"): _*)
       .agg(aggs.head, aggs.tail: _*)
   }
 }

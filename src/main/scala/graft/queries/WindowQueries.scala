@@ -116,7 +116,32 @@ object WindowQueries {
         Seq(col("event_id")), 50, 100)(
         Seq(dsum("value").as("sum_value"), count(lit(1)).as("n_events")))(
         Tables.load(s, dir, "events").select("event_id", "value")),
-      Some(countingOracle(50, 100))))
+      Some(countingOracle(50, 100))),
+
+    // KEYED counting windows — the horizontally scalable variant: an
+    // independent counting window per user, partitioned across executors
+    // (one shuffle on user_id; no global total order anywhere).
+    "q_counting_bykey" -> QueryDef(
+      (s, dir) => Windows.countingWindowAgg(
+        Seq(col("event_id")), 20, 20, partitionBy = Seq(col("user_id")))(
+        Seq(dsum("value").as("sum_value"), count(lit(1)).as("n_events")))(
+        Tables.load(s, dir, "events").select("user_id", "event_id", "value")),
+      Some(s"""WITH numbered AS (
+        SELECT user_id, value,
+          row_number() OVER (PARTITION BY user_id ORDER BY event_id) - 1 AS rn,
+          count(*) OVER (PARTITION BY user_id) AS total
+        FROM events)
+      SELECT user_id, window_id, $oracleSum AS sum_value,
+        count(*) AS n_events
+      FROM (
+        SELECT user_id, value, total,
+          unnest(generate_series(
+            CAST(greatest(ceil(CAST(rn - 20 + 1 AS DOUBLE) / 20), 0) AS BIGINT),
+            CAST(floor(CAST(rn AS DOUBLE) / 20) AS BIGINT))) AS window_id
+        FROM numbered) t
+      WHERE window_id * 20 + 20 <= total
+      GROUP BY user_id, window_id"""),
+      bench = true))
 
   /** DuckDB oracle for counting windows: same row->window assignment
     * (row r in window w iff w*shift <= r < w*shift + n) and the same

@@ -33,13 +33,16 @@ object TemporalOps {
     * NewEventFromOthers lineage, timestamper.go:22-50) and the given
     * aggregates over the `content` column.
     */
-  def windowAgg[T](length: String, slide: Option[String] = None)(
+  def windowAgg[T](length: String, slide: Option[String] = None,
+      allowedLateness: String = "0 seconds")(
       aggs: Column*)(ds: Dataset[EventEnvelope[T]]): DataFrame = {
     val w = slide.fold(window(col("event_time"), length))(s =>
       window(col("event_time"), length, s))
     ds.toDF()
       .withColumn("event_time", col("stamp.start_time"))
-      .withWatermark("event_time", "0 seconds")
+      // allowedLateness > 0 is a free improvement over the reference,
+      // which silently skips any late event (selection_policy.go:587-589)
+      .withWatermark("event_time", allowedLateness)
       .groupBy(w)
       .agg(
         min(col("stamp.start_time")).as("stamp_start"),
@@ -50,14 +53,18 @@ object TemporalOps {
   }
 
   /** BatchSum (reference: default_operators.go:18-38). */
-  def batchSum[T](length: String, slide: Option[String] = None)(
+  def batchSum[T](length: String, slide: Option[String] = None,
+      allowedLateness: String = "0 seconds")(
       ds: Dataset[EventEnvelope[T]]): DataFrame =
-    windowAgg(length, slide)(sum(col("content")).as("sum_value"))(ds)
+    windowAgg(length, slide, allowedLateness)(
+      sum(col("content")).as("sum_value"))(ds)
 
   /** BatchCount (reference: default_operators.go:41-58). */
-  def batchCount[T](length: String, slide: Option[String] = None)(
+  def batchCount[T](length: String, slide: Option[String] = None,
+      allowedLateness: String = "0 seconds")(
       ds: Dataset[EventEnvelope[T]]): DataFrame =
-    windowAgg(length, slide)(count(lit(1)).as("n_events"))(ds)
+    windowAgg(length, slide, allowedLateness)(
+      count(lit(1)).as("n_events"))(ds)
 
   /** Per-window word count — the reference's canonical custom pipeline
     * operator (reference: examples/processing/customOperator/main.go:17-42).
