@@ -14,7 +14,8 @@ object Sessions {
     tune(SparkSession.builder().master(s"local[$cores]"), cores).getOrCreate()
 
   def tune(b: SparkSession.Builder, shufflePartitions: Int): SparkSession.Builder =
-    b.config("spark.sql.shuffle.partitions", shufflePartitions.toString)
+    b.config("spark.sql.extensions", "graft.expressions.GraftExtensions")
+      .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")

@@ -11,9 +11,13 @@ import org.apache.spark.sql.functions._
   */
 object VectorFunctions {
 
+  /** Codegen'd native expression (graft.expressions.DotProduct): same
+    * index-order double fold as the `aggregate`/`zip_with` formulation —
+    * bit-identical results — but compiled to a primitive loop instead of
+    * one interpreted lambda dispatch per element.
+    */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
+    graft.expressions.VectorExpressions.dot(a, b)
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
@@ -46,9 +50,7 @@ object VectorFunctions {
     val planes: Seq[Array[Double]] =
       Seq.fill(nBits)(Array.fill(dim)(rng.nextGaussian()))
     val bits = planes.zipWithIndex.map { case (p, i) =>
-      val proj = aggregate(
-        zip_with(vec, lit(p), (x, w) => x.cast("double") * w),
-        lit(0.0), (acc, v) => acc + v)
+      val proj = graft.expressions.VectorExpressions.dot(vec, lit(p))
       when(proj >= 0, lit(1L << i)).otherwise(lit(0L))
     }
     bits.reduce((a: Column, b: Column) => a.bitwiseOR(b))

@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.core.Sessions
+import graft.expressions.VectorExpressions
+import graft.functions.VectorFunctions
+
+/** Native codegen'd vector expressions: Scala API, SQL registration via
+  * SparkSessionExtensions, and equivalence with the lambda formulation.
+  */
+class ExpressionsSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark: SparkSession =
+    Sessions.tune(SparkSession.builder().master("local[4]"), 4).getOrCreate()
+  import spark.implicits._
+
+  override def afterAll(): Unit = spark.stop()
+
+  test("graft_dot: Scala column API over float and double arrays") {
+    val df = Seq((Seq(1.0f, 2.0f, 3.0f), Seq(4.0, 5.0, 6.0)))
+      .toDF("f", "d")
+    val out = df.select(
+      VectorExpressions.dot(col("f"), col("d")),
+      VectorExpressions.dot(col("f"), col("f"))).head()
+    assert(out.getDouble(0) == 32.0) // 4 + 10 + 18
+    assert(out.getDouble(1) == 14.0)
+  }
+
+  test("graft_dot: registered for SQL via SparkSessionExtensions") {
+    val v = spark.sql(
+      "SELECT graft_dot(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d")
+      .as[Double].head()
+    assert(v == 11.0)
+  }
+
+  test("graft_dot matches the interpreted aggregate/zip_with fold bitwise") {
+    val rng = new scala.util.Random(7)
+    val vecs = Seq.fill(50)((
+      Array.fill(64)(rng.nextFloat()).toSeq,
+      Array.fill(64)(rng.nextFloat()).toSeq))
+    val df = vecs.toDF("a", "b")
+    val lambdaDot = aggregate(
+      zip_with(col("a"), col("b"),
+        (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+    val diffs = df.select(
+      (VectorExpressions.dot(col("a"), col("b")) - lambdaDot).as("d"))
+      .as[Double].collect()
+    assert(diffs.forall(_ == 0.0)) // identical fold order -> bit-identical
+  }
+
+  test("cosine via native dot: null array yields null, self-sim is 1") {
+    val df = Seq((Seq(1.0f, 2.0f), Option(Seq(1.0f, 2.0f))),
+      (Seq(1.0f, 2.0f), None))
+      .toDF("a", "b")
+    val out = df.select(VectorFunctions.cosine(col("a"), col("b")))
+      .collect()
+    assert(math.abs(out(0).getDouble(0) - 1.0) < 1e-12)
+    assert(out(1).isNullAt(0))
+  }
+}
