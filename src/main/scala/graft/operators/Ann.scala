@@ -1,0 +1,84 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFunctions
+import graft.queries.Det
+
+/** Approximate-nearest-neighbor search over embedding columns.
+  *
+  * Two paths:
+  *  - bruteForceTopK: exact baseline — corpus x broadcast(queries), one
+  *    codegen'd dot per pair, per-query top-k. Cost |corpus|*|Q|*dim;
+  *    right when |Q| is small.
+  *  - ivfTopK: the scale path — corpus is coarse-quantized once into
+  *    cells around a centroid set (one aggregation, no pairwise blowup);
+  *    each query probes only its nprobe nearest cells. Cost per query
+  *    drops by ~|cells|/nprobe. Centroids come from the caller (a seeded
+  *    sample or offline k-means); at 100 TB the cell assignment is a
+  *    write-once partitioning of the corpus that all future queries
+  *    reuse.
+  *
+  * Determinism: every ranking ties-breaks on ids after rounding scores
+  * (Det.r4), so the cut is stable across engines and partitionings.
+  */
+object Ann {
+
+  private def topKPerQuery(scored: DataFrame, k: Int): DataFrame = {
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("score").desc, col("vec_id"))
+    scored.withColumn("rn", row_number().over(w))
+      .where(col("rn") <= k)
+      .select("q_id", "vec_id", "score", "rn")
+  }
+
+  private def cosineScore(a: Column, b: Column): Column =
+    Det.r4(VectorFunctions.cosine(a, b))
+
+  /** Exact top-k: queries must be small (broadcast side). Expects
+    * corpus(vec_id, embedding) and queries(q_id, q_emb).
+    */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame =
+    topKPerQuery(
+      corpus.crossJoin(broadcast(queries))
+        .select(col("q_id"), col("vec_id"),
+          cosineScore(col("q_emb"), col("embedding")).as("score")),
+      k)
+
+  /** Assign each corpus vector to its nearest centroid (max cosine, id
+    * tiebreak) — one map-side pass over corpus x broadcast(centroids)
+    * and a single partial-aggregated max_by per vector.
+    */
+  def assignCells(corpus: DataFrame, centroids: DataFrame): DataFrame =
+    corpus.crossJoin(broadcast(centroids))
+      .select(col("vec_id"), col("embedding"), col("cell_id"),
+        cosineScore(col("embedding"), col("cell_emb")).as("aff"))
+      .groupBy(col("vec_id"))
+      .agg(
+        first(col("embedding")).as("embedding"),
+        max_by(col("cell_id"), struct(col("aff"), -col("cell_id")))
+          .as("cell_id"))
+
+  /** IVF search: probe the nprobe highest-affinity cells per query, exact
+    * top-k within the probed cells. Expects centroids(cell_id, cell_emb).
+    */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, centroids: DataFrame,
+      k: Int, nprobe: Int): DataFrame = {
+    val cells = assignCells(corpus, centroids)
+    val probeW = Window.partitionBy(col("q_id"))
+      .orderBy(col("aff").desc, col("cell_id"))
+    val probes = queries.crossJoin(broadcast(centroids))
+      .select(col("q_id"), col("q_emb"), col("cell_id"),
+        cosineScore(col("q_emb"), col("cell_emb")).as("aff"))
+      .withColumn("prn", row_number().over(probeW))
+      .where(col("prn") <= nprobe)
+      .select("q_id", "q_emb", "cell_id")
+    topKPerQuery(
+      cells.join(broadcast(probes), "cell_id")
+        .select(col("q_id"), col("vec_id"),
+          cosineScore(col("q_emb"), col("embedding")).as("score")),
+      k)
+  }
+}

@@ -191,6 +191,23 @@ object SimilarityQueries {
         WHERE rn <= 10"""),
       bench = true),
 
+    // IVF ANN — the scale path: corpus coarse-quantized into cells around
+    // a deterministic centroid sample (vec_id % 37 == 0), queries probe
+    // their 3 best cells. Rows-only check (assignment argmax isn't worth
+    // a 100-line oracle); AnnSpec pins recall against brute force.
+    "q_ann_ivf" -> QueryDef(
+      (s, dir) => {
+        val emb = Tables.load(s, dir, "embeddings")
+        val centroids = emb.where(col("vec_id") % 37 === 0)
+          .select((col("vec_id") / 37).cast("long").as("cell_id"),
+            col("embedding").as("cell_emb"))
+        val queries = emb.where(col("vec_id") < 8)
+          .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+        graft.operators.Ann.ivfTopK(emb, queries, centroids, 10, 3)
+      },
+      None,
+      bench = true),
+
     // Per-label centroid (elementwise mean): posexplode + exact decimal
     // sums so the means are order-independent.
     "q_embed_centroid" -> QueryDef(

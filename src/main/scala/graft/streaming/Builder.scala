@@ -52,6 +52,18 @@ final class QueryBuilder[T: TypeTag] private[streaming] (
   def fanIn: Dataset[EventEnvelope[T]] =
     frontier.reduceLeft(_ unionByName _)
 
+  /** Fan the current frontier out through an operator into n independent
+    * downstream builders (reference CreateFanOutStream,
+    * query_builder.go:139-155). In Spark a Dataset value IS the fan-out
+    * point — each returned builder reuses the same upstream plan, and
+    * Catalyst/micro-batching evaluate the shared prefix per sink.
+    */
+  def fanOut[U: TypeTag](op: TypedOps.Op[T, U], n: Int): Seq[QueryBuilder[U]] = {
+    require(n > 0)
+    val out = op(fanIn)
+    Seq.fill(n)(new QueryBuilder[U](pubsub, Seq(out)))
+  }
+
   /** Validate the single-terminal-stream rule and produce the runnable
     * query (reference Build, query_builder.go:197-243; ErrAmbiguousOutput
     * :208-210).

@@ -1,0 +1,93 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.core.Sessions
+import graft.operators.Ann
+
+/** ANN operators: brute-force correctness and IVF recall/pruning, plus
+  * the bucketed co-located join shuffle-elimination proof.
+  */
+class AnnSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark: SparkSession =
+    Sessions.tune(SparkSession.builder().master("local[4]")
+      .config("spark.sql.warehouse.dir",
+        s"/tmp/graft-wh-${System.nanoTime()}"), 4).getOrCreate()
+  import spark.implicits._
+
+  override def afterAll(): Unit = spark.stop()
+
+  private def corpus = {
+    val rng = new scala.util.Random(11)
+    // 4 well-separated clusters of 50 vectors in 16 dims
+    val centers = Seq.tabulate(4)(c =>
+      Array.tabulate(16)(d => if (d % 4 == c) 10.0f else 0.0f))
+    (0 until 200).map { i =>
+      val c = i % 4
+      val v = centers(c).zipWithIndex.map { case (x, d) =>
+        x + rng.nextFloat() * 0.5f
+      }
+      (i.toLong, v.toSeq)
+    }.toDF("vec_id", "embedding")
+  }
+
+  test("brute force top-k: self is always rank 1") {
+    val q = corpus.where(col("vec_id") < 4)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val top = Ann.bruteForceTopK(corpus, q, 5)
+    val rank1 = top.where(col("rn") === 1)
+      .select("q_id", "vec_id").as[(Long, Long)].collect().toMap
+    assert(rank1 == Map(0L -> 0L, 1L -> 1L, 2L -> 2L, 3L -> 3L))
+  }
+
+  test("IVF with cluster centroids recalls brute-force top-k") {
+    // one centroid per planted cluster -> nprobe=1 suffices
+    val centroids = corpus.where(col("vec_id") < 4)
+      .select(col("vec_id").as("cell_id"), col("embedding").as("cell_emb"))
+    val q = corpus.where(col("vec_id") >= 196)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val exact = Ann.bruteForceTopK(corpus, q, 5)
+      .select("q_id", "vec_id").as[(Long, Long)].collect().toSet
+    val ivf = Ann.ivfTopK(corpus, q, centroids, 5, 1)
+      .select("q_id", "vec_id").as[(Long, Long)].collect().toSet
+    assert(ivf == exact) // same-cluster neighbors live in the probed cell
+  }
+
+  test("IVF probes prune the corpus (candidate set < full corpus)") {
+    val centroids = corpus.where(col("vec_id") < 4)
+      .select(col("vec_id").as("cell_id"), col("embedding").as("cell_emb"))
+    val cells = Ann.assignCells(corpus, centroids)
+    val sizes = cells.groupBy("cell_id").count()
+      .as[(Long, Long)].collect().toMap
+    assert(sizes.size == 4 && sizes.values.sum == 200)
+    assert(sizes.values.forall(_ == 50)) // clean cluster separation
+  }
+
+  test("bucketed tables co-locate the join: no shuffle exchange") {
+    val a = (0L until 1000L).map(i => (i, i * 2)).toDF("k", "va")
+    val b = (0L until 1000L).map(i => (i, i * 3)).toDF("k", "vb")
+    a.write.mode("overwrite").bucketBy(8, "k").sortBy("k")
+      .saveAsTable("bkt_a")
+    b.write.mode("overwrite").bucketBy(8, "k").sortBy("k")
+      .saveAsTable("bkt_b")
+    // force a non-broadcast join so the assertion genuinely proves the
+    // bucketing removed the shuffle (not that broadcast avoided it)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = spark.table("bkt_a").join(spark.table("bkt_b"), "k")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"),
+        s"expected a shuffle-family join:\n$plan")
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"unexpected shuffle in bucketed join plan:\n$plan")
+      assert(joined.count() == 1000)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    }
+  }
+}
