@@ -17,21 +17,15 @@ object HashFunctions {
   /** MinHash signature (array<long> of length k) over an array of string
     * shingles. Empty shingle sets get Long.MaxValue sentinels.
     *
-    * The k hash functions are `xxhash64(base, i)` where `base` is the one
-    * full-string hash — the string is scanned once, and each derived hash
-    * is a constant-size (12-byte) re-hash, i.e. O(len + k) per document.
-    * (An affine `a*h+b` family would be marginally cheaper but overflows
-    * under ANSI arithmetic; re-hashing stays wraparound-free.)
+    * Implemented as the native one-pass expression
+    * graft.expressions.MinHashSignature: each shingle is hashed once,
+    * each of the k hash functions is a constant-size re-hash of that
+    * base — O(len + k) per shingle with no per-element Catalyst
+    * dispatch (the Column-composed k-subtree formulation pays k
+    * interpreted lambda passes).
     */
-  def minhashSignature(shingles: Column, k: Int, seed: Long = 42L): Column = {
-    val base = transform(shingles, s => xxhash64(s, lit(seed)))
-    val sig = (0 until k).map { i =>
-      coalesce(
-        array_min(transform(base, h => xxhash64(h, lit(i)))),
-        lit(Long.MaxValue))
-    }
-    array(sig: _*)
-  }
+  def minhashSignature(shingles: Column, k: Int, seed: Long = 42L): Column =
+    graft.expressions.MinHashSignature(shingles, k, seed)
 
   /** Group a k-length signature into `bands` band-hash values for LSH
     * banding: two documents collide on a band iff that band's signature
