@@ -56,6 +56,9 @@ object EventEnvelope {
   def of[T](content: T): EventEnvelope[T] = EventEnvelope(Stamp.now(), content)
   def at[T](t: Timestamp, content: T): EventEnvelope[T] =
     EventEnvelope(Stamp.at(t), content)
+  def at[T](t: Timestamp, content: T,
+      meta: Map[String, String]): EventEnvelope[T] =
+    EventEnvelope(Stamp(t, t, meta), content)
 
   /** Lift a plain DataFrame with an event-time column into envelope form:
     * adds a `stamp` struct(start_time, end_time, meta) built from `tsCol`.

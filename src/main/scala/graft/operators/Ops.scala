@@ -89,4 +89,19 @@ object Ops {
     * parity this is identity (use `foreach` sinks / listeners to observe).
     */
   def observe(f: DataFrame => Unit): Op = df => { f(df); df }
+
+  // --- beyond the reference (it has no sort/distinct/top-k — SURVEY
+  // §2.2 exhaustiveness note); Spark built-ins exposed for completeness --
+
+  /** Total sort (range-partitioned shuffle; avoid in hot paths). */
+  def sortOp(cols: Column*): Op = _.orderBy(cols: _*)
+
+  /** Distinct rows (hash-aggregate shuffle on all columns). */
+  def distinctOp: Op = _.distinct()
+
+  /** Deterministic top-k by `ordering` with explicit tiebreak columns:
+    * per-partition partial top-k, then a single reduced sort — Spark
+    * plans orderBy+limit as TakeOrderedAndProject (no full sort).
+    */
+  def topK(k: Int, ordering: Column*): Op = _.orderBy(ordering: _*).limit(k)
 }

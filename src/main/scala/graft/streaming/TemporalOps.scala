@@ -100,15 +100,30 @@ object TemporalOps {
       .agg(
         min(col("stamp.start_time")).as("stamp_start"),
         max(col("stamp.end_time")).as("stamp_end"),
-        sort_array(collect_list(struct(
-          col("stamp.start_time").as("t"), col("content").as("c"))))
+        // array_sort with an explicit comparator: sort_array cannot order
+        // structs that contain a map field (the meta)
+        array_sort(
+          collect_list(struct(
+            col("stamp.start_time").as("t"),
+            col("stamp.meta").as("m"),
+            col("content").as("c"))),
+          (l, r) => when(l.getField("t") < r.getField("t"), -1)
+            .when(l.getField("t") > r.getField("t"), 1)
+            .otherwise(0))
           .as("evs"))
       .select(
         col("window.start").cast("long").as("windowId"),
         struct(
           col("stamp_start").as("start_time"),
           col("stamp_end").as("end_time"),
-          map().cast("map<string,string>").as("meta")).as("stamp"),
+          // meta union in event-time order, later wins — the
+          // NewEventFromOthers merge rule (timestamper.go:22-50).
+          // map_concat resolves duplicate keys LAST_WIN (Sessions sets
+          // spark.sql.mapKeyDedupPolicy accordingly).
+          aggregate(col("evs"),
+            map().cast("map<string,string>"),
+            (acc, x) => map_concat(acc, x.getField("m"))).as("meta"))
+          .as("stamp"),
         col("evs.c").as("events"))
       .as[WindowBatch[T]]
   }

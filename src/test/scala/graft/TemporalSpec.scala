@@ -120,6 +120,25 @@ class TemporalSpec extends AnyFunSuite with BeforeAndAfterAll {
     ps.close()
   }
 
+  test("window batch meta union: later event wins on key collision") {
+    val ps = new PubSub(spark)
+    val t = ps.topic[Int]("tmeta")
+    val batches = mutable.Buffer.empty[WindowBatch[Int]]
+    val sub = ps.subscribeBatch(t.stream,
+      TemporalWindowPolicy.tumbling("10 seconds")) { wb =>
+      batches.synchronized { batches += wb }; ()
+    }
+    t.publish(Seq(
+      EventEnvelope.at(ts(1), 1, Map("k" -> "early", "only1" -> "a")),
+      EventEnvelope.at(ts(3), 2, Map("k" -> "late", "only2" -> "b")),
+      EventEnvelope.at(ts(15), 99))) // trigger
+    sub.drain(); sub.close()
+    assert(batches.size == 1)
+    assert(batches.head.stamp.meta ==
+      Map("k" -> "late", "only1" -> "a", "only2" -> "b"))
+    ps.close()
+  }
+
   test("subscribeBatch with counting policy and SelectNext") {
     val ps = new PubSub(spark)
     val t = ps.topic[Int]("cbatch")
