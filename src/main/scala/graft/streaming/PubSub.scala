@@ -91,16 +91,35 @@ final class PubSub(val spark: SparkSession) {
   private def keyOf[T](topic: String)(implicit tt: TypeTag[T]) =
     StreamKey(topic, tt.tpe.toString)
 
-  /** Get or auto-create the typed topic. */
+  /** Get or auto-create the typed topic. Same name with a different
+    * content type coexists — the composite key keeps them apart
+    * (reference: pub_sub_test.go:102-118).
+    */
   def topic[T: TypeTag](name: String): Topic[T] = synchronized {
     val key = keyOf[T](name)
-    topics.collectFirst {
-      case (k, _) if k.topic == name && k.typeName != key.typeName => k
-    } // same name, different type is fine — composite key keeps them apart
     implicit val enc: Encoder[EventEnvelope[T]] =
       ExpressionEncoder[EventEnvelope[T]]()
     topics.getOrElseUpdate(key, new Topic[T](key, spark))
       .asInstanceOf[Topic[T]]
+  }
+
+  /** Fetch an EXISTING topic expecting type T; a type mismatch is an
+    * error rather than an auto-create (reference:
+    * getAndConvertStreamByID -> ErrStreamTypeMismatch,
+    * pub_sub.go:386-397).
+    */
+  def existingTopic[T: TypeTag](name: String): Topic[T] = synchronized {
+    val key = keyOf[T](name)
+    topics.get(key) match {
+      case Some(t) => t.asInstanceOf[Topic[T]]
+      case None =>
+        val others = topics.keys.filter(_.topic == name).map(_.typeName)
+        if (others.nonEmpty)
+          throw new StreamTypeMismatchException(
+            s"topic '$name' exists with type(s) ${others.mkString(", ")}, " +
+              s"not ${key.typeName}")
+        else throw new NoSuchElementException(s"no topic '$name'")
+    }
   }
 
   /** Subscribe a per-batch callback to a dataset (usually a topic stream

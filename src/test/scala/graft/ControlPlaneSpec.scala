@@ -76,6 +76,35 @@ class ControlPlaneSpec extends AnyFunSuite with BeforeAndAfterAll {
       Set(Map("a" -> "1", "b" -> "x"), Map("a" -> "2")))
   }
 
+  test("existingTopic: type mismatch is an error, match resolves") {
+    val ps = new PubSub(spark)
+    ps.topic[Int]("typed-t")
+    assert(ps.existingTopic[Int]("typed-t").eventsIn == 0)
+    assertThrows[StreamTypeMismatchException](
+      ps.existingTopic[String]("typed-t"))
+    assertThrows[NoSuchElementException](
+      ps.existingTopic[Int]("never-created"))
+    ps.close()
+  }
+
+  test("dynamic map events flow through a typed topic end-to-end") {
+    val ps = new PubSub(spark)
+    val t = ps.topic[Map[String, String]]("json-events")
+    val received = mutable.Buffer.empty[Option[String]]
+    // SelectFromMap over dynamic payloads (reference NewEventFromJSON ->
+    // map event -> SelectFromMap, default_operators.go:81-101)
+    val op = TypedOps.map[Map[String, String], Option[String]](_.get("k"))
+    val sub = ps.subscribe(op(t.stream)) { evs =>
+      received.synchronized { received ++= evs.map(_.content) }; ()
+    }
+    t.publish(Seq(
+      EventEnvelope.at(ts(0), Map("k" -> "v1", "x" -> "y")),
+      EventEnvelope.at(ts(1), Map("other" -> "z"))))
+    sub.drain(); sub.close()
+    assert(received.toSet == Set(Some("v1"), None))
+    ps.close()
+  }
+
   test("metrics listener counts input rows per query") {
     val ps = new PubSub(spark)
     val metrics = Metrics.install(spark)
