@@ -91,6 +91,33 @@ object RelationalQueries {
       Some("SELECT event_id, json_extract_string(props, '$.k') AS k " +
         "FROM events")),
 
+    // Composed operator pipeline — the builder's ConnectTo chain in batch
+    // form: filter -> project-from-map -> windowed aggregate, one
+    // codegen'd scan stage feeding one shuffle.
+    "q_pipeline_composite" -> QueryDef(
+      (s, dir) => {
+        val chain: Ops.Op =
+          Ops.greater(col("value"), 20.0) andThen
+            Ops.selectFromJson(col("props"), "k", "k") andThen
+            (df => df.groupBy(
+              window(col("ts"), "3600 seconds"), col("event_type"))
+              .agg(count(lit(1)).as("n"),
+                Det.r2(sum(col("value").cast("decimal(18,2)")).cast("double"))
+                  .as("sum_value"),
+                count(col("k")).as("n_with_k"))
+              .select(col("window.start").cast("long").as("ws"),
+                col("event_type"), col("n"), col("sum_value"),
+                col("n_with_k")))
+        chain(Tables.load(s, dir, "events"))
+      },
+      Some("""SELECT CAST(floor(epoch(ts)/3600)*3600 AS BIGINT) AS ws,
+        event_type, count(*) AS n,
+        floor(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) * 100 + 0.5) / 100 AS sum_value,
+        count(json_extract_string(props, '$.k')) AS n_with_k
+        FROM events WHERE value > 20
+        GROUP BY 1, 2"""),
+      bench = true),
+
     // --- TPC-H-style heavy hitters (bench headliners) -------------------
 
     // Pricing summary (TPC-H Q1 shape): one scan, map-side partial agg,

@@ -1,0 +1,76 @@
+package graft
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.core.Sessions
+import graft.functions.Aggregators
+import graft.sources.EventSources
+
+/** Lake-facing sources/sinks and the typed Aggregator surface. */
+class SourcesSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark: SparkSession =
+    Sessions.tune(SparkSession.builder().master("local[4]")
+      .config("spark.sql.streaming.checkpointLocation",
+        s"/tmp/graft-ckpt-src-${System.nanoTime()}"), 4).getOrCreate()
+  import spark.implicits._
+
+  override def afterAll(): Unit = spark.stop()
+
+  test("streaming parquet source: tail a lake table, agg matches batch") {
+    // file streaming sources tail a DIRECTORY of files (the lake-table
+    // shape) — stage the single-file fixture into one
+    val path = s"/tmp/graft-lake-${System.nanoTime()}"
+    new java.io.File(path).mkdirs()
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get("/root/testdata/sf0.001/lineitem.parquet"),
+      java.nio.file.Paths.get(s"$path/part-000.parquet"))
+    val stream = EventSources.parquetStream(spark, path, maxFilesPerTrigger = 2)
+    val agg = stream.groupBy("l_returnflag").agg(count(lit(1)).as("n"))
+    val got = mutable.Map.empty[String, Long]
+    val q = agg.writeStream.outputMode("complete")
+      .foreachBatch { (b: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        got.synchronized {
+          got.clear()
+          b.collect().foreach(r =>
+            got(r.getString(0)) = r.getLong(1))
+        }; ()
+      }.start()
+    q.processAllAvailable()
+    q.stop()
+    val batch = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").groupBy("l_returnflag").count()
+      .as[(String, Long)].collect().toMap
+    assert(got.toMap == batch)
+  }
+
+  test("partitioned sink: reads prune partitions (scan shows filters)") {
+    val dir = s"/tmp/graft-part-${System.nanoTime()}"
+    val df = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+      .select("l_orderkey", "l_quantity", "l_returnflag")
+    EventSources.writePartitioned(df, dir, Seq("l_returnflag"))
+    val read = spark.read.parquet(dir).where(col("l_returnflag") === "R")
+    val plan = read.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") &&
+      plan.contains("l_returnflag"),
+      s"expected partition pruning in plan:\n$plan")
+    assert(read.count() ==
+      df.where(col("l_returnflag") === "R").count())
+  }
+
+  test("EnvelopeSum aggregator: sum with merged stamp lineage") {
+    import graft.core.EventEnvelope
+    def ts(sec: Int) = new java.sql.Timestamp(1700000000000L + sec * 1000L)
+    val ds = Seq(
+      EventEnvelope.at(ts(3), 1.5), EventEnvelope.at(ts(1), 2.0),
+      EventEnvelope.at(ts(7), 0.5)).toDS()
+    val out = ds.select(Aggregators.envelopeSum.toColumn).head()
+    assert(out.content == 4.0)
+    assert(out.stamp.start_time == ts(1)) // min input start
+    assert(out.stamp.end_time == ts(7))   // max input end
+  }
+}
