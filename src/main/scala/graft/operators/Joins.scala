@@ -53,6 +53,34 @@ object Joins {
     mergeRightWins(l, r, Seq(key, "_w"), "left_outer")
   }
 
+  /** Salted equi-join for skewed keys WITHOUT relying on AQE: the build
+    * side is replicated `buckets` times (one copy per salt value), the
+    * probe side gets a deterministic per-row salt derived from a
+    * row-discriminating column, and the join key becomes (key, salt) —
+    * splitting one hot key's row group across `buckets` tasks. Results
+    * are identical to the unsalted join (each probe row still meets every
+    * matching build row exactly once).
+    *
+    * Use when one key holds >> 1/numPartitions of the rows and the build
+    * side is too big to broadcast; AQE's skew-join handles the sort-merge
+    * case automatically, but salting also covers aggregations-after-join
+    * and deterministic tests.
+    */
+  def saltedJoin(
+      probe: DataFrame,
+      build: DataFrame,
+      key: String,
+      saltSource: Column,
+      buckets: Int,
+      how: String = "inner"): DataFrame = {
+    require(buckets > 0)
+    val salted = probe.withColumn("_salt",
+      pmod(xxhash64(saltSource), lit(buckets)))
+    val replicated = build.withColumn("_salt",
+      explode(sequence(lit(0L), lit(buckets - 1L))))
+    salted.join(replicated, Seq(key, "_salt"), how).drop("_salt")
+  }
+
   /** Join and emit left.* plus right.* where right-side columns replace
     * same-named left columns (but NULL right values — from outer joins —
     * fall back to the left value, matching map-merge semantics where an

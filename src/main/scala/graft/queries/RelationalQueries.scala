@@ -15,7 +15,25 @@ import graft.operators.Ops
   */
 object RelationalQueries {
 
+  /** One SQL text, two engines: runs verbatim on Spark (temp views +
+    * spark.sql) and as its own DuckDB oracle — the query-language surface
+    * the reference explicitly scoped out (README.md:27-31) that Spark
+    * provides for free.
+    */
+  private val PortableRevenueSql =
+    """SELECT o_orderstatus, o_orderpriority,
+      floor(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) * 100 + 0.5) / 100 AS revenue,
+      count(*) AS n
+      FROM orders GROUP BY o_orderstatus, o_orderpriority"""
+
   def defs: Map[String, QueryDef] = Map(
+    "q_sql_surface" -> QueryDef(
+      (s, dir) => {
+        Tables.load(s, dir, "orders").createOrReplaceTempView("orders")
+        s.sql(PortableRevenueSql)
+      },
+      Some(PortableRevenueSql)),
+
     // --- filter family (reference: default_filter_operators.go) --------
 
     // Greater (reference :23-28): pushed to parquet scan as value > 100.

@@ -81,6 +81,18 @@ class BatchOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out == Map(1L -> "right-val", 2L -> "lonely"))
   }
 
+  test("salted join equals plain join on skewed data") {
+    // one hot key (90% of rows) + a long tail
+    val probe = ((1 to 900).map(i => (1L, i)) ++
+      (1 to 100).map(i => (i.toLong + 1, i))).toDF("k", "pv")
+    val build = (1 to 50).map(i => (i.toLong, s"d$i")).toDF("k", "bv")
+    val plain = probe.join(build, "k")
+      .select("k", "pv", "bv").as[(Long, Int, String)].collect().sorted
+    val salted = Joins.saltedJoin(probe, build, "k", col("pv"), 8)
+      .select("k", "pv", "bv").as[(Long, Int, String)].collect().sorted
+    assert(salted.toSeq == plain.toSeq)
+  }
+
   test("tokens: trims empties; shingles; fingerprint stable") {
     val df = Seq("  the quick  brown fox  ").toDF("text")
     assert(df.select(TextFunctions.tokens(col("text"))).as[Seq[String]]

@@ -99,6 +99,29 @@ class TemporalSpec extends AnyFunSuite with BeforeAndAfterAll {
     ps.close()
   }
 
+  test("late event behind the watermark is dropped (ref :587-589)") {
+    val ps = new PubSub(spark)
+    val t = ps.topic[Double]("tlate")
+    val df = TemporalOps.batchCount[Double]("10 seconds")(t.stream)
+    val rows = mutable.Buffer.empty[Row]
+    val q = df.writeStream.outputMode("append")
+      .foreachBatch { (b: Dataset[Row], _: Long) =>
+        rows.synchronized { rows ++= b.collect() }; ()
+      }.start()
+    t.publish(Seq(
+      EventEnvelope.at(ts(1), 1.0),
+      EventEnvelope.at(ts(30), 2.0))) // watermark -> 30, closes [0,10)
+    q.processAllAvailable()
+    val afterClose = rows.size
+    t.publish(Seq(EventEnvelope.at(ts(2), 9.0))) // late: window closed
+    q.processAllAvailable()
+    q.stop()
+    assert(afterClose == 1)
+    assert(rows.size == afterClose) // late event silently skipped
+    assert(rows.head.getAs[Long]("n_events") == 1L)
+    ps.close()
+  }
+
   test("subscribeBatch with temporal policy delivers whole windows") {
     val ps = new PubSub(spark)
     val t = ps.topic[Int]("tbatch")
