@@ -1,0 +1,49 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.core.Sessions
+import graft.operators.Windows
+
+/** Property-style cross-validation of the batch counting-window operator
+  * against a direct executable model of the reference's
+  * CountingWindowPolicy (reference: selection_policy.go:122-176; window w
+  * holds rows [w*shift, w*shift+n) and fires iff w*shift+n <= total).
+  * Sweeps a seeded sample of (n, shift, total) shapes covering tumbling,
+  * overlapping, skipping, empty, and sub-window inputs.
+  */
+class CountingPropertiesSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark: SparkSession =
+    Sessions.tune(SparkSession.builder().master("local[4]"), 4).getOrCreate()
+  import spark.implicits._
+
+  override def afterAll(): Unit = spark.stop()
+
+  /** The reference semantics, as a pure function. */
+  private def model(total: Int, n: Int, shift: Int): Map[Long, Seq[Long]] =
+    Iterator.from(0)
+      .map(w => w.toLong -> (w * shift until w * shift + n).map(_.toLong))
+      .takeWhile { case (w, _) => w * shift + n <= total }
+      .toMap
+
+  test("batch counting windows match the reference model across shapes") {
+    val rng = new scala.util.Random(424242)
+    val shapes =
+      Seq((1, 1, 0), (1, 1, 5), (3, 3, 9), (3, 1, 7), (2, 5, 17),
+        (5, 2, 5), (4, 4, 3)) ++ // hand-picked edges
+        Seq.fill(20)((rng.nextInt(8) + 1, rng.nextInt(10) + 1, rng.nextInt(40)))
+    shapes.foreach { case (n, shift, total) =>
+      val df = (0 until total).map(_.toLong).toDF("id")
+      val got = Windows.countingWindowAgg(Seq(col("id")), n, shift)(
+        Seq(collect_list(col("id")).as("ids")))(df)
+        .select("window_id", "ids").as[(Long, Seq[Long])].collect()
+        .map { case (w, ids) => w -> ids.sorted }.toMap
+      assert(got == model(total, n, shift),
+        s"mismatch for n=$n shift=$shift total=$total")
+    }
+  }
+}
