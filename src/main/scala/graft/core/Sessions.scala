@@ -26,4 +26,16 @@ object Sessions {
       .config("spark.sql.parquet.aggregatePushdown", "true")
       .config("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
       .config("spark.ui.enabled", "false")
+
+  /** Streaming-at-scale add-on: RocksDB state store. The default in-memory
+    * (HDFS-backed) provider holds all keyed state on-heap — fine for tests,
+    * fatal for 100 TB keyed counting windows / stream joins. RocksDB spills
+    * state to local disk with incremental checkpointing.
+    */
+  def tuneLargeState(b: SparkSession.Builder): SparkSession.Builder =
+    b.config("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      .config(
+        "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled",
+        "true")
 }

@@ -20,6 +20,28 @@ object TextQueries {
   private val oracleTokens =
     """list_filter(regexp_split_to_array(text, '\s+'), t -> len(t) > 0)"""
 
+  /** DuckDB reproduction of TextFunctions.langId: marker-word argmax with
+    * (score, lang) lexicographic tie-break via list max over structs.
+    */
+  private lazy val langidOracleSql: String = {
+    val markers = Seq(
+      "en" -> Seq("the", "and", "of", "to", "is", "that", "it", "with", "for", "was"),
+      "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "mit", "den", "zu"),
+      "fr" -> Seq("le", "la", "les", "et", "est", "une", "que", "pour", "dans", "des"),
+      "es" -> Seq("el", "la", "los", "las", "es", "una", "que", "por", "con", "para"),
+      "it" -> Seq("il", "la", "che", "di", "non", "una", "per", "sono", "con", "del"))
+    val structs = markers.map { case (lang, ws) =>
+      val arr = ws.map(w => s"'$w'").mkString("[", ", ", "]")
+      s"""struct_pack(score := CAST(len(list_filter(
+         list_transform($oracleTokens, t -> lower(t)),
+         t -> list_contains($arr, t))) AS INTEGER), lang := '$lang')"""
+    }.mkString(",\n")
+    s"""SELECT doc_id,
+      CASE WHEN g.score > 0 THEN g.lang ELSE 'unknown' END AS lang_pred
+      FROM (SELECT doc_id,
+        list_aggregate([$structs], 'max') AS g FROM documents) t"""
+  }
+
   def defs: Map[String, QueryDef] = Map(
     // Tokenize / FlatMap: 1:N explode, one row per token.
     "q_tokenize" -> QueryDef(
@@ -63,24 +85,21 @@ object TextQueries {
       (s, dir) => Tables.load(s, dir, "documents")
         .select(col("doc_id"),
           TextFunctions.langId(col("text")).as("lang_pred")),
-      Some {
-        val markers = Seq(
-          "en" -> Seq("the", "and", "of", "to", "is", "that", "it", "with", "for", "was"),
-          "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "mit", "den", "zu"),
-          "fr" -> Seq("le", "la", "les", "et", "est", "une", "que", "pour", "dans", "des"),
-          "es" -> Seq("el", "la", "los", "las", "es", "una", "que", "por", "con", "para"),
-          "it" -> Seq("il", "la", "che", "di", "non", "una", "per", "sono", "con", "del"))
-        val structs = markers.map { case (lang, ws) =>
-          val arr = ws.map(w => s"'$w'").mkString("[", ", ", "]")
-          s"""struct_pack(score := CAST(len(list_filter(
-             list_transform($oracleTokens, t -> lower(t)),
-             t -> list_contains($arr, t))) AS INTEGER), lang := '$lang')"""
-        }.mkString(",\n")
-        s"""SELECT doc_id,
-          CASE WHEN g.score > 0 THEN g.lang ELSE 'unknown' END AS lang_pred
-          FROM (SELECT doc_id,
-            list_aggregate([$structs], 'max') AS g FROM documents) t"""
-      }),
+      Some(langidOracleSql)),
+
+    // Language-ID evaluation: confusion matrix of predictions against the
+    // fixture's ground-truth lang column — the model-evaluation shape of
+    // a training-data pipeline (one scan + one tiny-group aggregation).
+    "q_langid_confusion" -> QueryDef(
+      (s, dir) => Tables.load(s, dir, "documents")
+        .select(col("lang"),
+          TextFunctions.langId(col("text")).as("lang_pred"))
+        .groupBy("lang", "lang_pred")
+        .agg(count(lit(1)).as("n")),
+      Some(
+        s"""SELECT d.lang AS lang, p.lang_pred AS lang_pred, count(*) AS n
+          FROM ($langidOracleSql) p JOIN documents d USING (doc_id)
+          GROUP BY 1, 2""")),
 
     // Quality score: composite of length / stopword-ratio / punctuation
     // heuristics; identical double expression order on both engines.

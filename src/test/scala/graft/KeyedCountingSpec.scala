@@ -28,6 +28,30 @@ class KeyedCountingSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   private def ts(sec: Int) = new Timestamp(1700000000000L + sec * 1000L)
 
+  test("counting windows run on the RocksDB state store (scale path)") {
+    val ps = new PubSub(spark)
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val t = ps.topic[Int]("rocks-cw")
+      val wins = StatefulOps.countingWindows[Int](3, 3)(t.stream)
+      val buf = mutable.Buffer.empty[Seq[Int]]
+      val q = wins.writeStream.outputMode("append")
+        .foreachBatch { (b: Dataset[WindowBatch[Int]], _: Long) =>
+          buf.synchronized { buf ++= b.collect().map(_.events) }; ()
+        }.start()
+      t.publish((1 to 7).map(i => EventEnvelope.at(ts(i), i)))
+      q.processAllAvailable()
+      t.publish(Seq(EventEnvelope.at(ts(10), 8), EventEnvelope.at(ts(11), 9)))
+      q.processAllAvailable() // state survived across batches in RocksDB
+      q.stop()
+      assert(buf.toList == List(Seq(1, 2, 3), Seq(4, 5, 6), Seq(7, 8, 9)))
+    } finally {
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      ps.close()
+    }
+  }
+
   test("independent window sequences per key, state across batches") {
     val ps = new PubSub(spark)
     val t = ps.topic[String]("keyed-cw")
