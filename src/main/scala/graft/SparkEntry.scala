@@ -20,7 +20,8 @@ object SparkEntry {
       JoinQueries.defs ++
       TextQueries.defs ++
       SimilarityQueries.defs ++
-      MultimodalQueries.defs
+      MultimodalQueries.defs ++
+      AnalyticsQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,83 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Analytics operators beyond the reference's catalog that every
+  * large-scale event pipeline needs: exact quantiles, approximate
+  * distinct counts, and sessionization.
+  */
+object AnalyticsQueries {
+
+  def defs: Map[String, QueryDef] = Map(
+    // Exact quantiles per group (linear interpolation — both engines use
+    // the same definition; elements rounded with the deterministic floor
+    // form).
+    "q_quantiles" -> QueryDef(
+      (s, dir) => Tables.load(s, dir, "events")
+        .groupBy("event_type")
+        .agg(percentile(col("value"),
+          array(lit(0.5), lit(0.95), lit(0.99))).as("qs"))
+        .select(col("event_type"),
+          Det.r4(col("qs").getItem(0)).as("p50"),
+          Det.r4(col("qs").getItem(1)).as("p95"),
+          Det.r4(col("qs").getItem(2)).as("p99")),
+      Some("""SELECT event_type,
+        floor(quantile_cont(value, 0.5) * 10000 + 0.5) / 10000 AS p50,
+        floor(quantile_cont(value, 0.95) * 10000 + 0.5) / 10000 AS p95,
+        floor(quantile_cont(value, 0.99) * 10000 + 0.5) / 10000 AS p99
+        FROM events GROUP BY event_type""")),
+
+    // Approximate distinct (HLL++): the sketch every 100 TB pipeline uses
+    // instead of count(DISTINCT). Engines' sketches differ, so the oracle
+    // is rows-only; AnalyticsSpec bounds the error against exact.
+    "q_approx_distinct" -> QueryDef(
+      (s, dir) => Tables.load(s, dir, "events")
+        .groupBy("event_type")
+        .agg(approx_count_distinct(col("user_id"), 0.01).as("approx_users"),
+          count(lit(1)).as("n")),
+      None),
+
+    // Sessionization: maximal event chains per user with gaps < 30 min —
+    // gaps-and-islands on both engines (identical semantics to Spark's
+    // session_window for point events; the streaming form lives in
+    // TemporalOps.sessionAgg). One shuffle on user_id.
+    "q_sessions" -> QueryDef(
+      (s, dir) => {
+        val byUser = Window.partitionBy("user_id").orderBy("ts")
+        Tables.load(s, dir, "events")
+          .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+          .withColumn("new_session",
+            (col("prev_ts").isNull ||
+              col("ts").cast("long") - col("prev_ts").cast("long") > 1800)
+              .cast("int"))
+          .withColumn("session_idx",
+            sum(col("new_session")).over(byUser))
+          .groupBy("user_id", "session_idx")
+          .agg(
+            count(lit(1)).as("n_events"),
+            min(col("ts")).cast("long").as("session_start"),
+            (max(col("ts")).cast("long") - min(col("ts")).cast("long"))
+              .as("duration_s"))
+      },
+      Some("""WITH marked AS (
+          SELECT user_id, ts,
+            CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+              OR CAST(floor(epoch(ts)) AS BIGINT)
+                 - CAST(floor(epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts))) AS BIGINT) > 1800
+              THEN 1 ELSE 0 END AS new_session
+          FROM events),
+        sessions AS (
+          SELECT user_id, ts,
+            sum(new_session) OVER (
+              PARTITION BY user_id ORDER BY ts
+              ROWS UNBOUNDED PRECEDING) AS session_idx
+          FROM marked)
+        SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+          count(*) AS n_events,
+          CAST(floor(epoch(min(ts))) AS BIGINT) AS session_start,
+          CAST(floor(epoch(max(ts))) AS BIGINT)
+            - CAST(floor(epoch(min(ts))) AS BIGINT) AS duration_s
+        FROM sessions GROUP BY user_id, session_idx"""),
+      bench = true))
+}

@@ -81,6 +81,23 @@ object TemporalOps {
       .withColumn("window_start", col("window.start"))
       .drop("window")
 
+  /** Session windows: per-key event chains with gaps below `gap` merge
+    * into one session (no reference analogue — a free Spark capability;
+    * batch twin: AnalyticsQueries.q_sessions gaps-and-islands). State per
+    * open session is one row, evicted when the watermark passes the gap.
+    */
+  def sessionAgg[T](gap: String, keyCol: String)(aggs: Column*)(
+      ds: Dataset[EventEnvelope[T]]): DataFrame =
+    ds.toDF()
+      .withColumn("event_time", col("stamp.start_time"))
+      .withWatermark("event_time", "0 seconds")
+      .groupBy(session_window(col("event_time"), gap),
+        col(keyCol))
+      .agg(count(lit(1)).as("n_events"), aggs: _*)
+      .withColumn("session_start", col("session_window.start"))
+      .withColumn("session_end", col("session_window.end"))
+      .drop("session_window")
+
   /** Generic windowed batch: collect each temporal window's events into
     * one WindowBatch (the unit handed to the reference's pipeline
     * operators and batch subscribers, operator_engine.go:88-92). windowId

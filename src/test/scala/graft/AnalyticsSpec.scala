@@ -1,0 +1,82 @@
+package graft
+
+import java.sql.Timestamp
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.core.{EventEnvelope, Sessions}
+import graft.streaming._
+
+/** Approximate-distinct error bound, streaming session windows, and
+  * pub/sub repository isolation (reference: isolated repositories,
+  * pkg/processing/queries_test.go:75-125).
+  */
+class AnalyticsSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark: SparkSession =
+    Sessions.tune(SparkSession.builder().master("local[4]")
+      .config("spark.sql.streaming.checkpointLocation",
+        s"/tmp/graft-ckpt-an-${System.nanoTime()}"), 4).getOrCreate()
+  import spark.implicits._
+
+  override def afterAll(): Unit = {
+    QueryRepository.closeAll()
+    spark.stop()
+  }
+
+  private def ts(sec: Int) = new Timestamp(1700000000000L + sec * 1000L)
+
+  test("approx_count_distinct within rsd bound of exact") {
+    val df = graft.queries.Tables.load(spark, "/root/testdata/sf0.01",
+      "events") // nanos-aware loader
+    val (approx, exact) = df.agg(
+      approx_count_distinct(col("user_id"), 0.01),
+      countDistinct(col("user_id"))).as[(Long, Long)].head()
+    assert(math.abs(approx - exact).toDouble / exact < 0.05,
+      s"approx=$approx exact=$exact")
+  }
+
+  test("streaming session window merges events within the gap") {
+    val ps = new PubSub(spark)
+    val t = ps.topic[Long]("sess")
+    // the session key is the event content (a user id)
+    val out = TemporalOps.sessionAgg("30 seconds", "content")()(t.stream)
+    val rows = mutable.Buffer.empty[(Long, Long)]
+    val q = out.writeStream.outputMode("append")
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        rows.synchronized {
+          rows ++= b.collect().map(r =>
+            (r.getAs[Long]("content"), r.getAs[Long]("n_events")))
+        }; ()
+      }.start()
+    t.publish(Seq(
+      EventEnvelope.at(ts(0), 7L), EventEnvelope.at(ts(10), 7L),
+      EventEnvelope.at(ts(20), 7L),  // one session of 3 (gaps 10s < 30s)
+      EventEnvelope.at(ts(100), 7L), // new session (gap 80s)
+      EventEnvelope.at(ts(500), 7L))) // trigger: closes both
+    q.processAllAvailable()
+    q.stop()
+    assert(rows.sorted.toList == List((7L, 1L), (7L, 3L)))
+    ps.close()
+  }
+
+  test("two PubSub instances are isolated repositories (ref :75-125)") {
+    val ps1 = new PubSub(spark)
+    val ps2 = new PubSub(spark)
+    val got1 = mutable.Buffer.empty[Int]
+    val s1 = ps1.subscribe(ps1.topic[Int]("same-name").stream) { evs =>
+      got1.synchronized { got1 ++= evs.map(_.content) }; ()
+    }
+    ps2.topic[Int]("same-name").publishValues(99) // other repository
+    ps1.topic[Int]("same-name").publishValues(1)
+    s1.drain()
+    s1.close()
+    assert(got1.toList == List(1)) // never sees ps2's event
+    ps1.close(); ps2.close()
+  }
+}
