@@ -21,7 +21,8 @@ object SparkEntry {
       TextQueries.defs ++
       SimilarityQueries.defs ++
       MultimodalQueries.defs ++
-      AnalyticsQueries.defs
+      AnalyticsQueries.defs ++
+      PipelineQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,115 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+
+/** Training-data pipeline mechanics: vocabulary stats, deterministic
+  * sampling/splitting, sequence packing, and embedding quantization.
+  * Everything deterministic (hash- or order-based, never RNG at runtime)
+  * so results are reproducible across engines, partitionings, and reruns
+  * — the property a 100 TB data pipeline needs for auditability.
+  */
+object PipelineQueries {
+
+  private val oracleTokens =
+    """list_filter(regexp_split_to_array(text, '\s+'), t -> len(t) > 0)"""
+
+  def defs: Map[String, QueryDef] = Map(
+    // Heavy hitters: top-k vocabulary with deterministic tiebreak.
+    "q_top_tokens" -> QueryDef(
+      (s, dir) => Tables.load(s, dir, "documents")
+        .select(explode(TextFunctions.tokens(col("text"))).as("token"))
+        .groupBy("token").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("token"))
+        .limit(20),
+      Some(s"""SELECT token, count(*) AS n FROM (
+          SELECT unnest($oracleTokens) AS token FROM documents) t
+        GROUP BY token ORDER BY n DESC, token LIMIT 20""")),
+
+    // Deterministic stratified sample: 3 docs per source, selected by
+    // content-hash order (md5 — reproducible in any engine; no RNG).
+    "q_stratified_sample" -> QueryDef(
+      (s, dir) => {
+        val w = Window.partitionBy("source")
+          .orderBy(md5(col("text").cast("binary")), col("doc_id"))
+        Tables.load(s, dir, "documents")
+          .withColumn("rk", row_number().over(w))
+          .where(col("rk") <= 3)
+          .select("source", "doc_id", "rk")
+      },
+      Some("""SELECT source, doc_id, rk FROM (
+          SELECT source, doc_id, row_number() OVER (
+            PARTITION BY source ORDER BY md5(text), doc_id) AS rk
+          FROM documents) t
+        WHERE rk <= 3""")),
+
+    // Deterministic train/eval split by content hash: stable under
+    // re-partitioning and re-runs, unlike randomSplit.
+    "q_hash_split" -> QueryDef(
+      (s, dir) => Tables.load(s, dir, "documents")
+        .withColumn("split",
+          when(substring(md5(col("text").cast("binary")), 1, 1)
+            .isin("0", "1", "2"), "eval").otherwise("train"))
+        .groupBy("split")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(TextFunctions.tokenCount(col("text")).cast("long"))
+            .as("n_tokens")),
+      Some(s"""SELECT CASE WHEN substr(md5(text), 1, 1) IN ('0','1','2')
+          THEN 'eval' ELSE 'train' END AS split,
+        count(*) AS n_docs,
+        sum(CAST(len($oracleTokens) AS BIGINT)) AS n_tokens
+        FROM documents GROUP BY 1""")),
+
+    // Sequence packing: bin documents (in doc_id order) into ~4096-token
+    // bins by cumulative token count — the packing step before LLM
+    // training. Window cumsum; one shuffle.
+    "q_token_packing" -> QueryDef(
+      (s, dir) => {
+        val w = Window.orderBy("doc_id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        Tables.load(s, dir, "documents")
+          .withColumn("n_tok",
+            TextFunctions.tokenCount(col("text")).cast("long"))
+          .withColumn("cum", sum(col("n_tok")).over(w))
+          .withColumn("bin", ((col("cum") - 1).cast("double") / 4096)
+            .cast("long"))
+          .groupBy("bin")
+          .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
+      },
+      Some(s"""WITH c AS (
+          SELECT doc_id, CAST(len($oracleTokens) AS BIGINT) AS n_tok,
+            sum(CAST(len($oracleTokens) AS BIGINT)) OVER (
+              ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum
+          FROM documents)
+        SELECT CAST(floor(CAST(cum - 1 AS DOUBLE) / 4096) AS BIGINT) AS bin,
+          count(*) AS n_docs, sum(n_tok) AS n_tokens
+        FROM c GROUP BY 1""")),
+
+    // Symmetric int8 quantization of embeddings (per-vector absmax
+    // scale): 4x storage reduction for ANN candidate stages. Checksum +
+    // scale are oracle-compared; quantization arithmetic is the
+    // deterministic floor form.
+    "q_embed_quantize" -> QueryDef(
+      (s, dir) => Tables.load(s, dir, "embeddings")
+        .select(col("vec_id"),
+          array_max(transform(col("embedding"),
+            x => abs(x.cast("double")))).as("absmax"),
+          col("embedding"))
+        .select(col("vec_id"),
+          Det.r4(col("absmax")).as("scale"),
+          aggregate(
+            transform(col("embedding"), x =>
+              floor(x.cast("double") / col("absmax") * 127 + 0.5)
+                .cast("long")),
+            lit(0L), (acc, v) => acc + v).as("q_checksum")),
+      Some("""SELECT vec_id,
+        floor(list_max(list_transform(embedding,
+          x -> abs(CAST(x AS DOUBLE)))) * 10000 + 0.5) / 10000 AS scale,
+        CAST(coalesce(list_sum(list_transform(embedding,
+          x -> CAST(floor(CAST(x AS DOUBLE)
+            / list_max(list_transform(embedding, y -> abs(CAST(y AS DOUBLE))))
+            * 127 + 0.5) AS BIGINT))), 0) AS BIGINT) AS q_checksum
+        FROM embeddings""")))
+}
