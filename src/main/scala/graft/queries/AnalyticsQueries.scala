@@ -38,6 +38,39 @@ object AnalyticsQueries {
           count(lit(1)).as("n")),
       None),
 
+    // Time-series similarity search: Pearson correlation between users'
+    // hourly activity series (aligned on hour buckets; per-hour sums made
+    // exact via DECIMAL so both engines correlate identical series). The
+    // self-join on the hour bucket is an equi-join — candidate pairs
+    // share observed hours, never a full cross product of series.
+    "q_series_correlation" -> QueryDef(
+      (s, dir) => {
+        val hourly = Tables.load(s, dir, "events")
+          .groupBy(col("user_id"),
+            (col("ts").cast("long") / 3600).cast("long").as("h"))
+          .agg(sum(col("value").cast("decimal(18,2)")).cast("double")
+            .as("sv"))
+        hourly.as("a").join(hourly.as("b"),
+            col("a.h") === col("b.h") &&
+              col("a.user_id") < col("b.user_id"))
+          .groupBy(col("a.user_id").as("user_a"),
+            col("b.user_id").as("user_b"))
+          .agg(count(lit(1)).as("n_hours"),
+            Det.r4(corr(col("a.sv"), col("b.sv"))).as("r"))
+          .where(col("n_hours") >= 5)
+      },
+      Some("""WITH hourly AS (
+          SELECT user_id, CAST(floor(epoch(ts)/3600) AS BIGINT) AS h,
+            CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sv
+          FROM events GROUP BY 1, 2)
+        SELECT a.user_id AS user_a, b.user_id AS user_b,
+          count(*) AS n_hours,
+          floor(corr(a.sv, b.sv) * 10000 + 0.5) / 10000 AS r
+        FROM hourly a JOIN hourly b
+          ON a.h = b.h AND a.user_id < b.user_id
+        GROUP BY 1, 2 HAVING count(*) >= 5"""),
+      bench = true),
+
     // Sessionization: maximal event chains per user with gaps < 30 min —
     // gaps-and-islands on both engines (identical semantics to Spark's
     // session_window for point events; the streaming form lives in
