@@ -1,0 +1,105 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{Dataset, SparkSession}
+
+import graft.core.{EventEnvelope, Sessions}
+import graft.streaming._
+
+/** Streaming-plane throughput measurement: pushes N events through a full
+  * pipeline (filter -> temporal window aggregation) and through the
+  * stateful counting-window operator, reporting events/second. The
+  * reference's own demos stop at 1,000 events with no recorded numbers
+  * (BASELINE.md) — this is the comparable single-node figure for the
+  * micro-batch engine. Run: sbt "runMain graft.StreamBench [nEvents]"
+  */
+object StreamBench {
+  def main(args: Array[String]): Unit = {
+    val n = args.headOption.map(_.toInt).getOrElse(500000)
+    val spark: SparkSession = Sessions.tune(
+      SparkSession.builder().master(s"local[${
+        Runtime.getRuntime.availableProcessors()}]")
+        .config("spark.sql.streaming.checkpointLocation",
+          s"/tmp/graft-sbench-${System.nanoTime()}"), 32).getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val ps = new PubSub(spark)
+    val base = 1700000000000L
+
+    def events(m: Int): Seq[EventEnvelope[Double]] =
+      (0 until m).map(i =>
+        EventEnvelope.at(new Timestamp(base + i * 100L), i.toDouble))
+
+    // pipeline 0: lake-source streaming — tail a parquet table through a
+    // watermarked windowed aggregation (columnar ingest; the realistic
+    // 100 TB shape). Throughput here is engine throughput; the typed
+    // pub/sub pipelines below additionally pay driver-side row encoding.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val lakeDir = s"/tmp/graft-sbench-lake-${System.nanoTime()}"
+    new java.io.File(lakeDir).mkdirs()
+    (0 until 10).foreach(i => java.nio.file.Files.copy(
+      java.nio.file.Paths.get("/root/testdata/sf0.1/events.parquet"),
+      java.nio.file.Paths.get(f"$lakeDir/part-$i%03d.parquet")))
+    val lakeRows = spark.read.parquet(lakeDir).count()
+    val lake = graft.sources.EventSources.parquetStream(spark, lakeDir, 64)
+      .withColumn("ets",
+        org.apache.spark.sql.functions.timestamp_micros(
+          org.apache.spark.sql.functions.expr("ts div 1000")))
+      .withWatermark("ets", "0 seconds")
+      .groupBy(org.apache.spark.sql.functions.window(
+        org.apache.spark.sql.functions.col("ets"), "300 seconds"))
+      .agg(org.apache.spark.sql.functions.sum("value").as("sv"))
+    var lakeOut = 0L
+    val q0 = lake.writeStream.outputMode("append")
+      .foreachBatch { (b: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        lakeOut += b.count(); ()
+      }.start()
+    val l0 = System.nanoTime()
+    q0.processAllAvailable()
+    val lakeSec = (System.nanoTime() - l0) / 1e9
+    q0.stop()
+
+    // pipeline 1: filter -> windowed sum (watermarked hash agg)
+    val t1 = ps.topic[Double]("bench-window")
+    val filterOp = TypedOps.greater(10.0)
+    val agg = TemporalOps.batchSum[Double]("60 seconds")(
+      filterOp(t1.stream))
+    var outRows = 0L
+    val q1 = agg.writeStream.outputMode("append")
+      .foreachBatch { (b: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        outRows += b.count(); ()
+      }.start()
+    val w0 = System.nanoTime()
+    t1.publish(events(n))
+    q1.processAllAvailable()
+    val windowSec = (System.nanoTime() - w0) / 1e9
+    q1.stop()
+
+    // pipeline 2: global counting windows (single-writer stateful op)
+    val t2 = ps.topic[Double]("bench-counting")
+    val wins = StatefulOps.countingWindows[Double](1000, 1000)(t2.stream)
+    var nWins = 0L
+    val q2 = wins.writeStream.outputMode("append")
+      .foreachBatch { (b: Dataset[WindowBatch[Double]], _: Long) =>
+        nWins += b.count(); ()
+      }.start()
+    val c0 = System.nanoTime()
+    t2.publish(events(n))
+    q2.processAllAvailable()
+    val countingSec = (System.nanoTime() - c0) / 1e9
+    q2.stop()
+
+    println(f"""{"stream_bench":{"n_events":$n,""" +
+      f""""lake_rows":$lakeRows,"lake_sec":$lakeSec%.2f,""" +
+      f""""lake_rows_per_sec":${lakeRows / lakeSec}%.0f,""" +
+      f""""lake_out_rows":$lakeOut,""" +
+      f""""window_pipeline_sec":$windowSec%.2f,""" +
+      f""""window_events_per_sec":${n / windowSec}%.0f,""" +
+      f""""window_out_rows":$outRows,""" +
+      f""""counting_sec":$countingSec%.2f,""" +
+      f""""counting_events_per_sec":${n / countingSec}%.0f,""" +
+      f""""counting_windows":$nWins}}""")
+    ps.close()
+    spark.stop()
+  }
+}

@@ -36,6 +36,44 @@ final case class CountingState[T](
   */
 object StatefulOps {
 
+  /** Shared single-pass counting-window engine: ArrayBuffer accumulation
+    * (amortized O(1) append — a Seq `:+` loop is O(n²) over a large
+    * micro-batch) and ONE physical trim per invocation; per-window work
+    * is the O(n) slice that materializes the fired window.
+    */
+  private def processCounting[T](n: Int, shift: Int,
+      st: CountingState[T],
+      incoming: Seq[EventEnvelope[T]]): (CountingState[T], Seq[WindowBatch[T]]) = {
+    var seen = st.seen
+    var win = st.win
+    val acc = new mutable.ArrayBuffer[EventEnvelope[T]](
+      st.buf.size + incoming.size)
+    acc ++= st.buf
+    // absolute index of acc(0); only advances at the final trim
+    var head0 = st.head
+    var headIsSet = acc.nonEmpty
+    incoming.foreach { e =>
+      val g = seen; seen += 1
+      if (g >= win * shift) { // not a gap/late event
+        if (!headIsSet) { head0 = g; headIsSet = true }
+        acc += e
+      }
+    }
+    val out = mutable.Buffer.empty[WindowBatch[T]]
+    while (seen >= win * shift + n) {
+      val off = (win * shift - head0).toInt
+      val evs = acc.slice(off, off + n).toSeq
+      out += WindowBatch(win, Stamp.mergeAll(evs.map(_.stamp)),
+        evs.map(_.content))
+      win += 1
+    }
+    // single physical GC: drop everything below the next window start
+    val drop = math.min(acc.size.toLong,
+      math.max(0L, win * shift - head0)).toInt
+    val newBuf = if (drop == 0) acc.toSeq else acc.drop(drop).toSeq
+    (CountingState(seen, head0 + drop, win, newBuf), out.toSeq)
+  }
+
   /** Counting windows of size n sliding by shift over a single logical
     * stream (reference: CountingWindowPolicy, selection_policy.go:122-128,
     * 140-176). shift == n tumbles, shift < n re-delivers (overlap), shift
@@ -63,33 +101,9 @@ object StatefulOps {
          state: org.apache.spark.sql.streaming.GroupState[CountingState[T]]) =>
           val st = state.getOption.getOrElse(
             CountingState[T](0L, 0L, 0L, Seq.empty))
-          var seen = st.seen
-          var head = st.head
-          var win = st.win
-          var buf = st.buf
-
           val incoming = it.toSeq.sortBy(_.stamp.start_time.getTime)
-          incoming.foreach { e =>
-            val g = seen; seen += 1
-            if (g >= win * shift) { // not a gap/late event
-              if (buf.isEmpty) head = g
-              buf = buf :+ e
-            }
-          }
-
-          val out = mutable.Buffer.empty[WindowBatch[T]]
-          while (seen >= win * shift + n) {
-            val off = (win * shift - head).toInt
-            val evs = buf.slice(off, off + n)
-            out += WindowBatch(win,
-              Stamp.mergeAll(evs.map(_.stamp)), evs.map(_.content))
-            win += 1
-            val drop = math.min(buf.size.toLong,
-              math.max(0L, win * shift - head)).toInt
-            buf = buf.drop(drop)
-            head += drop
-          }
-          state.update(CountingState(seen, head, win, buf))
+          val (newState, out) = processCounting(n, shift, st, incoming)
+          state.update(newState)
           out.iterator
       }
   }
@@ -114,32 +128,10 @@ object StatefulOps {
          state: org.apache.spark.sql.streaming.GroupState[CountingState[T]]) =>
           val st = state.getOption.getOrElse(
             CountingState[T](0L, 0L, 0L, Seq.empty))
-          var seen = st.seen
-          var head = st.head
-          var win = st.win
-          var buf = st.buf
           val incoming = it.toSeq.sortBy(_.stamp.start_time.getTime)
-          incoming.foreach { e =>
-            val g = seen; seen += 1
-            if (g >= win * shift) {
-              if (buf.isEmpty) head = g
-              buf = buf :+ e
-            }
-          }
-          val out = mutable.Buffer.empty[(String, WindowBatch[T])]
-          while (seen >= win * shift + n) {
-            val off = (win * shift - head).toInt
-            val evs = buf.slice(off, off + n)
-            out += (k -> WindowBatch(win,
-              Stamp.mergeAll(evs.map(_.stamp)), evs.map(_.content)))
-            win += 1
-            val drop = math.min(buf.size.toLong,
-              math.max(0L, win * shift - head)).toInt
-            buf = buf.drop(drop)
-            head += drop
-          }
-          state.update(CountingState(seen, head, win, buf))
-          out.iterator
+          val (newState, out) = processCounting(n, shift, st, incoming)
+          state.update(newState)
+          out.iterator.map(k -> _)
       }
   }
 
