@@ -38,6 +38,62 @@ object AnalyticsQueries {
           count(lit(1)).as("n")),
       None),
 
+    // Rollup (subtotals + grand total) — one of the grouping-set shapes
+    // the reference lacks and Spark gives for free (SURVEY §2.2
+    // exhaustiveness note). NULL group keys mark subtotal rows in both
+    // engines.
+    "q_rollup" -> QueryDef(
+      (s, dir) => Tables.load(s, dir, "orders")
+        .rollup("o_orderstatus", "o_orderpriority")
+        .agg(count(lit(1)).as("n"),
+          Det.r2(sum(col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")).as("revenue")),
+      Some("""SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+        floor(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) * 100 + 0.5) / 100 AS revenue
+        FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)""")),
+
+    // Pivot: event-type columns per user (FILTER-aggregate form in the
+    // oracle — engine-agnostic pivot).
+    "q_pivot" -> QueryDef(
+      (s, dir) => Tables.load(s, dir, "events")
+        .groupBy("user_id")
+        .pivot("event_type", Seq("click", "view", "purchase"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+        .withColumnsRenamed(Map("click" -> "n_click", "view" -> "n_view",
+          "purchase" -> "n_purchase")),
+      Some("""SELECT user_id,
+        count(*) FILTER (WHERE event_type = 'click') AS n_click,
+        count(*) FILTER (WHERE event_type = 'view') AS n_view,
+        count(*) FILTER (WHERE event_type = 'purchase') AS n_purchase
+        FROM events GROUP BY user_id""")),
+
+    // Analytic window functions (lag): inter-event gap stats per user —
+    // the ranking/analytic family the reference lacks.
+    "q_event_gaps" -> QueryDef(
+      (s, dir) => {
+        val byUser = Window.partitionBy("user_id").orderBy("ts")
+        Tables.load(s, dir, "events")
+          .withColumn("gap_s",
+            col("ts").cast("long") -
+              lag(col("ts"), 1).over(byUser).cast("long"))
+          .where(col("gap_s").isNotNull)
+          .groupBy("user_id")
+          .agg(count(lit(1)).as("n_gaps"),
+            max(col("gap_s")).as("max_gap_s"),
+            sum(col("gap_s")).as("sum_gap_s"))
+      },
+      Some("""SELECT user_id, count(*) AS n_gaps,
+        max(gap_s) AS max_gap_s, sum(gap_s) AS sum_gap_s
+        FROM (
+          SELECT user_id,
+            CAST(floor(epoch(ts)) AS BIGINT) -
+            CAST(floor(epoch(lag(ts) OVER (
+              PARTITION BY user_id ORDER BY ts))) AS BIGINT) AS gap_s
+          FROM events) t
+        WHERE gap_s IS NOT NULL
+        GROUP BY user_id""")),
+
     // Time-series similarity search: Pearson correlation between users'
     // hourly activity series (aligned on hour buckets; per-hour sums made
     // exact via DECIMAL so both engines correlate identical series). The
