@@ -191,6 +191,31 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     ps.close()
   }
 
+  test("observe taps every event and passes through; convert casts") {
+    val ps = new PubSub(spark)
+    val t = ps.topic[Int]("obs")
+    // the observe closure is serialized into tasks — a captured local
+    // would be a deserialized copy; a JVM-static singleton is shared in
+    // local mode (on a cluster, observation lands per-executor, which is
+    // the documented Observe semantics)
+    StreamingSpecTap.tapped.clear()
+    val q = QueryBuilder[Int](ps)
+      .fromDataset(t.stream)
+      .connectTo(TypedOps.observe[Int](StreamingSpecTap.tapped.add(_)))
+      .connectTo(TypedOps.convert[Int, Double](_.toDouble / 2))
+      .build()
+    val received = mutable.Buffer.empty[Double]
+    q.subscribe(evs => received.synchronized {
+      received ++= evs.map(_.content)
+    }).run()
+    t.publish(envs(Seq(2, 4)))
+    q.drain(); q.close()
+    assert(received.sorted == List(1.0, 2.0))
+    assert(StreamingSpecTap.tapped.toArray.toList
+      .map(_.asInstanceOf[Int]).sorted == List(2, 4))
+    ps.close()
+  }
+
   test("stamp merge: min start, max end, later-wins meta") {
     val a = Stamp(ts(0), ts(1), Map("k" -> "a", "x" -> "1"))
     val b = Stamp(ts(2), ts(5), Map("k" -> "b"))
@@ -198,4 +223,9 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(m.start_time == ts(0) && m.end_time == ts(5))
     assert(m.meta == Map("k" -> "b", "x" -> "1"))
   }
+}
+
+/** JVM-static tap target for the observe spec (see comment there). */
+object StreamingSpecTap {
+  val tapped = new java.util.concurrent.ConcurrentLinkedQueue[Int]()
 }
