@@ -216,6 +216,48 @@ object RelationalQueries {
         GROUP BY p_brand"""),
       bench = true),
 
+    // Semi join: customers having at least one big order (reference has
+    // no set/semi operators — SURVEY §2.2 exhaustiveness note; free in
+    // Spark as LEFT SEMI, which shuffles only keys from the right side).
+    "q_semi_join" -> QueryDef(
+      (s, dir) => Tables.load(s, dir, "customer")
+        .join(Tables.load(s, dir, "orders")
+          .where(col("o_totalprice") > 400000),
+          col("c_custkey") === col("o_custkey"), "left_semi")
+        .select("c_custkey", "c_name"),
+      Some("""SELECT c_custkey, c_name FROM customer c
+        WHERE EXISTS (SELECT 1 FROM orders o
+          WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000)""")),
+
+    // Anti join: customers with no orders at all.
+    "q_anti_join" -> QueryDef(
+      (s, dir) => Tables.load(s, dir, "customer")
+        .join(Tables.load(s, dir, "orders"),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name"),
+      Some("""SELECT c_custkey, c_name FROM customer c
+        WHERE NOT EXISTS (SELECT 1 FROM orders o
+          WHERE o.o_custkey = c.c_custkey)""")),
+
+    // Set ops: INTERSECT / EXCEPT over key sets.
+    "q_set_ops" -> QueryDef(
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        val en = docs.where(col("lang") === "en").select("doc_id")
+        val long = docs.where(col("n_chars") > 200).select("doc_id")
+        en.intersect(long).withColumn("op", lit("en_and_long"))
+          .unionByName(en.except(long).withColumn("op", lit("en_only")))
+      },
+      Some("""SELECT doc_id, 'en_and_long' AS op FROM (
+          SELECT doc_id FROM documents WHERE lang = 'en'
+          INTERSECT
+          SELECT doc_id FROM documents WHERE n_chars > 200) a
+        UNION ALL
+        SELECT doc_id, 'en_only' AS op FROM (
+          SELECT doc_id FROM documents WHERE lang = 'en'
+          EXCEPT
+          SELECT doc_id FROM documents WHERE n_chars > 200) b""")),
+
     // Order-priority histogram per status (grouped count — the simplest
     // shuffle-once aggregate).
     "q_order_priority" -> QueryDef(

@@ -65,6 +65,31 @@ class AnalyticsSpec extends AnyFunSuite with BeforeAndAfterAll {
     ps.close()
   }
 
+  test("streaming exact dedup drops duplicate ids within the watermark") {
+    val ps = new PubSub(spark)
+    val t = ps.topic[Long]("dedup-stream")
+    // dedup on content (the doc/event id) with event-time watermark —
+    // state evicts as the watermark passes (bounded, scales per key)
+    val deduped = t.stream.toDF()
+      .withColumn("event_time", col("stamp.start_time"))
+      .withWatermark("event_time", "10 seconds")
+      .dropDuplicatesWithinWatermark("content")
+    val seen = mutable.Buffer.empty[Long]
+    val q = deduped.writeStream.outputMode("append")
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        seen.synchronized { seen ++= b.collect().map(_.getAs[Long]("content")) }
+        ()
+      }.start()
+    t.publish(Seq(
+      EventEnvelope.at(ts(0), 1L), EventEnvelope.at(ts(1), 2L),
+      EventEnvelope.at(ts(2), 1L), // duplicate within watermark
+      EventEnvelope.at(ts(3), 3L)))
+    q.processAllAvailable()
+    q.stop()
+    assert(seen.sorted.toList == List(1L, 2L, 3L))
+    ps.close()
+  }
+
   test("two PubSub instances are isolated repositories (ref :75-125)") {
     val ps1 = new PubSub(spark)
     val ps2 = new PubSub(spark)
