@@ -54,4 +54,61 @@ object Aggregators {
   }
 
   def envelopeSum: EnvelopeSum = new EnvelopeSum
+
+  /** Count-Min Sketch over strings: fixed (depth x width) counter grid,
+    * mergeable by elementwise addition — the classic distributed
+    * heavy-hitter sketch. Depth rows use xxhash-style independent seeds
+    * (FNV-1a with per-row seed). Estimate = min over rows (always an
+    * OVERcount; error <= 2N/width with prob 1 - 2^-depth).
+    *
+    * Buffer is a flat Array[Long] (depth*width) — constant size
+    * regardless of input cardinality, which is the point: the shuffle
+    * carries the grid, not the keys.
+    */
+  class CountMinSketch(depth: Int, width: Int)
+    extends Aggregator[String, Array[Long], Array[Long]] {
+    require(depth > 0 && width > 0)
+
+    private def bucket(row: Int, s: String): Int = {
+      var h = 0xcbf29ce484222325L ^ row.toLong
+      var i = 0
+      while (i < s.length) { h ^= s.charAt(i); h *= 0x100000001b3L; i += 1 }
+      ((h >>> 1) % width).toInt
+    }
+
+    override def zero: Array[Long] = new Array[Long](depth * width)
+
+    override def reduce(b: Array[Long], s: String): Array[Long] = {
+      var r = 0
+      while (r < depth) { b(r * width + bucket(r, s)) += 1; r += 1 }
+      b
+    }
+
+    override def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+      var i = 0
+      while (i < a.length) { a(i) += b(i); i += 1 }
+      a
+    }
+
+    override def finish(b: Array[Long]): Array[Long] = b
+
+    override def bufferEncoder: Encoder[Array[Long]] =
+      ExpressionEncoder[Array[Long]]()
+    override def outputEncoder: Encoder[Array[Long]] =
+      ExpressionEncoder[Array[Long]]()
+
+    /** Point-estimate a key's count from a finished sketch. */
+    def estimate(sketch: Array[Long], s: String): Long = {
+      var best = Long.MaxValue
+      var r = 0
+      while (r < depth) {
+        best = math.min(best, sketch(r * width + bucket(r, s)))
+        r += 1
+      }
+      best
+    }
+  }
+
+  def countMin(depth: Int = 4, width: Int = 1024): CountMinSketch =
+    new CountMinSketch(depth, width)
 }

@@ -62,6 +62,19 @@ class SourcesSpec extends AnyFunSuite with BeforeAndAfterAll {
       df.where(col("l_returnflag") === "R").count())
   }
 
+  test("CountMinSketch: overcounts bounded, heavy hitter recovered") {
+    val words = Seq.fill(500)("hot") ++
+      (1 to 300).map(i => s"tail$i") // 800 tokens, one heavy hitter
+    val cms = Aggregators.countMin(4, 256)
+    val sketch = words.toDF("w").as[String]
+      .repartition(7) // force partial-merge path across partitions
+      .select(cms.toColumn).head()
+    val hot = cms.estimate(sketch, "hot")
+    assert(hot >= 500 && hot <= 500 + (2 * 800 / 256) + 8) // CMS overcount bound (slack)
+    val absent = cms.estimate(sketch, "never-seen")
+    assert(absent <= 2 * 800 / 256 + 8)
+  }
+
   test("EnvelopeSum aggregator: sum with merged stamp lineage") {
     import graft.core.EventEnvelope
     def ts(sec: Int) = new java.sql.Timestamp(1700000000000L + sec * 1000L)
