@@ -37,6 +37,13 @@ class ExpressionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(v == 11.0)
   }
 
+  test("graft_cosine: SQL surface, self-similarity = 1") {
+    val v = spark.sql(
+      "SELECT graft_cosine(array(3.0D, 4.0D), array(3.0D, 4.0D)) AS c")
+      .as[Double].head()
+    assert(math.abs(v - 1.0) < 1e-12)
+  }
+
   test("graft_dot matches the interpreted aggregate/zip_with fold bitwise") {
     val rng = new scala.util.Random(7)
     val vecs = Seq.fill(50)((
