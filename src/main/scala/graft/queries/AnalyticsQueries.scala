@@ -52,16 +52,16 @@ object AnalyticsQueries {
         floor(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) * 100 + 0.5) / 100 AS revenue
         FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)""")),
 
-    // Pivot: event-type columns per user (FILTER-aggregate form in the
-    // oracle — engine-agnostic pivot).
+    // Pivot: event-type columns per user. Conditional aggregation rather
+    // than Dataset.pivot — the same result in ONE shuffle (pivot plans
+    // groupBy(user, type) + re-agg = two exchanges).
     "q_pivot" -> QueryDef(
       (s, dir) => Tables.load(s, dir, "events")
         .groupBy("user_id")
-        .pivot("event_type", Seq("click", "view", "purchase"))
-        .agg(count(lit(1)))
-        .na.fill(0L)
-        .withColumnsRenamed(Map("click" -> "n_click", "view" -> "n_view",
-          "purchase" -> "n_purchase")),
+        .agg(
+          count(when(col("event_type") === "click", 1)).as("n_click"),
+          count(when(col("event_type") === "view", 1)).as("n_view"),
+          count(when(col("event_type") === "purchase", 1)).as("n_purchase")),
       Some("""SELECT user_id,
         count(*) FILTER (WHERE event_type = 'click') AS n_click,
         count(*) FILTER (WHERE event_type = 'view') AS n_view,
