@@ -184,6 +184,17 @@ final class PubSub(val spark: SparkSession) {
   def instantPublish[T: TypeTag](name: String, values: T*): Unit =
     topic[T](name).publishValues(values: _*)
 
+  /** Remove one typed topic from the repository (reference:
+    * RemoveStream/TryRemoveStreams, pub_sub.go:183-211 — there removal is
+    * automatic on last detach; here it is explicit, since Spark sinks own
+    * their lifecycle). Subscriptions on the topic should be closed first.
+    */
+  def removeTopic[T: TypeTag](name: String): Boolean = synchronized {
+    topics.remove(keyOf[T](name)).isDefined
+  }
+
+  def topicCount: Int = synchronized(topics.size)
+
   def close(): Unit = synchronized {
     subs.foreach(s => try s.close() catch { case _: Throwable => () })
     subs.clear()

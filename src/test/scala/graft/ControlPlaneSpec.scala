@@ -84,6 +84,10 @@ class ControlPlaneSpec extends AnyFunSuite with BeforeAndAfterAll {
       ps.existingTopic[String]("typed-t"))
     assertThrows[NoSuchElementException](
       ps.existingTopic[Int]("never-created"))
+    // explicit removal (reference auto-removes on last detach)
+    assert(ps.removeTopic[Int]("typed-t"))
+    assert(!ps.removeTopic[Int]("typed-t"))
+    assertThrows[NoSuchElementException](ps.existingTopic[Int]("typed-t"))
     ps.close()
   }
 
