@@ -201,9 +201,11 @@ object SimilarityQueries {
         val centroids = emb.where(col("vec_id") % 37 === 0)
           .select((col("vec_id") / 37).cast("long").as("cell_id"),
             col("embedding").as("cell_emb"))
-        val queries = emb.where(col("vec_id") < 8)
+        // 64 queries: enough for cell assignment (a one-off, reusable
+        // corpus pass) to amortize — the regime IVF exists for
+        val queries = emb.where(col("vec_id") < 64)
           .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
-        graft.operators.Ann.ivfTopK(emb, queries, centroids, 10, 3)
+        graft.operators.Ann.ivfTopK(emb, queries, centroids, 10, 4)
       },
       None,
       bench = true),
