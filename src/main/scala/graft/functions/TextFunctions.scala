@@ -15,9 +15,18 @@ object TextFunctions {
   /** Whitespace tokenization (reference analogue: Tokenize operator,
     * reference: pkg/processing/default_operators.go:264-268). Leading /
     * trailing whitespace yields no empty tokens.
+    *
+    * trim-then-split instead of split-then-filter(lambda): the filter
+    * lambda is an interpreted higher-order function, while trim/split/
+    * when are codegen'd — this keeps every text query's hot path inside
+    * whole-stage codegen. Interior empty tokens cannot occur with a \\s+
+    * separator, so the results are identical.
     */
-  def tokens(text: Column): Column =
-    filter(split(text, "\\s+"), t => length(t) > 0)
+  def tokens(text: Column): Column = {
+    val t = trim(text)
+    when(length(t) === 0, array().cast("array<string>"))
+      .otherwise(split(t, "\\s+"))
+  }
 
   def tokenCount(text: Column): Column = size(tokens(text))
 
