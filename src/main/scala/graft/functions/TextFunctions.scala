@@ -31,15 +31,8 @@ object TextFunctions {
   def tokenCount(text: Column): Column = size(tokens(text))
 
   /** Word n-gram shingles: ["a b c", "b c d", ...] for n-gram dedup. */
-  def wordShingles(text: Column, n: Int): Column = {
-    val ts = tokens(text)
-    val k = size(ts) - (n - 1)
-    // slice is 1-based; generate one shingle per window start
-    filter(
-      transform(sequence(lit(1), greatest(k, lit(0))),
-        i => array_join(slice(ts, i, lit(n)), " ")),
-      s => length(s) > 0)
-  }
+  def wordShingles(text: Column, n: Int): Column =
+    graft.expressions.WordShingles(text, n)
 
   /** Character n-grams of the full string (for language ID / fuzzy dedup). */
   def charNgrams(text: Column, n: Int): Column = {

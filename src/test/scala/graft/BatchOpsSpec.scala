@@ -100,6 +100,13 @@ class BatchOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(df.select(TextFunctions.wordShingles(col("text"), 2))
       .as[Seq[String]].head() ==
       Seq("the quick", "quick brown", "brown fox"))
+    // fewer tokens than the shingle size -> empty set, no crash (the
+    // Column-composed formulation hit sequence(1,0)/slice(_,0,_) here)
+    assert(df.select(TextFunctions.wordShingles(col("text"), 5))
+      .as[Seq[String]].head() == Seq.empty)
+    assert(Seq("").toDF("text")
+      .select(TextFunctions.wordShingles(col("text"), 2))
+      .as[Seq[String]].head() == Seq.empty)
     val fp = Seq("ab").toDF("text")
       .select(TextFunctions.fingerprint(col("text"))).as[Long].head()
     assert(fp == 97L * 257 + 98) // (0*257+97)*257+98 mod 1e9+7
