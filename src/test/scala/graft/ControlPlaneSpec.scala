@@ -67,6 +67,26 @@ class ControlPlaneSpec extends AnyFunSuite with BeforeAndAfterAll {
     ps.close()
   }
 
+  test("string-typed config pipeline: contains + tokenize") {
+    val cfg = ControlPlane.parse(
+      """{"source":{"topic":"cfg-str","type":"string"},
+         |"operators":[{"op":"contains","arg":"keep"},{"op":"tokenize"}]}"""
+        .stripMargin.replace("\n", ""))
+    val ps = new PubSub(spark)
+    val received = mutable.Buffer.empty[String]
+    val q = ControlPlane.build(ps, cfg)
+      .asInstanceOf[ContinuousQuery[String]]
+      .subscribe(evs => received.synchronized {
+        received ++= evs.map(_.content)
+      })
+      .run()
+    ps.topic[String]("cfg-str").publish(envs(Seq(
+      "keep these words", "drop me entirely")))
+    q.drain(); q.close()
+    assert(received.sorted == List("keep", "these", "words"))
+    ps.close()
+  }
+
   test("json ingestion: JSON strings become map events (ref event.go:54-62)") {
     import spark.implicits._
     val df = Seq("""{"a": "1", "b": "x"}""", """{"a": "2"}""").toDF("js")

@@ -30,6 +30,39 @@ class CountingPropertiesSpec extends AnyFunSuite with BeforeAndAfterAll {
       .takeWhile { case (w, _) => w * shift + n <= total }
       .toMap
 
+  test("batch and streaming counting windows agree on the same input") {
+    import java.sql.Timestamp
+    import graft.core.EventEnvelope
+    import graft.streaming._
+    val sparkS = Sessions.tune(SparkSession.builder().master("local[4]")
+      .config("spark.sql.streaming.checkpointLocation",
+        s"/tmp/graft-ckpt-xv-${System.nanoTime()}"), 4).getOrCreate()
+    val ps = new PubSub(sparkS)
+    val t = ps.topic[Int]("xval")
+    val wins = StatefulOps.countingWindows[Int](3, 2)(t.stream)
+    val got = scala.collection.mutable.Buffer.empty[(Long, Seq[Int])]
+    val q = wins.writeStream.outputMode("append")
+      .foreachBatch {
+        (b: org.apache.spark.sql.Dataset[WindowBatch[Int]], _: Long) =>
+          got.synchronized {
+            got ++= b.collect().map(w => (w.windowId, w.events))
+          }; ()
+      }.start()
+    t.publish((0 until 20).map(i =>
+      EventEnvelope.at(new Timestamp(1700000000000L + i * 1000L), i)))
+    q.processAllAvailable()
+    q.stop()
+    val streaming = got.sortBy(_._1).toList
+
+    val df = (0 until 20).map(i => (i.toLong, i)).toDF("id", "v")
+    val batch = Windows.countingWindowAgg(Seq(col("id")), 3, 2)(
+      Seq(sort_array(collect_list(col("v"))).as("vs")))(df)
+      .select("window_id", "vs").as[(Long, Seq[Int])].collect()
+      .sortBy(_._1).toList
+    assert(streaming == batch)
+    ps.close()
+  }
+
   test("batch counting windows match the reference model across shapes") {
     val rng = new scala.util.Random(424242)
     val shapes =
