@@ -62,6 +62,38 @@ class SourcesSpec extends AnyFunSuite with BeforeAndAfterAll {
       df.where(col("l_returnflag") === "R").count())
   }
 
+  test("stream -> lake roundtrip: windowed agg lands in partitioned parquet") {
+    import graft.core.EventEnvelope
+    import graft.streaming._
+    def ts(sec: Int) = new java.sql.Timestamp(1700000000000L + sec * 1000L)
+    val ps = new PubSub(spark)
+    val t = ps.topic[Double]("to-lake")
+    val out = s"/tmp/graft-lakeout-${System.nanoTime()}"
+    val agg = TemporalOps.batchSum[Double]("10 seconds")(t.stream)
+      .withColumn("day", date_format(col("window_start"), "yyyy-MM-dd"))
+    val q = agg.writeStream.outputMode("append")
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[
+          org.apache.spark.sql.Row], _: Long) =>
+        // append-mode rows are final (watermark-closed) — safe to append
+        // to the lake partitioned by day
+        if (!b.isEmpty) b.write.mode("append").partitionBy("day").parquet(out)
+        ()
+      }.start()
+    t.publish(Seq(
+      EventEnvelope.at(ts(1), 1.5), EventEnvelope.at(ts(3), 2.5),
+      EventEnvelope.at(ts(12), 4.0),
+      EventEnvelope.at(ts(25), 9.9))) // closes both earlier windows
+    q.processAllAvailable()
+    q.stop()
+    val back = spark.read.parquet(out)
+      .select("window_start", "sum_value")
+      .as[(java.sql.Timestamp, Double)].collect().toMap
+    assert(back == Map(
+      new java.sql.Timestamp(1700000000000L) -> 4.0,
+      new java.sql.Timestamp(1700000010000L) -> 4.0))
+    ps.close()
+  }
+
   test("CountMinSketch: overcounts bounded, heavy hitter recovered") {
     val words = Seq.fill(500)("hot") ++
       (1 to 300).map(i => s"tail$i") // 800 tokens, one heavy hitter
