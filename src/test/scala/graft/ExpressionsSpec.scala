@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.scalatest.BeforeAndAfterAll
 import org.scalatest.funsuite.AnyFunSuite
@@ -58,6 +58,19 @@ class ExpressionsSpec extends AnyFunSuite with BeforeAndAfterAll {
       (VectorExpressions.dot(col("a"), col("b")) - lambdaDot).as("d"))
       .as[Double].collect()
     assert(diffs.forall(_ == 0.0)) // identical fold order -> bit-identical
+  }
+
+  test("l2 distance, normalize, char n-grams") {
+    val df = Seq((Seq(3.0f, 4.0f), Seq(0.0f, 0.0f))).toDF("a", "b")
+    val row = df.select(
+      VectorFunctions.l2Distance(col("a"), col("b")),
+      VectorFunctions.normalize(col("a"))).head()
+    assert(row.getDouble(0) == 5.0)
+    assert(row.getSeq[Double](1) == Seq(0.6, 0.8))
+    val grams = Seq("abcd").toDF("text")
+      .select(graft.functions.TextFunctions.charNgrams(col("text"), 2))
+      .as[Seq[String]].head()
+    assert(grams == Seq("ab", "bc", "cd"))
   }
 
   test("cosine via native dot: null array yields null, self-sim is 1") {
