@@ -26,7 +26,8 @@ object AnalyticsQueries {
         floor(quantile_cont(value, 0.5) * 10000 + 0.5) / 10000 AS p50,
         floor(quantile_cont(value, 0.95) * 10000 + 0.5) / 10000 AS p95,
         floor(quantile_cont(value, 0.99) * 10000 + 0.5) / 10000 AS p99
-        FROM events GROUP BY event_type""")),
+        FROM events GROUP BY event_type"""),
+      bench = true),
 
     // Approximate distinct (HLL++): the sketch every 100 TB pipeline uses
     // instead of count(DISTINCT). Engines' sketches differ, so the oracle

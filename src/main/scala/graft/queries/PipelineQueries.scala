@@ -85,7 +85,8 @@ object PipelineQueries {
           FROM documents)
         SELECT CAST(floor(CAST(cum - 1 AS DOUBLE) / 4096) AS BIGINT) AS bin,
           count(*) AS n_docs, sum(n_tok) AS n_tokens
-        FROM c GROUP BY 1""")),
+        FROM c GROUP BY 1"""),
+      bench = true),
 
     // Symmetric int8 quantization of embeddings (per-vector absmax
     // scale): 4x storage reduction for ANN candidate stages. Checksum +
@@ -111,5 +112,6 @@ object PipelineQueries {
           x -> CAST(floor(CAST(x AS DOUBLE)
             / list_max(list_transform(embedding, y -> abs(CAST(y AS DOUBLE))))
             * 127 + 0.5) AS BIGINT))), 0) AS BIGINT) AS q_checksum
-        FROM embeddings""")))
+        FROM embeddings"""),
+      bench = true))
 }

@@ -78,7 +78,8 @@ object SimilarityQueries {
         .groupBy(md5(col("text").cast("binary")).as("fp"))
         .agg(min(col("doc_id")).as("keeper"), count(lit(1)).as("n_copies")),
       Some("SELECT md5(text) AS fp, min(doc_id) AS keeper, " +
-        "count(*) AS n_copies FROM documents GROUP BY md5(text)")),
+        "count(*) AS n_copies FROM documents GROUP BY md5(text)"),
+      bench = true),
 
     // Distinct-text census per source (dropDuplicates shape).
     "q_dedup_distinct" -> QueryDef(

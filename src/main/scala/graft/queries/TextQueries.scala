@@ -85,7 +85,8 @@ object TextQueries {
       (s, dir) => Tables.load(s, dir, "documents")
         .select(col("doc_id"),
           TextFunctions.langId(col("text")).as("lang_pred")),
-      Some(langidOracleSql)),
+      Some(langidOracleSql),
+      bench = true),
 
     // Language-ID evaluation: confusion matrix of predictions against the
     // fixture's ground-truth lang column — the model-evaluation shape of
