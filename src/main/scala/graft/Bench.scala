@@ -8,6 +8,9 @@ import graft.core.Sessions
   * SPARK_GRAFT_SF_DIR and prints one JSON metrics line. Each query gets
   * one untimed warmup pass (JIT + parquet footer cache) and one timed
   * pass — steady-state throughput is what a long-lived cluster sees.
+  *
+  * Failures are loud: a throwing query is reported in the `errors` field
+  * and excluded from `queries`/the total, never silently scored as fast.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -19,19 +22,31 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
 
     val qs = SparkEntry.benchQueries.toSeq.sortBy(_._1)
-    qs.foreach { case (_, fn) =>
+    qs.foreach { case (name, fn) =>
       try fn(spark, sfDir).count()
-      catch { case _: Throwable => () }
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] warmup $name failed: $e")
+      }
     }
-    val results = qs.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
-      name -> (System.nanoTime() - t0) / 1e9
+    val (results, errors) = qs.foldLeft(
+      (Vector.empty[(String, Double)], Vector.empty[String])) {
+      case ((rs, es), (name, fn)) =>
+        val t0 = System.nanoTime()
+        try {
+          fn(spark, sfDir).count()
+          (rs :+ (name -> (System.nanoTime() - t0) / 1e9), es)
+        } catch {
+          case e: Throwable =>
+            System.err.println(s"[bench] $name FAILED: $e")
+            (rs, es :+ name)
+        }
     }
     val qJson = results.map { case (k, v) => "\"" + k + f"""\":$v%.3f""" }
       .mkString("{", ",", "}")
+    val errJson = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.map(_._2).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qJson,"sf":"$sfDir"}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qJson,"errors":$errJson,"sf":"$sfDir"}""")
     spark.stop()
+    if (errors.nonEmpty) sys.exit(1)
   }
 }

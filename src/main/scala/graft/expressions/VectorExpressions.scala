@@ -23,10 +23,16 @@ import org.apache.spark.sql.types._
 /** dot(a, b): Σ a_i * b_i over two array<float> or array<double> columns,
   * accumulated in double in index order (same fold order as the
   * `aggregate`-based formulation, so results are bit-identical). Null
-  * array -> null; null elements are treated as 0.
+  * array -> null; null elements are treated as 0. A DIMENSION MISMATCH
+  * yields null — matching the `zip_with`-based vector functions — so an
+  * embedding-dimension bug surfaces as missing results, never as a
+  * plausible-looking partial dot product.
   */
 case class DotProduct(left: Expression, right: Expression)
   extends BinaryExpression {
+
+  // Nullable even over non-null inputs: mismatched lengths produce null.
+  override def nullable: Boolean = true
 
   private def isVector(dt: DataType): Boolean = dt match {
     case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => true
@@ -48,7 +54,8 @@ case class DotProduct(left: Expression, right: Expression)
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    if (x.numElements() != y.numElements()) return null
+    val n = x.numElements()
     val lf = elemType(left) == FloatType
     val rf = elemType(right) == FloatType
     var sum = 0.0
@@ -73,14 +80,18 @@ case class DotProduct(left: Expression, right: Expression)
       val i = ctx.freshName("i")
       val sum = ctx.freshName("sum")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double $sum = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  double xv = $a.isNullAt($i) ? 0.0 : ${getter(a, left, i)};
-         |  double yv = $b.isNullAt($i) ? 0.0 : ${getter(b, right, i)};
-         |  $sum += xv * yv;
+         |if ($a.numElements() != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  int $n = $a.numElements();
+         |  double $sum = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    double xv = $a.isNullAt($i) ? 0.0 : ${getter(a, left, i)};
+         |    double yv = $b.isNullAt($i) ? 0.0 : ${getter(b, right, i)};
+         |    $sum += xv * yv;
+         |  }
+         |  ${ev.value} = $sum;
          |}
-         |${ev.value} = $sum;
        """.stripMargin
     })
 

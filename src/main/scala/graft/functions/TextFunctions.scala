@@ -101,9 +101,11 @@ object TextFunctions {
     "it" -> Seq("il", "la", "che", "di", "non", "una", "per", "sono", "con", "del"))
 
   /** N-gram/stopword-heuristic language ID. Scores each candidate language
-    * by marker-word hit count over the token stream and returns the argmax
-    * (ties resolved by marker-list order; "und" beats "unknown" only with
-    * >=1 hit). Pure expression — no UDF, no shuffle.
+    * by marker-word hit count over the token stream and returns the argmax.
+    * Ties resolve to the lexicographically GREATEST language code (the
+    * `array_max` over `struct(score, lang)` compares `lang` when scores
+    * tie — e.g. an en/es tie yields "es"); a language wins over "unknown"
+    * only with >=1 hit. Pure expression — no UDF, no shuffle.
     */
   def langId(text: Column): Column = {
     val ts = transform(tokens(text), lower _)

@@ -99,9 +99,12 @@ object Multimodal {
 
   /** Frame sampling for video rows: one output row per sampled frame
     * (explode over the deterministic frame index range; no bytes read).
+    * Zero-duration media yields no frames: `(0-1) div everyMs` truncates
+    * to 0 (one spurious frame) while floor division gives -1 (none), so
+    * the filter keeps both engines — and common sense — agreeing.
     */
   def sampleFrames(media: DataFrame, everyMs: Long): DataFrame =
-    media.where(col("kind") === "video")
+    media.where(col("kind") === "video" && col("meta.durationMs") > 0)
       .select(col("media_id"),
         explode(sequence(lit(0L),
           expr(s"(meta.durationMs - 1) div $everyMs"))).as("frame_idx"))

@@ -29,7 +29,9 @@ object Ann {
   private def topKPerQuery(scored: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("score").desc, col("vec_id"))
-    scored.withColumn("rn", row_number().over(w))
+    // rn cast to long: keeps the output representation identical to SQL
+    // engines whose row_number() is 64-bit (cross-engine hash stability).
+    scored.withColumn("rn", row_number().over(w).cast("long"))
       .where(col("rn") <= k)
       .select("q_id", "vec_id", "score", "rn")
   }

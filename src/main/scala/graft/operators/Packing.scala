@@ -1,0 +1,91 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Scale-safe global cumulative sum (the sequence-packing primitive).
+  *
+  * A naive `Window.orderBy(key)` cumsum plans a single-partition
+  * WindowExec — every row moves to one task, which serializes the job at
+  * cluster scale. This is the classic two-pass alternative:
+  *
+  *   1. sketch ~equi-depth key boundaries once (`approxQuantile`) and
+  *      bake them into the plan as LITERALS — the bucket id is then a
+  *      pure function of the key, identical in every downstream job;
+  *   2. per-BUCKET window cumsum (parallel — one hash shuffle, each
+  *      bucket an independent WindowExec group);
+  *   3. aggregate one total per bucket, collect that TINY vector to the
+  *      driver (|buckets| rows, not data rows), prefix-sum it;
+  *   4. add each bucket's offset back via a broadcast literal map.
+  *
+  * Why not `repartitionByRange` + `spark_partition_id()`: Spark's
+  * RangePartitioner seeds its reservoir sample with the RDD id, so two
+  * executions of the SAME plan draw DIFFERENT boundaries — the offsets
+  * job and the final job would disagree on the row→partition mapping
+  * unless the exchange is pinned by an intact cache, and a cache
+  * eviction would turn that into silently wrong cumsums. Literal
+  * boundaries make correctness independent of caching entirely (the
+  * cache below is a pure optimization so the value expression computes
+  * once); boundary QUALITY only affects balance, never the result.
+  *
+  * Output equals the global-window formulation for any non-null numeric
+  * key (keys equal to a boundary land in one bucket together, and the
+  * in-bucket order column disambiguates). Contract: `orderKey` numeric
+  * and non-null, `valueCol` integral (token counts, byte sizes).
+  */
+object Packing {
+
+  /** Adds `cumCol` = running sum of `valueCol` in `orderKey` order.
+    * `numPartitions` bounds both the offset vector collected to the
+    * driver and the parallelism of the cumsum stage.
+    */
+  def globalCumsum(
+      df: DataFrame,
+      orderKey: Column,
+      valueCol: Column,
+      cumCol: String,
+      numPartitions: Int = 32): DataFrame = {
+    val input = df
+      .withColumn("__val", valueCol.cast("long"))
+      .withColumn("__key", orderKey.cast("double"))
+      .cache()
+
+    // Equi-depth boundaries, frozen as literals. Accuracy affects only
+    // bucket balance; dedup guards degenerate (few-distinct-keys) input.
+    val probs = (1 until numPartitions).map(_.toDouble / numPartitions)
+    val bounds = input.stat
+      .approxQuantile("__key", probs.toArray, 0.01)
+      .distinct.sorted
+    val bucket =
+      if (bounds.isEmpty) lit(0)
+      else size(filter(array(bounds.toIndexedSeq.map(lit): _*),
+        b => col("__key") > b))
+    val staged = input.withColumn("__pid", bucket)
+
+    // Pass 1: one row per bucket — the only thing that reaches the
+    // driver. Sorted by bucket (== key range order), then prefix-summed.
+    val totals = staged.groupBy("__pid")
+      .agg(coalesce(sum(col("__val")), lit(0L)).as("__t"))
+      .collect()
+      .map(r => r.getInt(0) -> r.getLong(1))
+      .sortBy(_._1)
+    val offsets = totals.scanLeft((0, 0L)) { case ((_, acc), (pid, t)) =>
+      (pid, acc + t)
+    }.init.zip(totals).map { case ((_, off), (pid, _)) => pid -> off }
+
+    // Broadcast the offsets as a literal map — |buckets| entries.
+    val offMap = map(offsets.flatMap { case (pid, off) =>
+      Seq(lit(pid), lit(off))
+    }.toIndexedSeq: _*)
+
+    // Pass 2: per-bucket cumsum (parallel) + bucket offset.
+    val w = Window.partitionBy("__pid").orderBy(orderKey)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    staged
+      .withColumn(cumCol,
+        sum(col("__val")).over(w) +
+          coalesce(element_at(offMap, col("__pid")), lit(0L)))
+      .drop("__val", "__key", "__pid")
+  }
+}

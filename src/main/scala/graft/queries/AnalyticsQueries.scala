@@ -85,7 +85,7 @@ object AnalyticsQueries {
             sum(col("gap_s")).as("sum_gap_s"))
       },
       Some("""SELECT user_id, count(*) AS n_gaps,
-        max(gap_s) AS max_gap_s, sum(gap_s) AS sum_gap_s
+        max(gap_s) AS max_gap_s, CAST(sum(gap_s) AS BIGINT) AS sum_gap_s
         FROM (
           SELECT user_id,
             CAST(floor(epoch(ts)) AS BIGINT) -

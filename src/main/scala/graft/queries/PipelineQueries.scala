@@ -35,7 +35,7 @@ object PipelineQueries {
         val w = Window.partitionBy("source")
           .orderBy(md5(col("text").cast("binary")), col("doc_id"))
         Tables.load(s, dir, "documents")
-          .withColumn("rk", row_number().over(w))
+          .withColumn("rk", row_number().over(w).cast("long"))
           .where(col("rk") <= 3)
           .select("source", "doc_id", "rk")
       },
@@ -59,20 +59,22 @@ object PipelineQueries {
       Some(s"""SELECT CASE WHEN substr(md5(text), 1, 1) IN ('0','1','2')
           THEN 'eval' ELSE 'train' END AS split,
         count(*) AS n_docs,
-        sum(CAST(len($oracleTokens) AS BIGINT)) AS n_tokens
+        CAST(sum(CAST(len($oracleTokens) AS BIGINT)) AS BIGINT) AS n_tokens
         FROM documents GROUP BY 1""")),
 
     // Sequence packing: bin documents (in doc_id order) into ~4096-token
     // bins by cumulative token count — the packing step before LLM
-    // training. Window cumsum; one shuffle.
+    // training. The global cumsum is the two-pass partition-offset form
+    // (graft.operators.Packing): per-partition window cumsums run in
+    // parallel and only one total per partition reaches the driver — no
+    // single-partition WindowExec at any scale.
     "q_token_packing" -> QueryDef(
       (s, dir) => {
-        val w = Window.orderBy("doc_id")
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        Tables.load(s, dir, "documents")
-          .withColumn("n_tok",
-            TextFunctions.tokenCount(col("text")).cast("long"))
-          .withColumn("cum", sum(col("n_tok")).over(w))
+        val toks = Tables.load(s, dir, "documents")
+          .select(col("doc_id"),
+            TextFunctions.tokenCount(col("text")).cast("long").as("n_tok"))
+        graft.operators.Packing
+          .globalCumsum(toks, col("doc_id"), col("n_tok"), "cum")
           .withColumn("bin", ((col("cum") - 1).cast("double") / 4096)
             .cast("long"))
           .groupBy("bin")
@@ -84,7 +86,7 @@ object PipelineQueries {
               ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum
           FROM documents)
         SELECT CAST(floor(CAST(cum - 1 AS DOUBLE) / 4096) AS BIGINT) AS bin,
-          count(*) AS n_docs, sum(n_tok) AS n_tokens
+          count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS n_tokens
         FROM c GROUP BY 1"""),
       bench = true),
 

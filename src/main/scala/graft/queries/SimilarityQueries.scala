@@ -33,7 +33,9 @@ object SimilarityQueries {
   private def jaccardPairs(s: SparkSession, dir: String): DataFrame = {
     val sets = shingleSets(s, dir).cache()
     val ex = sets.select(col("doc_id"), explode(col("sh")).as("s"))
-    val sizes = sets.select(col("doc_id"), size(col("sh")).as("n"))
+    // size() cast to long: DuckDB's count(*) set sizes are 64-bit and the
+    // driver hash compares representations, not just values.
+    val sizes = sets.select(col("doc_id"), size(col("sh")).cast("long").as("n"))
     val pairs = ex.as("x").join(ex.as("y"),
         col("x.s") === col("y.s") && col("x.doc_id") < col("y.doc_id"))
       .groupBy(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
@@ -173,7 +175,7 @@ object SimilarityQueries {
         val w = org.apache.spark.sql.expressions.Window
           .partitionBy(col("q_id"))
           .orderBy(col("score").desc, col("vec_id"))
-        scored.withColumn("rn", row_number().over(w))
+        scored.withColumn("rn", row_number().over(w).cast("long"))
           .where(col("rn") <= 10)
           .select("q_id", "vec_id", "score", "rn")
       },
@@ -216,7 +218,7 @@ object SimilarityQueries {
     "q_embed_centroid" -> QueryDef(
       (s, dir) => Tables.load(s, dir, "embeddings")
         .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
-        .groupBy(col("label"), (col("pos") + 1).as("pos"))
+        .groupBy(col("label"), (col("pos") + 1).cast("long").as("pos"))
         .agg(Det.r4(
           sum(col("v").cast("double").cast("decimal(28,10)")).cast("double") /
             count(lit(1))).as("mean_v")),

@@ -73,6 +73,17 @@ class ExpressionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(grams == Seq("ab", "bc", "cd"))
   }
 
+  test("graft_dot: dimension mismatch yields null (codegen + interpreted)") {
+    // codegen path (column against column in a projection)
+    val df = Seq((Seq(1.0f, 2.0f, 3.0f), Seq(1.0f, 2.0f))).toDF("a", "b")
+    val row = df.select(VectorExpressions.dot(col("a"), col("b"))).head()
+    assert(row.isNullAt(0))
+    // interpreted path (constant folding evaluates eval())
+    val sqlRow = spark.sql(
+      "SELECT graft_dot(array(1.0D, 2.0D, 3.0D), array(1.0D)) AS d").head()
+    assert(sqlRow.isNullAt(0))
+  }
+
   test("cosine via native dot: null array yields null, self-sim is 1") {
     val df = Seq((Seq(1.0f, 2.0f), Option(Seq(1.0f, 2.0f))),
       (Seq(1.0f, 2.0f), None))

@@ -40,7 +40,9 @@ for name, sql in sorted(oracle.items()):
         continue
     try:
         import pandas as pd
-        pd.testing.assert_frame_equal(g, w, check_dtype=False,
+        # dtype-strict to mirror the driver's hash, which distinguishes
+        # e.g. DuckDB HUGEINT sums from Spark BIGINT even at equal values.
+        pd.testing.assert_frame_equal(g, w, check_dtype=True,
                                       check_exact=True)
         print(f"ok   {name} ({len(g)} rows)")
         ok += 1
