@@ -28,6 +28,11 @@ object Bench {
         System.err.println(s"[bench] warmup $name failed: $e")
       }
     }
+    // Drop every cache the warmup pass populated: CacheManager matches
+    // identical plans, so without this a query that caches an
+    // intermediate (LSH signatures, shingle sets) would have its timed
+    // pass silently read the warmup's cache and skip scan+compute cost.
+    spark.catalog.clearCache()
     val (results, errors) = qs.foldLeft(
       (Vector.empty[(String, Double)], Vector.empty[String])) {
       case ((rs, es), (name, fn)) =>

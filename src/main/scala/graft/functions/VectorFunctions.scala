@@ -45,14 +45,36 @@ object VectorFunctions {
     * projections packed into a long. Deterministic (seeded) so bucket
     * assignment is stable across runs and cluster topologies.
     */
-  def hyperplaneBucket(vec: Column, dim: Int, nBits: Int, seed: Long = 42L): Column = {
+  def hyperplaneBucket(vec: Column, dim: Int, nBits: Int, seed: Long = 42L): Column =
+    bandHash(vec, planeSet(dim, nBits, new scala.util.Random(seed)))
+
+  /** Multi-band hyperplane LSH: `nBands` independent bucket ids, each from
+    * its own `bitsPerBand` sign bits — array<struct<band:int, h:long>>.
+    * Banding trades selectivity for recall the same way MinHash LSH does:
+    * a pair collides if ANY band's full bucket matches, so recall at
+    * cosine c is 1 - (1 - p^bitsPerBand)^nBands with p = 1 - acos(c)/pi.
+    * A single wide bucket (the old shape) has recall p^bits — under 0.5
+    * for 16 bits even at cosine 0.99; 16x8 banding is ~1.0 there.
+    * bitsPerBand tunes candidate volume (~n^2/2^bits per band per bucket
+    * population): 8 bits suits moderate-similarity mining, 16 bits the
+    * production near-dup (cosine>0.99) regime at corpus scale.
+    */
+  def hyperplaneBands(vec: Column, dim: Int, nBands: Int, bitsPerBand: Int,
+      seed: Long = 42L): Column = {
     val rng = new scala.util.Random(seed)
-    val planes: Seq[Array[Double]] =
-      Seq.fill(nBits)(Array.fill(dim)(rng.nextGaussian()))
-    val bits = planes.zipWithIndex.map { case (p, i) =>
+    array((0 until nBands).map { bi =>
+      val h = bandHash(vec, planeSet(dim, bitsPerBand, rng))
+      struct(lit(bi).as("band"), h.as("h"))
+    }: _*)
+  }
+
+  private def planeSet(dim: Int, nBits: Int,
+      rng: scala.util.Random): Seq[Array[Double]] =
+    Seq.fill(nBits)(Array.fill(dim)(rng.nextGaussian()))
+
+  private def bandHash(vec: Column, planes: Seq[Array[Double]]): Column =
+    planes.zipWithIndex.map { case (p, i) =>
       val proj = graft.expressions.VectorExpressions.dot(vec, lit(p))
       when(proj >= 0, lit(1L << i)).otherwise(lit(0L))
-    }
-    bits.reduce((a: Column, b: Column) => a.bitwiseOR(b))
-  }
+    }.reduce((a: Column, b: Column) => a.bitwiseOR(b))
 }

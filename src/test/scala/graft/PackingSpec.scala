@@ -50,7 +50,12 @@ class PackingSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   test("handles empty input and single-row input") {
     val empty = Seq.empty[(Long, Long)].toDF("k", "v")
-    assert(Packing.globalCumsum(empty, col("k"), col("v"), "cum").count() == 0)
+    val emptyOut = Packing.globalCumsum(empty, col("k"), col("v"), "cum")
+    assert(emptyOut.count() == 0)
+    // The empty-offsets path must not degrade the dtype (an argless map()
+    // types as map<string,string> and would coerce cum to DOUBLE).
+    assert(emptyOut.schema("cum").dataType ==
+      org.apache.spark.sql.types.LongType)
     val one = Seq((5L, 42L)).toDF("k", "v")
     val row = Packing.globalCumsum(one, col("k"), col("v"), "cum")
       .select("cum").as[Long].head()
