@@ -24,6 +24,14 @@ final case class WindowBatch[T](windowId: Long, stamp: Stamp, events: Seq[T])
 final case class CountingState[T](
     seen: Long, head: Long, win: Long, buf: Seq[EventEnvelope[T]])
 
+/** State of the gapless temporal sequencer: bucket origin (ms), the next
+  * bucket index not yet emitted, the max event time seen (the data-driven
+  * punctuation mark), and the still-open buffered events.
+  */
+final case class GaplessState[T](
+    originMs: Long, nextBucket: Long, maxSeenMs: Long,
+    buf: Seq[EventEnvelope[T]])
+
 /** The genuinely custom stateful operators — the two reference semantics
   * Spark has no built-in for (SURVEY §7.3): counting windows with
   * arbitrary slide, and the streaming first-n Limit.
@@ -132,6 +140,81 @@ object StatefulOps {
           val (newState, out) = processCounting(n, shift, st, incoming)
           state.update(newState)
           out.iterator.map(k -> _)
+      }
+  }
+
+  /** Gapless tumbling temporal windows — emits EMPTY windows between
+    * distant events, the one temporal semantic Spark's grouped
+    * aggregation cannot express (a group with no rows never exists).
+    * Mirrors the reference's TemporalWindowPolicy sequence contract:
+    * consuming yields window 0, 1, 2, ... with no bucket skipped, empty
+    * buckets yielding an empty event array
+    * (selection_policy_test.go:146-201).
+    *
+    * Bucket anchoring: the reference policy is constructed with an
+    * explicit start time (the test anchors at e1's stamp); here `origin`
+    * defaults to the FIRST event's start_time. A window closes once an
+    * event at/past its end is seen — the same data-driven punctuation as
+    * the grouped-agg path. Events earlier than the next open bucket are
+    * dropped as late (reference: updateSelectionForBuffer,
+    * selection_policy.go:583-596).
+    *
+    * Empty windows carry the bucket's own bounds as their stamp (there
+    * are no member events to merge). Emission volume per trigger is
+    * gap/length — inherent to the semantics, not a buffering bug.
+    *
+    * Scale stance: single logical group, like `countingWindows` — the
+    * reference's buffer is one sequential stream; state is O(open-bucket
+    * events), trimmed on every emit.
+    */
+  def temporalBatchesGapless[T: TypeTag](lengthMs: Long,
+      origin: Option[Long] = None)(
+      ds: Dataset[EventEnvelope[T]]): Dataset[WindowBatch[T]] = {
+    require(lengthMs > 0)
+    implicit val encState: Encoder[GaplessState[T]] =
+      ExpressionEncoder[GaplessState[T]]()
+    implicit val encOut: Encoder[WindowBatch[T]] =
+      ExpressionEncoder[WindowBatch[T]]()
+    implicit val encKey: Encoder[Int] = Encoders.scalaInt
+
+    ds.groupByKey(_ => 0)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: Int, it: Iterator[EventEnvelope[T]],
+         state: org.apache.spark.sql.streaming.GroupState[GaplessState[T]]) =>
+          val incoming = it.toSeq.sortBy(_.stamp.start_time.getTime)
+          if (incoming.isEmpty && state.getOption.isEmpty) Iterator.empty
+          else {
+            val st = state.getOption.getOrElse {
+              val o = origin.getOrElse(incoming.head.stamp.start_time.getTime)
+              GaplessState[T](o, 0L, Long.MinValue, Seq.empty)
+            }
+            val o = st.originMs
+            def bucketStart(b: Long) = o + b * lengthMs
+            val maxSeen = (st.maxSeenMs +: incoming.map(
+              _.stamp.start_time.getTime)).max
+            // late = before the next open bucket; dropped like the ref
+            val pending = st.buf ++ incoming.filter(
+              _.stamp.start_time.getTime >= bucketStart(st.nextBucket))
+            val out = mutable.Buffer.empty[WindowBatch[T]]
+            var b = st.nextBucket
+            while (bucketStart(b + 1) <= maxSeen) {
+              val (members, _) = pending.partition { e =>
+                val t = e.stamp.start_time.getTime
+                t >= bucketStart(b) && t < bucketStart(b + 1)
+              }
+              val stamp =
+                if (members.nonEmpty) Stamp.mergeAll(members.map(_.stamp))
+                else Stamp(new java.sql.Timestamp(bucketStart(b)),
+                  new java.sql.Timestamp(bucketStart(b + 1)), Map.empty)
+              out += WindowBatch(bucketStart(b) / 1000L, stamp,
+                members.map(_.content))
+              b += 1
+            }
+            val kept = pending.filter(
+              _.stamp.start_time.getTime >= bucketStart(b))
+            state.update(GaplessState(o, b, maxSeen, kept))
+            out.iterator
+          }
       }
   }
 

@@ -17,10 +17,12 @@ import graft.core.EventEnvelope
   * stream; Spark's watermark advances at micro-batch end from the
   * observed max event time — the same data-driven punctuation, so a
   * window emits once an event at/past its end has been seen (SURVEY
-  * §2.4). Known divergence: the reference also emits EMPTY windows
-  * between two distant events (selection_policy_test.go:146-201); Spark's
-  * grouped aggregation cannot produce groups with no rows — documented as
-  * a semantic difference.
+  * §2.4). The reference also emits EMPTY windows between two distant
+  * events (selection_policy_test.go:146-201); grouped aggregation cannot
+  * produce groups with no rows, so that semantic lives in the stateful
+  * sequencer `StatefulOps.temporalBatchesGapless` — use it when the
+  * subscriber must observe every bucket; the grouped-agg operators here
+  * skip empty buckets (occupied-bucket results are identical).
   *
   * Scale: hash aggregation with map-side partials — the shuffle carries
   * one partial row per (window, key) per task, never raw events.

@@ -122,6 +122,68 @@ class TemporalSpec extends AnyFunSuite with BeforeAndAfterAll {
     ps.close()
   }
 
+  test("gapless sequencer emits empty windows between distant events " +
+      "(ref selection_policy_test.go:146-201)") {
+    // the reference case, scaled 60x: 30s tumbling windows; e1@0 e2@10
+    // e3@12 (bucket 0), e4@75 (bucket 2), e5@300 (trigger, far future)
+    val ps = new PubSub(spark)
+    val t = ps.topic[String]("tgapless")
+    val out = StatefulOps.temporalBatchesGapless[String](30000L)(t.stream)
+    val batches = mutable.Buffer.empty[WindowBatch[String]]
+    val q = out.writeStream.outputMode("append")
+      .foreachBatch { (b: Dataset[WindowBatch[String]], _: Long) =>
+        batches.synchronized { batches ++= b.collect() }; ()
+      }.start()
+    t.publish(Seq(
+      EventEnvelope.at(ts(0), "e1"),
+      EventEnvelope.at(ts(10), "e2"),
+      EventEnvelope.at(ts(12), "e3"),
+      EventEnvelope.at(ts(75), "e4"),
+      EventEnvelope.at(ts(300), "e5"))) // punctuation: closes 0..9
+    q.processAllAvailable()
+    q.stop()
+    val ordered = batches.sortBy(_.windowId)
+    // reference expectation: [e1,e2,e3], [], [e4] — then the long gap's
+    // empties up to (not including) e5's own still-open bucket
+    assert(ordered.map(_.events).take(3) ==
+      Seq(Seq("e1", "e2", "e3"), Seq.empty, Seq("e4")))
+    assert(ordered.drop(3).forall(_.events.isEmpty))
+    assert(ordered.size == 10) // buckets [0,30)..[270,300) all closed
+    assert(ordered.map(_.windowId) ==
+      (0 until 10).map(i => (base + i * 30000L) / 1000L))
+    // occupied window stamp = member min/max; empty = the bucket bounds
+    assert(ordered.head.stamp.start_time == ts(0) &&
+      ordered.head.stamp.end_time == ts(12))
+    assert(ordered(1).stamp.start_time == ts(30) &&
+      ordered(1).stamp.end_time == ts(60))
+    ps.close()
+  }
+
+  test("gapless sequencer drops late events and anchors at first event") {
+    val ps = new PubSub(spark)
+    val t = ps.topic[String]("tgapless2")
+    // anchor NOT given: origin = first event's time (ref policy anchors
+    // at construction time = e1's stamp in its tests)
+    val out = StatefulOps.temporalBatchesGapless[String](10000L)(t.stream)
+    val batches = mutable.Buffer.empty[WindowBatch[String]]
+    val q = out.writeStream.outputMode("append")
+      .foreachBatch { (b: Dataset[WindowBatch[String]], _: Long) =>
+        batches.synchronized { batches ++= b.collect() }; ()
+      }.start()
+    t.publish(Seq(
+      EventEnvelope.at(ts(5), "e1"),
+      EventEnvelope.at(ts(16), "e2"))) // closes bucket [5,15)
+    q.processAllAvailable()
+    t.publish(Seq(
+      EventEnvelope.at(ts(6), "late"),  // bucket 0 already emitted
+      EventEnvelope.at(ts(26), "e3")))  // closes bucket [15,25)
+    q.processAllAvailable()
+    q.stop()
+    val ordered = batches.sortBy(_.windowId)
+    assert(ordered.map(_.events) == Seq(Seq("e1"), Seq("e2")))
+    ps.close()
+  }
+
   test("subscribeBatch with temporal policy delivers whole windows") {
     val ps = new PubSub(spark)
     val t = ps.topic[Int]("tbatch")
