@@ -23,19 +23,40 @@ object SimilarityQueries {
   private val Ngram = 5
   private val JaccardThreshold = 0.8
 
+  /** Document-frequency cap on shingles entering the candidate self-join.
+    * A shingle present in d documents contributes d·(d-1)/2 join rows — a
+    * boilerplate shingle (license header, template sentence) in 10⁵ docs
+    * is a 5·10⁹-row hot key at corpus scale while discriminating nothing.
+    * Capping redefines j as Jaccard over the ≤K-frequency shingle
+    * universe (sizes AND intersections count capped shingles only, in
+    * both engines — oracle in lockstep, see jaccardOracle). On the
+    * fixture the max observed DF is 4 at every SF, so results are
+    * bit-identical to the uncapped form; at corpus scale the cap bounds
+    * the worst per-shingle fan-out at K²/2. LshRecallSpec pins the
+    * LSH path's recall against this exact path.
+    */
+  private val MaxShingleDf = 50
+
   /** doc_id + distinct word-5-gram shingle set. */
   private def shingleSets(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "documents")
       .select(col("doc_id"),
         array_distinct(TextFunctions.wordShingles(col("text"), Ngram)).as("sh"))
 
-  /** (a, b, inter, na, nb, j) for candidate pairs sharing >= 1 shingle. */
+  /** (a, b, inter, na, nb, j) for candidate pairs sharing >= 1 shingle
+    * with document frequency <= MaxShingleDf.
+    */
   private def jaccardPairs(s: SparkSession, dir: String): DataFrame = {
     val sets = shingleSets(s, dir).cache()
-    val ex = sets.select(col("doc_id"), explode(col("sh")).as("s"))
-    // size() cast to long: DuckDB's count(*) set sizes are 64-bit and the
-    // driver hash compares representations, not just values.
-    val sizes = sets.select(col("doc_id"), size(col("sh")).cast("long").as("n"))
+    val ex0 = sets.select(col("doc_id"), explode(col("sh")).as("s"))
+    // DF cap: anti-join against the (few) hot shingles — broadcast, so
+    // the cap itself never shuffles the exploded set a second time.
+    val hot = ex0.groupBy("s").agg(count(lit(1)).as("df"))
+      .where(col("df") > MaxShingleDf).select("s")
+    val ex = ex0.join(broadcast(hot), Seq("s"), "left_anti")
+    // count(*) sizes are 64-bit in DuckDB and the driver hash compares
+    // representations, not just values — keep long on both sides.
+    val sizes = ex.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val pairs = ex.as("x").join(ex.as("y"),
         col("x.s") === col("y.s") && col("x.doc_id") < col("y.doc_id"))
       .groupBy(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
@@ -48,12 +69,16 @@ object SimilarityQueries {
   }
 
   private def jaccardOracle(minJ: Double): String =
-    s"""WITH sh AS (
+    s"""WITH sh0 AS (
       SELECT doc_id, unnest(list_distinct(list_transform(
         generate_series(1, greatest(len(toks) - ${Ngram - 1}, 0)),
         i -> list_aggregate(toks[i:i+${Ngram - 1}], 'string_agg', ' ')))) AS s
       FROM (SELECT doc_id, list_filter(regexp_split_to_array(text, '\\s+'),
         t -> len(t) > 0) AS toks FROM documents)),
+    sh AS (
+      SELECT doc_id, s FROM (
+        SELECT doc_id, s, count(*) OVER (PARTITION BY s) AS df FROM sh0)
+      WHERE df <= $MaxShingleDf),
     sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
     pairs AS (
       SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS inter
@@ -106,7 +131,8 @@ object SimilarityQueries {
     // verified with exact Jaccard. Seeded affine hash family — output is
     // deterministic, but xxhash64 is not reproducible in DuckDB, so this
     // is rows-only checked; its recall against q_ngram_jaccard at j>=0.8
-    // is 1 - (1-j^4)^16 > 0.999.
+    // (theoretical 1 - (1-j^4)^16 > 0.999) is pinned EMPIRICALLY by
+    // LshRecallSpec: every exact-path pair must be found by this path.
     "q_minhash_lsh" -> QueryDef(
       (s, dir) => {
         val sets = shingleSets(s, dir).cache()
