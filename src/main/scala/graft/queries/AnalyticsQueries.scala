@@ -128,6 +128,43 @@ object AnalyticsQueries {
         GROUP BY 1, 2 HAVING count(*) >= 5"""),
       bench = true),
 
+    // The 100x path for series correlation: correlate every user against
+    // a SEED set only (here users with id % 25 == 0 — in production a
+    // provided target list). Cost is linear in corpus x |seeds| instead
+    // of quadratic in users-per-hour: the seed side's hourly series is
+    // tiny and BROADCAST, so the big side never shuffles at all — no
+    // hour-bucket skew, no pairwise blowup. Same plan shape downstream
+    // (corr moments partial-agg). SCALE.md documents the cutover.
+    "q_series_correlation_seeded" -> QueryDef(
+      (s, dir) => {
+        val hourly = Tables.load(s, dir, "events")
+          .groupBy(col("user_id"),
+            (col("ts").cast("long") / 3600).cast("long").as("h"))
+          .agg(sum(col("value").cast("decimal(18,2)")).cast("double")
+            .as("sv"))
+        val seeds = hourly.where(col("user_id") % 25 === 0)
+        broadcast(seeds).as("a").join(hourly.as("b"),
+            col("a.h") === col("b.h") &&
+              col("a.user_id") =!= col("b.user_id"))
+          .groupBy(col("a.user_id").as("seed_user"),
+            col("b.user_id").as("user_b"))
+          .agg(count(lit(1)).as("n_hours"),
+            Det.r4(corr(col("a.sv"), col("b.sv"))).as("r"))
+          .where(col("n_hours") >= 5)
+      },
+      Some("""WITH hourly AS (
+          SELECT user_id, CAST(floor(epoch(ts)/3600) AS BIGINT) AS h,
+            CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sv
+          FROM events GROUP BY 1, 2)
+        SELECT a.user_id AS seed_user, b.user_id AS user_b,
+          count(*) AS n_hours,
+          floor(corr(a.sv, b.sv) * 10000 + 0.5) / 10000 AS r
+        FROM hourly a JOIN hourly b
+          ON a.h = b.h AND a.user_id <> b.user_id
+        WHERE a.user_id % 25 = 0
+        GROUP BY 1, 2 HAVING count(*) >= 5"""),
+      bench = true),
+
     // Sessionization: maximal event chains per user with gaps < 30 min —
     // gaps-and-islands on both engines (identical semantics to Spark's
     // session_window for point events; the streaming form lives in
