@@ -33,7 +33,14 @@ final class StreamTypeMismatchException(msg: String)
   */
 final class Topic[T] private[streaming] (
     val key: StreamKey,
-    spark: SparkSession)(implicit enc: Encoder[EventEnvelope[T]]) {
+    spark: SparkSession,
+    /** Remove this topic from the registry when its last tracked
+      * publisher/subscriber detaches — the reference marks auto-created
+      * streams this way (getOrAddStreamByID -> WithAutoCleanup(true),
+      * pub_sub.go:370-384) while explicitly added streams default to
+      * manual lifecycle (config.go:27).
+      */
+    val autoCleanup: Boolean)(implicit enc: Encoder[EventEnvelope[T]]) {
 
   private[streaming] val source: MemoryStream[EventEnvelope[T]] =
     MemoryStream[EventEnvelope[T]](
@@ -67,14 +74,44 @@ private object Topic {
   * pkg/pubsub/subscriber.go:122-196).
   */
 final class Subscription[T](
-    private[streaming] val query: StreamingQuery) {
+    private[streaming] val query: StreamingQuery,
+    detach: () => Unit = () => ()) {
+
+  private var closed = false
 
   /** Block until everything published so far has been delivered —
     * the reference's drain barrier (stream.go:179-189) as
     * processAllAvailable.
     */
   def drain(): Unit = query.processAllAvailable()
-  def close(): Unit = { query.stop() }
+
+  /** Stop the sink and detach from the owning topic (if the subscription
+    * was opened against one) — the detach may auto-clean the topic
+    * (reference: UnsubscribeOnRepository -> TryRemoveStreams,
+    * pub_sub.go:183-211).
+    */
+  def close(): Unit = {
+    query.stop()
+    if (!closed) { closed = true; detach() }
+  }
+}
+
+/** A registered publisher handle for one topic (reference:
+  * RegisterPublisherByTopic, pub_sub.go:229-251). While open it pins the
+  * topic against auto-cleanup; closing the last handle detaches
+  * (UnRegisterPublisherOnRepository, pub_sub.go:253-286).
+  */
+final class Publisher[T] private[streaming] (
+    private[streaming] val topic: Topic[T], detach: () => Unit) {
+
+  private var closed = false
+
+  def publish(events: Seq[EventEnvelope[T]]): Unit = topic.publish(events)
+  def publishValues(values: T*): Unit = topic.publishValues(values: _*)
+
+  def close(): Unit = synchronized {
+    if (!closed) { closed = true; detach() }
+  }
 }
 
 /** Stream repository + pub/sub facade (reference: pkg/pubsub/pub_sub.go).
@@ -87,20 +124,68 @@ final class PubSub(val spark: SparkSession) {
 
   private val topics = mutable.Map.empty[StreamKey, Topic[_]]
   private val subs = mutable.ListBuffer.empty[Subscription[_]]
+  // tracked attachments per topic: open Publisher handles + owner-scoped
+  // Subscriptions (the reference's publishersMap/subscribers counts that
+  // gate tryClose, stream.go:83-107)
+  private val attached = mutable.Map.empty[StreamKey, Int].withDefaultValue(0)
 
   private def keyOf[T](topic: String)(implicit tt: TypeTag[T]) =
     StreamKey(topic, tt.tpe.toString)
 
   /** Get or auto-create the typed topic. Same name with a different
     * content type coexists — the composite key keeps them apart
-    * (reference: pub_sub_test.go:102-118).
+    * (reference: pub_sub_test.go:102-118). Auto-created topics are
+    * auto-cleaned on last detach, like the reference's implicit
+    * getOrAddStreamByID path (pub_sub.go:370-384).
     */
-  def topic[T: TypeTag](name: String): Topic[T] = synchronized {
+  def topic[T: TypeTag](name: String): Topic[T] =
+    getOrCreate[T](name, clean = true)
+
+  /** Explicitly add a topic with a manual lifecycle (reference:
+    * AddOrReplaceStream — explicit streams default AutoCleanup=false,
+    * config.go:27). Returns the existing topic if already present.
+    */
+  def createTopic[T: TypeTag](name: String,
+      autoCleanup: Boolean = false): Topic[T] =
+    getOrCreate[T](name, clean = autoCleanup)
+
+  private def getOrCreate[T: TypeTag](name: String,
+      clean: Boolean): Topic[T] = synchronized {
     val key = keyOf[T](name)
     implicit val enc: Encoder[EventEnvelope[T]] =
       ExpressionEncoder[EventEnvelope[T]]()
-    topics.getOrElseUpdate(key, new Topic[T](key, spark))
+    topics.getOrElseUpdate(key, new Topic[T](key, spark, clean))
       .asInstanceOf[Topic[T]]
+  }
+
+  /** Register a publisher handle on the (auto-created) topic (reference:
+    * RegisterPublisherByTopic, pub_sub.go:229-251). The open handle pins
+    * the topic; closing the last one may auto-clean it.
+    */
+  def registerPublisher[T: TypeTag](name: String): Publisher[T] =
+    synchronized {
+      val t = topic[T](name)
+      attached(t.key) += 1
+      new Publisher[T](t, () => detach(t.key))
+    }
+
+  private def detach(key: StreamKey): Unit = synchronized {
+    attached(key) -= 1
+    if (attached(key) <= 0) {
+      attached.remove(key)
+      if (topics.get(key).exists(_.autoCleanup)) topics.remove(key)
+    }
+  }
+
+  /** Remove the topic iff nothing is attached (reference:
+    * TryRemoveStreams/tryClose, pub_sub.go:95-105, stream.go:83-107):
+    * returns false and leaves it registered while any tracked publisher
+    * or owner-scoped subscription is open.
+    */
+  def tryRemoveTopic[T: TypeTag](name: String): Boolean = synchronized {
+    val key = keyOf[T](name)
+    if (attached(key) > 0) false
+    else topics.remove(key).isDefined
   }
 
   /** Fetch an EXISTING topic expecting type T; a type mismatch is an
@@ -128,7 +213,8 @@ final class PubSub(val spark: SparkSession) {
     * the reference's sorted stream (stream.go:279-319).
     */
   def subscribe[T](ds: Dataset[EventEnvelope[T]],
-      checkpointName: Option[String] = None)(
+      checkpointName: Option[String] = None,
+      owner: Option[Topic[T]] = None)(
       cb: Seq[EventEnvelope[T]] => Unit): Subscription[T] = synchronized {
     var w = ds.writeStream
       .outputMode("append")
@@ -144,9 +230,23 @@ final class PubSub(val spark: SparkSession) {
         .foreach(base => w = w.option("checkpointLocation", s"$base/$n"))
     }
     val q = w.start()
-    val s = new Subscription[T](q)
+    val s = attachSub(q, owner)
     subs += s
     s
+  }
+
+  /** Track an owner-scoped subscription: it pins the topic while open and
+    * its close() detaches (reference: SubscribeByTopic attaches by stream
+    * id, so Unsubscribe can auto-clean — subscriber.go + pub_sub.go:183-211;
+    * a Subscription over an arbitrary operator chain has no owner and
+    * never triggers cleanup).
+    */
+  private def attachSub[T](q: StreamingQuery,
+      owner: Option[Topic[T]]): Subscription[T] = owner match {
+    case Some(t) =>
+      attached(t.key) += 1
+      new Subscription[T](q, () => detach(t.key))
+    case None => new Subscription[T](q)
   }
 
   /** Batch subscriber with a selection policy (reference:
@@ -156,7 +256,8 @@ final class PubSub(val spark: SparkSession) {
     * temporal policies window via the stateful/watermarked operators.
     */
   def subscribeBatch[T: TypeTag](ds: Dataset[EventEnvelope[T]],
-      policy: SelectionPolicy)(
+      policy: SelectionPolicy,
+      owner: Option[Topic[T]] = None)(
       cb: WindowBatch[T] => Unit): Subscription[T] = synchronized {
     val windows: Dataset[WindowBatch[T]] = policy match {
       case SelectNext =>
@@ -173,7 +274,7 @@ final class PubSub(val spark: SparkSession) {
         batch.collect().sortBy(_.windowId).foreach(cb); ()
       }
       .start()
-    val s = new Subscription[T](q)
+    val s = attachSub(q, owner)
     subs += s
     s
   }
@@ -184,13 +285,15 @@ final class PubSub(val spark: SparkSession) {
   def instantPublish[T: TypeTag](name: String, values: T*): Unit =
     topic[T](name).publishValues(values: _*)
 
-  /** Remove one typed topic from the repository (reference:
-    * RemoveStream/TryRemoveStreams, pub_sub.go:183-211 — there removal is
-    * automatic on last detach; here it is explicit, since Spark sinks own
-    * their lifecycle). Subscriptions on the topic should be closed first.
+  /** Force-remove one typed topic regardless of attachments (reference:
+    * ForceRemoveStream). Prefer tryRemoveTopic / auto-cleanup; open
+    * subscriptions on a force-removed topic keep running but the name is
+    * free for re-creation.
     */
   def removeTopic[T: TypeTag](name: String): Boolean = synchronized {
-    topics.remove(keyOf[T](name)).isDefined
+    val key = keyOf[T](name)
+    attached.remove(key)
+    topics.remove(key).isDefined
   }
 
   def topicCount: Int = synchronized(topics.size)
@@ -199,5 +302,6 @@ final class PubSub(val spark: SparkSession) {
     subs.foreach(s => try s.close() catch { case _: Throwable => () })
     subs.clear()
     topics.clear()
+    attached.clear()
   }
 }

@@ -1,0 +1,81 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.core.{EventEnvelope, Sessions}
+import graft.streaming._
+
+/** Topic lifecycle parity with the reference repository semantics:
+  * auto-cleanup on last detach (pub_sub_test.go:55-70), tryRemove
+  * blocked by attached publishers/subscribers (pub_sub_test.go:187-216),
+  * and manual lifecycle for explicitly created streams (config.go:27).
+  */
+class PubSubLifecycleSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark: SparkSession =
+    Sessions.tune(SparkSession.builder().master("local[4]"), 4).getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  test("auto-created topic is cleaned when its last subscriber detaches " +
+      "(ref pub_sub_test.go:55-70)") {
+    val ps = new PubSub(spark)
+    val t = ps.topic[Int]("auto-clean")
+    assert(t.autoCleanup)
+    assert(ps.topicCount == 1)
+    val sub = ps.subscribe(t.stream, owner = Some(t)) { _ => () }
+    t.publishValues(1, 2, 3)
+    sub.drain()
+    assert(ps.topicCount == 1) // pinned while subscribed
+    sub.close()
+    assert(ps.topicCount == 0) // removed on last detach
+    ps.close()
+  }
+
+  test("open publisher handle blocks tryRemove; closing the last handle " +
+      "auto-cleans (ref pub_sub_test.go:193-203)") {
+    val ps = new PubSub(spark)
+    val p1 = ps.registerPublisher[Int]("pub-pinned")
+    val p2 = ps.registerPublisher[Int]("pub-pinned")
+    assert(ps.topicCount == 1)
+    assert(!ps.tryRemoveTopic[Int]("pub-pinned")) // attached: no-op
+    p1.close()
+    p1.close() // idempotent: must not double-detach
+    assert(ps.topicCount == 1) // p2 still pins it
+    p2.close()
+    assert(ps.topicCount == 0) // last handle detached -> auto-clean
+    ps.close()
+  }
+
+  test("tryRemove succeeds on a detached topic (ref pub_sub_test.go:187-192)") {
+    val ps = new PubSub(spark)
+    ps.createTopic[Int]("try-close-1")
+    assert(ps.tryRemoveTopic[Int]("try-close-1"))
+    assert(ps.topicCount == 0)
+    ps.close()
+  }
+
+  test("explicitly created topic has a manual lifecycle") {
+    val ps = new PubSub(spark)
+    val t = ps.createTopic[Int]("manual")
+    assert(!t.autoCleanup)
+    val p = ps.registerPublisher[Int]("manual")
+    p.publish(Seq(EventEnvelope.of(1)))
+    p.close()
+    assert(ps.topicCount == 1) // survives last detach
+    assert(ps.removeTopic[Int]("manual"))
+    assert(ps.topicCount == 0)
+    ps.close()
+  }
+
+  test("ownerless subscription over an operator chain never cleans up") {
+    val ps = new PubSub(spark)
+    val t = ps.topic[Int]("chain")
+    val sub = ps.subscribe(t.stream) { _ => () }
+    sub.close()
+    assert(ps.topicCount == 1) // no owner attachment: untouched
+    ps.close()
+  }
+}
