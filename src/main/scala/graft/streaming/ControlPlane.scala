@@ -1,6 +1,7 @@
 package graft.streaming
 
 import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import com.fasterxml.jackson.dataformat.yaml.YAMLFactory
 
 /** Declarative query configs — the reference's dormant control plane
   * (reference: StreamConfig/SubscriberConfig/OperatorConfig serialization,
@@ -60,6 +61,17 @@ object ControlPlane {
     s"""{"source":{"topic":"${cfg.source.topic}","type":"${cfg.source.contentType}"},""" +
       s""""operators":$ops$pol}"""
   }
+
+  // YAML forms of the same config (reference: configs carry yaml tags,
+  // pkg/pubsub/config.go:16-31, and policies round-trip both formats,
+  // selection_policy.go:322-348) — transcoded via the JSON codec.
+  private lazy val yom = new ObjectMapper(new YAMLFactory())
+
+  def parseYaml(yaml: String): QueryConfigDef =
+    parse(om.writeValueAsString(yom.readTree(yaml)))
+
+  def toYaml(cfg: QueryConfigDef): String =
+    yom.writeValueAsString(om.readTree(toJson(cfg)))
 
   /** Materialize a config into a runnable continuous query. Supported
     * content types: double (JSON-number events) and string; supported

@@ -1,5 +1,8 @@
 package graft.streaming
 
+import com.fasterxml.jackson.databind.ObjectMapper
+import com.fasterxml.jackson.dataformat.yaml.YAMLFactory
+
 /** Window ("selection") policies — the serializable configs of the
   * reference (reference: pkg/events/selection_policy.go:43-53, factory
   * :272-320; JSON/YAML round-trip :322-348).
@@ -60,4 +63,16 @@ object SelectionPolicy {
         throw new IllegalArgumentException(s"unknown policy type: $other")
     }
   }
+
+  // YAML round-trip (reference: PolicyDescriptionFromYML/ToYML,
+  // selection_policy.go:335-348) — transcoded through the JSON codec at
+  // the tree level, so both formats share one source of truth.
+  private lazy val jsonMapper = new ObjectMapper()
+  private lazy val yamlMapper = new ObjectMapper(new YAMLFactory())
+
+  def toYaml(p: SelectionPolicy): String =
+    yamlMapper.writeValueAsString(jsonMapper.readTree(toJson(p)))
+
+  def fromYaml(yaml: String): SelectionPolicy =
+    fromJson(jsonMapper.writeValueAsString(yamlMapper.readTree(yaml)))
 }

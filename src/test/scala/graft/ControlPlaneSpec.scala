@@ -39,6 +39,41 @@ class ControlPlaneSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("selection policy YAML round-trips (ref selection_policy.go:335-348)") {
+    val ps = Seq(SelectNext, CountingWindowPolicy(5, 3),
+      TemporalWindowPolicy("600 seconds", "300 seconds"))
+    ps.foreach { p =>
+      assert(SelectionPolicy.fromYaml(SelectionPolicy.toYaml(p)) == p)
+    }
+    // hand-written YAML, the form a config file would carry
+    val y = "type: CountingWindow\nsize: 4\nslide: 2\n"
+    assert(SelectionPolicy.fromYaml(y) == CountingWindowPolicy(4, 2))
+  }
+
+  test("query config YAML parses and cross-round-trips with JSON") {
+    val yaml =
+      """source:
+        |  topic: cfg-yaml
+        |  type: double
+        |operators:
+        |  - op: greater
+        |    arg: "10"
+        |  - op: even
+        |policy:
+        |  type: TemporalWindow
+        |  length: 600 seconds
+        |  slide: 300 seconds
+        |""".stripMargin
+    val cfg = ControlPlane.parseYaml(yaml)
+    assert(cfg.source.topic == "cfg-yaml")
+    assert(cfg.operators.map(_.op) == Seq("greater", "even"))
+    assert(cfg.policy.contains(
+      TemporalWindowPolicy("600 seconds", "300 seconds")))
+    // YAML -> config -> YAML -> config and YAML -> config -> JSON -> config
+    assert(ControlPlane.parseYaml(ControlPlane.toYaml(cfg)) == cfg)
+    assert(ControlPlane.parse(ControlPlane.toJson(cfg)) == cfg)
+  }
+
   test("query config JSON parses, round-trips and builds a live query") {
     val json =
       """{"source":{"topic":"cfg-nums","type":"double"},
