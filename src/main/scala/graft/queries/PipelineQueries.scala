@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.functions.TextFunctions
+import graft.functions.{Aggregators, TextFunctions}
 
 /** Training-data pipeline mechanics: vocabulary stats, deterministic
   * sampling/splitting, sequence packing, and embedding quantization.
@@ -27,6 +27,31 @@ object PipelineQueries {
       Some(s"""SELECT token, count(*) AS n FROM (
           SELECT unnest($oracleTokens) AS token FROM documents) t
         GROUP BY token ORDER BY n DESC, token LIMIT 20""")),
+
+    // Heavy hitters via the Count-Min sketch (Aggregators.countMin): ONE
+    // constant-memory pass builds the mergeable 4x2048 counter grid — at
+    // corpus scale the shuffle carries 64 KB partial grids per task,
+    // never per-token counts — then the collected sketch (one 64 KB row)
+    // serves point estimates over the candidate token set. CMS
+    // guarantees est >= exact with error <= 2N/width w.h.p.; AnalyticsSpec
+    // pins both against the exact q_top_tokens counts. The estimate udf
+    // closes over the tiny sketch (no built-in expresses the seeded grid
+    // hash); it runs over DISTINCT tokens only, not the corpus. Seeded
+    // sketch hashing is not SQL-expressible -> rows-only check.
+    "q_heavy_hitters" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val cms = Aggregators.countMin(4, 2048)
+        val toks = Tables.load(s, dir, "documents")
+          .select(explode(TextFunctions.tokens(col("text"))).as("token"))
+        val sketch = toks.as[String].select(cms.toColumn).head()
+        val est = udf((t: String) => cms.estimate(sketch, t))
+        toks.distinct()
+          .withColumn("est_n", est(col("token")))
+          .orderBy(col("est_n").desc, col("token"))
+          .limit(20)
+      },
+      None),
 
     // Deterministic stratified sample: 3 docs per source, selected by
     // content-hash order (md5 — reproducible in any engine; no RNG).

@@ -41,6 +41,31 @@ class AnalyticsSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"approx=$approx exact=$exact")
   }
 
+  test("q_heavy_hitters: CMS estimates bound the exact token counts") {
+    val dir = "/root/testdata/sf0.001"
+    val est = SparkEntry.queries("q_heavy_hitters")(spark, dir)
+      .as[(String, Long)].collect().toMap
+    val exactAll = graft.queries.Tables.load(spark, dir, "documents")
+      .select(explode(graft.functions.TextFunctions.tokens(col("text")))
+        .as("token"))
+      .groupBy("token").agg(count(lit(1)).as("n"))
+      .as[(String, Long)].collect()
+    val exact = exactAll.toMap
+    val n = exactAll.map(_._2).sum
+    assert(est.nonEmpty)
+    est.foreach { case (tok, e) =>
+      val x = exact(tok)
+      assert(e >= x, s"CMS undercounted '$tok': $e < $x")
+      assert(e - x <= 2.0 * n / 2048,
+        s"'$tok' overcount ${e - x} breaks the 2N/width bound")
+    }
+    // every true heavy hitter clears the sketch's top-k by estimate:
+    // est >= exact, so the true #1 token cannot be displaced below
+    // top-k unless k-1 others legitimately estimate higher
+    val trueTop = exactAll.maxBy(r => (r._2, r._1))._1
+    assert(est.contains(trueTop))
+  }
+
   test("streaming session window merges events within the gap") {
     val ps = new PubSub(spark)
     val t = ps.topic[Long]("sess")
