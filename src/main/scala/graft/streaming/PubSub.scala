@@ -21,6 +21,12 @@ final case class StreamKey(topic: String, typeName: String)
 final class StreamTypeMismatchException(msg: String)
   extends IllegalArgumentException(msg)
 
+/** A single publish larger than the topic's capacity (reference:
+  * ErrLimitExceeded, pkg/events/buffer.go:514-520).
+  */
+final class BufferLimitExceededException(msg: String)
+  extends IllegalStateException(msg)
+
 /** One registered topic: an in-memory streaming source of enveloped
   * events plus the handles needed to publish into it.
   *
@@ -40,7 +46,17 @@ final class Topic[T] private[streaming] (
       * pub_sub.go:370-384) while explicitly added streams default to
       * manual lifecycle (config.go:27).
       */
-    val autoCleanup: Boolean)(implicit enc: Encoder[EventEnvelope[T]]) {
+    val autoCleanup: Boolean,
+    /** Max events accepted in ONE publish (reference:
+      * LimitedSimpleAsyncBuffer — a batch larger than the limit is
+      * ErrLimitExceeded outright, buffer.go:514-520. The reference's
+      * second behavior, blocking while the buffer is full, maps to
+      * Spark's trigger-rate backpressure — maxFilesPerTrigger /
+      * maxOffsetsPerTrigger on real sources — not to the in-memory
+      * path.)
+      */
+    val capacity: Option[Int] = None)(
+    implicit enc: Encoder[EventEnvelope[T]]) {
 
   private[streaming] val source: MemoryStream[EventEnvelope[T]] =
     MemoryStream[EventEnvelope[T]](
@@ -55,6 +71,11 @@ final class Topic[T] private[streaming] (
     * pkg/pubsub/publisher.go:160-162).
     */
   def publish(events: Seq[EventEnvelope[T]]): Unit = synchronized {
+    capacity.filter(_ < events.size).foreach { cap =>
+      throw new BufferLimitExceededException(
+        s"publish of ${events.size} events exceeds capacity $cap " +
+          s"of topic ${key.topic}")
+    }
     if (events.nonEmpty) { source.addData(events); inCount += events.size }
   }
 
@@ -146,15 +167,16 @@ final class PubSub(val spark: SparkSession) {
     * config.go:27). Returns the existing topic if already present.
     */
   def createTopic[T: TypeTag](name: String,
-      autoCleanup: Boolean = false): Topic[T] =
-    getOrCreate[T](name, clean = autoCleanup)
+      autoCleanup: Boolean = false,
+      capacity: Option[Int] = None): Topic[T] =
+    getOrCreate[T](name, clean = autoCleanup, capacity = capacity)
 
-  private def getOrCreate[T: TypeTag](name: String,
-      clean: Boolean): Topic[T] = synchronized {
+  private def getOrCreate[T: TypeTag](name: String, clean: Boolean,
+      capacity: Option[Int] = None): Topic[T] = synchronized {
     val key = keyOf[T](name)
     implicit val enc: Encoder[EventEnvelope[T]] =
       ExpressionEncoder[EventEnvelope[T]]()
-    topics.getOrElseUpdate(key, new Topic[T](key, spark, clean))
+    topics.getOrElseUpdate(key, new Topic[T](key, spark, clean, capacity))
       .asInstanceOf[Topic[T]]
   }
 
@@ -220,7 +242,7 @@ final class PubSub(val spark: SparkSession) {
       .outputMode("append")
       .foreachBatch { (batch: Dataset[EventEnvelope[T]], _: Long) =>
         val rows = batch.collect().sortBy(_.stamp.start_time.getTime)
-        if (rows.nonEmpty) cb(rows.toSeq)
+        if (rows.nonEmpty) PubSub.guarded(cb(rows.toSeq))
       }
     // A stable checkpoint name lets a restarted subscription resume from
     // its committed offset — the reference's migrate-without-loss
@@ -271,7 +293,8 @@ final class PubSub(val spark: SparkSession) {
     val q = windows.writeStream
       .outputMode("append")
       .foreachBatch { (batch: Dataset[WindowBatch[T]], _: Long) =>
-        batch.collect().sortBy(_.windowId).foreach(cb); ()
+        batch.collect().sortBy(_.windowId)
+          .foreach(w => PubSub.guarded(cb(w))); ()
       }
       .start()
     val s = attachSub(q, owner)
@@ -304,4 +327,17 @@ final class PubSub(val spark: SparkSession) {
     topics.clear()
     attached.clear()
   }
+}
+
+object PubSub {
+  /** Subscriber panic isolation (reference: doNotify recovers and logs a
+    * panicking callback, subscriber.go:122-133): a throwing callback must
+    * not kill the streaming query — later batches keep delivering. Fatal
+    * JVM errors (OOM etc.) still propagate.
+    */
+  private[streaming] def guarded(body: => Unit): Unit =
+    try body catch {
+      case scala.util.control.NonFatal(e) =>
+        System.err.println(s"[pubsub] subscriber callback recovered: $e")
+    }
 }

@@ -70,6 +70,39 @@ class PubSubLifecycleSpec extends AnyFunSuite with BeforeAndAfterAll {
     ps.close()
   }
 
+  test("a throwing subscriber callback is recovered — later batches " +
+      "still deliver (ref subscriber.go:122-133)") {
+    val ps = new PubSub(spark)
+    val t = ps.topic[Int]("panicky")
+    val received = scala.collection.mutable.Buffer.empty[Int]
+    var first = true
+    val sub = ps.subscribe(t.stream) { evs =>
+      received.synchronized { received ++= evs.map(_.content) }
+      if (first) { first = false; sys.error("subscriber panic") }
+    }
+    t.publishValues(1, 2)
+    sub.drain() // callback throws here; query must survive
+    t.publishValues(3, 4)
+    sub.drain()
+    // delivery after the throw proves the query survived
+    assert(received.sorted == Seq(1, 2, 3, 4))
+    sub.close()
+    ps.close()
+  }
+
+  test("publish above topic capacity errors; topic stays usable " +
+      "(ref buffer.go:514-520 ErrLimitExceeded)") {
+    val ps = new PubSub(spark)
+    val t = ps.createTopic[Int]("bounded", capacity = Some(3))
+    intercept[BufferLimitExceededException] {
+      t.publishValues(1, 2, 3, 4)
+    }
+    assert(t.eventsIn == 0) // rejected batch left no partial state
+    t.publishValues(1, 2, 3) // at capacity: accepted
+    assert(t.eventsIn == 3)
+    ps.close()
+  }
+
   test("ownerless subscription over an operator chain never cleans up") {
     val ps = new PubSub(spark)
     val t = ps.topic[Int]("chain")
