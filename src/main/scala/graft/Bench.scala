@@ -28,14 +28,19 @@ object Bench {
         System.err.println(s"[bench] warmup $name failed: $e")
       }
     }
-    // Drop every cache the warmup pass populated: CacheManager matches
-    // identical plans, so without this a query that caches an
-    // intermediate (LSH signatures, shingle sets) would have its timed
-    // pass silently read the warmup's cache and skip scan+compute cost.
-    spark.catalog.clearCache()
     val (results, errors) = qs.foldLeft(
       (Vector.empty[(String, Double)], Vector.empty[String])) {
       case ((rs, es), (name, fn)) =>
+        // Per-query cache isolation: CacheManager substitutes any cached
+        // identical plan fragment, so without this a timed query would
+        // silently reuse intermediates cached by the warmup pass OR by an
+        // earlier timed query (e.g. the shingle sets shared by the
+        // minhash and jaccard paths) and skip its scan+compute cost.
+        // Each number below is therefore self-contained: scan + compute
+        // + the query's own intra-query caches. (Steady-state cache
+        // reuse on a long-lived cluster is real, but benching it makes
+        // per-query figures order-dependent and unfalsifiable.)
+        spark.catalog.clearCache()
         val t0 = System.nanoTime()
         try {
           fn(spark, sfDir).count()
