@@ -286,9 +286,16 @@ final class PubSub(val spark: SparkSession) {
         StatefulOps.countingWindows[T](1, 1)(ds)
       case CountingWindowPolicy(n, shift) =>
         StatefulOps.countingWindows[T](n, shift)(ds)
+      case TemporalWindowPolicy(length, slide) if slide == length =>
+        // Tumbling policies go through the gapless sequencer so batch
+        // subscribers observe EMPTY windows between distant events —
+        // the reference buffer's sequence contract
+        // (selection_policy_test.go:146-201). Epoch-aligned to keep
+        // windowIds identical to the grouped-agg path.
+        StatefulOps.temporalBatchesGapless[T](
+          PubSub.intervalMs(length), alignToEpoch = true)(ds)
       case TemporalWindowPolicy(length, slide) =>
-        TemporalOps.temporalBatches[T](length,
-          Some(slide).filter(_ != length))(ds)
+        TemporalOps.temporalBatches[T](length, Some(slide))(ds)
     }
     val q = windows.writeStream
       .outputMode("append")
@@ -340,4 +347,12 @@ object PubSub {
       case scala.util.control.NonFatal(e) =>
         System.err.println(s"[pubsub] subscriber callback recovered: $e")
     }
+
+  /** Parse a Spark interval string ("10 seconds") to milliseconds. */
+  private[streaming] def intervalMs(s: String): Long = {
+    val iv = org.apache.spark.sql.catalyst.util.IntervalUtils.stringToInterval(
+      org.apache.spark.unsafe.types.UTF8String.fromString(s))
+    require(iv.months == 0, s"month-based window '$s' not supported")
+    iv.days * 86400000L + iv.microseconds / 1000L
+  }
 }

@@ -168,7 +168,8 @@ object StatefulOps {
     * events), trimmed on every emit.
     */
   def temporalBatchesGapless[T: TypeTag](lengthMs: Long,
-      origin: Option[Long] = None)(
+      origin: Option[Long] = None,
+      alignToEpoch: Boolean = false)(
       ds: Dataset[EventEnvelope[T]]): Dataset[WindowBatch[T]] = {
     require(lengthMs > 0)
     implicit val encState: Encoder[GaplessState[T]] =
@@ -185,7 +186,14 @@ object StatefulOps {
           if (incoming.isEmpty && state.getOption.isEmpty) Iterator.empty
           else {
             val st = state.getOption.getOrElse {
-              val o = origin.getOrElse(incoming.head.stamp.start_time.getTime)
+              val first = incoming.head.stamp.start_time.getTime
+              // alignToEpoch matches the grouped-agg path's window()
+              // buckets (epoch-floored), so windowIds agree across both
+              // temporal operators; the default anchors at the first
+              // event like the reference policy's explicit start time.
+              val o = origin.getOrElse(
+                if (alignToEpoch) Math.floorDiv(first, lengthMs) * lengthMs
+                else first)
               GaplessState[T](o, 0L, Long.MinValue, Seq.empty)
             }
             val o = st.originMs

@@ -205,6 +205,27 @@ class TemporalSpec extends AnyFunSuite with BeforeAndAfterAll {
     ps.close()
   }
 
+  test("subscribeBatch with tumbling policy delivers empty windows " +
+      "between distant events") {
+    val ps = new PubSub(spark)
+    val t = ps.topic[Int]("tbatch-gap")
+    val batches = mutable.Buffer.empty[WindowBatch[Int]]
+    val sub = ps.subscribeBatch(t.stream,
+      TemporalWindowPolicy.tumbling("10 seconds")) { wb =>
+      batches.synchronized { batches += wb }; ()
+    }
+    t.publish(Seq(
+      EventEnvelope.at(ts(1), 10),
+      EventEnvelope.at(ts(35), 20),
+      EventEnvelope.at(ts(41), 99))) // trigger: closes [0,10)..[30,40)
+    sub.drain()
+    sub.close()
+    val ordered = batches.sortBy(_.windowId).map(_.events)
+    assert(ordered ==
+      Seq(Seq(10), Seq.empty, Seq.empty, Seq(20)))
+    ps.close()
+  }
+
   test("window batch meta union: later event wins on key collision") {
     val ps = new PubSub(spark)
     val t = ps.topic[Int]("tmeta")
