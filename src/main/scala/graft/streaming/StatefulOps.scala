@@ -182,48 +182,81 @@ object StatefulOps {
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (_: Int, it: Iterator[EventEnvelope[T]],
          state: org.apache.spark.sql.streaming.GroupState[GaplessState[T]]) =>
-          val incoming = it.toSeq.sortBy(_.stamp.start_time.getTime)
-          if (incoming.isEmpty && state.getOption.isEmpty) Iterator.empty
-          else {
-            val st = state.getOption.getOrElse {
-              val first = incoming.head.stamp.start_time.getTime
-              // alignToEpoch matches the grouped-agg path's window()
-              // buckets (epoch-floored), so windowIds agree across both
-              // temporal operators; the default anchors at the first
-              // event like the reference policy's explicit start time.
-              val o = origin.getOrElse(
-                if (alignToEpoch) Math.floorDiv(first, lengthMs) * lengthMs
-                else first)
-              GaplessState[T](o, 0L, Long.MinValue, Seq.empty)
-            }
-            val o = st.originMs
-            def bucketStart(b: Long) = o + b * lengthMs
-            val maxSeen = (st.maxSeenMs +: incoming.map(
-              _.stamp.start_time.getTime)).max
-            // late = before the next open bucket; dropped like the ref
-            val pending = st.buf ++ incoming.filter(
-              _.stamp.start_time.getTime >= bucketStart(st.nextBucket))
-            val out = mutable.Buffer.empty[WindowBatch[T]]
-            var b = st.nextBucket
-            while (bucketStart(b + 1) <= maxSeen) {
-              val (members, _) = pending.partition { e =>
-                val t = e.stamp.start_time.getTime
-                t >= bucketStart(b) && t < bucketStart(b + 1)
-              }
-              val stamp =
-                if (members.nonEmpty) Stamp.mergeAll(members.map(_.stamp))
-                else Stamp(new java.sql.Timestamp(bucketStart(b)),
-                  new java.sql.Timestamp(bucketStart(b + 1)), Map.empty)
-              out += WindowBatch(bucketStart(b) / 1000L, stamp,
-                members.map(_.content))
-              b += 1
-            }
-            val kept = pending.filter(
-              _.stamp.start_time.getTime >= bucketStart(b))
-            state.update(GaplessState(o, b, maxSeen, kept))
-            out.iterator
-          }
+          processGapless(lengthMs, origin, alignToEpoch, it, state)
       }
+  }
+
+  /** Keyed gapless temporal windows — the horizontally scalable variant
+    * (one independent bucket sequence per key, state partitioned across
+    * executors), same shape as `countingWindowsByKey`.
+    */
+  def temporalBatchesGaplessByKey[T: TypeTag](lengthMs: Long,
+      origin: Option[Long] = None,
+      alignToEpoch: Boolean = false)(key: EventEnvelope[T] => String)(
+      ds: Dataset[EventEnvelope[T]]): Dataset[(String, WindowBatch[T])] = {
+    require(lengthMs > 0)
+    implicit val encState: Encoder[GaplessState[T]] =
+      ExpressionEncoder[GaplessState[T]]()
+    implicit val encOut: Encoder[(String, WindowBatch[T])] =
+      ExpressionEncoder[(String, WindowBatch[T])]()
+    implicit val encKey: Encoder[String] = Encoders.STRING
+
+    ds.groupByKey(key)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (k: String, it: Iterator[EventEnvelope[T]],
+         state: org.apache.spark.sql.streaming.GroupState[GaplessState[T]]) =>
+          processGapless(lengthMs, origin, alignToEpoch, it, state).map(k -> _)
+      }
+  }
+
+  /** Shared sequencer step: buffer incoming, emit every bucket closed by
+    * the max event time seen (including empty ones), trim, update state.
+    */
+  private def processGapless[T](lengthMs: Long, origin: Option[Long],
+      alignToEpoch: Boolean, it: Iterator[EventEnvelope[T]],
+      state: org.apache.spark.sql.streaming.GroupState[GaplessState[T]])
+      : Iterator[WindowBatch[T]] = {
+    val incoming = it.toSeq.sortBy(_.stamp.start_time.getTime)
+    if (incoming.isEmpty && state.getOption.isEmpty) Iterator.empty
+    else {
+      val st = state.getOption.getOrElse {
+        val first = incoming.head.stamp.start_time.getTime
+        // alignToEpoch matches the grouped-agg path's window()
+        // buckets (epoch-floored), so windowIds agree across both
+        // temporal operators; the default anchors at the first
+        // event like the reference policy's explicit start time.
+        val o = origin.getOrElse(
+          if (alignToEpoch) Math.floorDiv(first, lengthMs) * lengthMs
+          else first)
+        GaplessState[T](o, 0L, Long.MinValue, Seq.empty)
+      }
+      val o = st.originMs
+      def bucketStart(b: Long) = o + b * lengthMs
+      val maxSeen = (st.maxSeenMs +: incoming.map(
+        _.stamp.start_time.getTime)).max
+      // late = before the next open bucket; dropped like the ref
+      val pending = st.buf ++ incoming.filter(
+        _.stamp.start_time.getTime >= bucketStart(st.nextBucket))
+      val out = mutable.Buffer.empty[WindowBatch[T]]
+      var b = st.nextBucket
+      while (bucketStart(b + 1) <= maxSeen) {
+        val (members, _) = pending.partition { e =>
+          val t = e.stamp.start_time.getTime
+          t >= bucketStart(b) && t < bucketStart(b + 1)
+        }
+        val stamp =
+          if (members.nonEmpty) Stamp.mergeAll(members.map(_.stamp))
+          else Stamp(new java.sql.Timestamp(bucketStart(b)),
+            new java.sql.Timestamp(bucketStart(b + 1)), Map.empty)
+        out += WindowBatch(bucketStart(b) / 1000L, stamp,
+          members.map(_.content))
+        b += 1
+      }
+      val kept = pending.filter(
+        _.stamp.start_time.getTime >= bucketStart(b))
+      state.update(GaplessState(o, b, maxSeen, kept))
+      out.iterator
+    }
   }
 
   /** Streaming first-n limit (reference: Limit,

@@ -1,0 +1,105 @@
+package graft
+
+import java.sql.Timestamp
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.{Dataset, SparkSession}
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.core.{EventEnvelope, Sessions}
+import graft.streaming._
+
+/** Property-style checks of the gapless temporal sequencer: for random
+  * event-time sequences published across several micro-batches, the
+  * emitted window sequence is CONTIGUOUS (no bucket skipped), every
+  * closed-bucket event lands in exactly the window of its own bucket,
+  * and the keyed variant holds the same per key.
+  */
+class GaplessPropertiesSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark: SparkSession =
+    Sessions.tune(SparkSession.builder().master("local[4]")
+      .config("spark.sql.streaming.checkpointLocation",
+        s"/tmp/graft-ckpt-gp-${System.nanoTime()}"), 4).getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private val base = 1700000000000L
+  private val LenMs = 10000L
+
+  test("random gaps: contiguous windows, each event in its own bucket") {
+    val rng = new scala.util.Random(11)
+    // ascending times with random (often bucket-skipping) gaps so no
+    // event is late; values identify events uniquely
+    var t = base
+    val events = (0 until 120).map { i =>
+      t += (rng.nextInt(30) + 1) * 1000L
+      EventEnvelope.at(new Timestamp(t), i)
+    }
+    val ps = new PubSub(spark)
+    val topic = ps.topic[Int]("gapless-prop")
+    val out = StatefulOps.temporalBatchesGapless[Int](LenMs)(topic.stream)
+    val batches = mutable.Buffer.empty[WindowBatch[Int]]
+    val q = out.writeStream.outputMode("append")
+      .foreachBatch { (b: Dataset[WindowBatch[Int]], _: Long) =>
+        batches.synchronized { batches ++= b.collect() }; ()
+      }.start()
+    events.grouped(17).foreach { chunk =>
+      topic.publish(chunk); q.processAllAvailable()
+    }
+    q.stop()
+
+    val origin = events.head.stamp.start_time.getTime
+    val ordered = batches.sortBy(_.windowId)
+    // contiguity: ids are exactly origin/1000 + k*len for k = 0..n-1
+    assert(ordered.map(_.windowId) ==
+      ordered.indices.map(k => (origin + k * LenMs) / 1000L))
+    // every event of a closed bucket appears exactly once, in its bucket
+    val lastClosed = origin + ordered.size * LenMs
+    val closedEvents = events.filter(_.stamp.start_time.getTime < lastClosed)
+    assert(ordered.flatMap(_.events).sorted ==
+      closedEvents.map(_.content).sorted)
+    ordered.zipWithIndex.foreach { case (wb, k) =>
+      val lo = origin + k * LenMs
+      val expected = events.filter { e =>
+        val x = e.stamp.start_time.getTime; x >= lo && x < lo + LenMs
+      }.map(_.content)
+      assert(wb.events.sorted == expected.sorted,
+        s"window $k members mismatch")
+    }
+    ps.close()
+  }
+
+  test("keyed variant: independent contiguous sequences per key") {
+    val ps = new PubSub(spark)
+    val topic = ps.topic[String]("gapless-keyed")
+    val out = StatefulOps.temporalBatchesGaplessByKey[String](LenMs)(
+      _.content.takeWhile(_ != ':'))(topic.stream)
+    val batches = mutable.Buffer.empty[(String, WindowBatch[String])]
+    val q = out.writeStream.outputMode("append")
+      .foreachBatch { (b: Dataset[(String, WindowBatch[String])], _: Long) =>
+        batches.synchronized { batches ++= b.collect() }; ()
+      }.start()
+    def ts(sec: Int) = new Timestamp(base + sec * 1000L)
+    topic.publish(Seq(
+      EventEnvelope.at(ts(0), "a:1"),
+      EventEnvelope.at(ts(5), "b:1"),
+      EventEnvelope.at(ts(35), "a:2"),  // key a skips 2 buckets
+      EventEnvelope.at(ts(15), "b:2"),  // key b is dense
+      EventEnvelope.at(ts(50), "a:9"),  // trigger for a
+      EventEnvelope.at(ts(50), "b:9"))) // trigger for b
+    q.processAllAvailable()
+    q.stop()
+    val byKey = batches.groupBy(_._1).view
+      .mapValues(_.map(_._2).sortBy(_.windowId).map(_.events)).toMap
+    // a: anchored at a's first event (t=0); trigger at 50 closes [40,50)
+    assert(byKey("a") ==
+      Seq(Seq("a:1"), Seq.empty, Seq.empty, Seq("a:2"), Seq.empty))
+    // b: [b:1], [b:2], [] [] — anchored at b's first event (t=5)
+    assert(byKey("b") ==
+      Seq(Seq("b:1"), Seq("b:2"), Seq.empty, Seq.empty))
+    ps.close()
+  }
+}
