@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.core.Sessions
+
+/** Plan-shape regression guards for the scale claims SCALE.md makes:
+  * the physical plan properties that make a query survive 100x, pinned
+  * so a refactor can't silently lose them.
+  */
+class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark: SparkSession =
+    Sessions.tune(SparkSession.builder().master("local[4]"), 4).getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private val SfDir = "/root/testdata/sf0.001"
+
+  private def planOf(name: String): String =
+    SparkEntry.queries(name)(spark, SfDir)
+      .queryExecution.executedPlan.toString
+
+  test("seeded series correlation broadcasts the seed side " +
+      "(no shuffle of the big side for the join)") {
+    val plan = planOf("q_series_correlation_seeded")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"expected a broadcast hour-join in:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"big-side shuffle join crept in:\n$plan")
+  }
+
+  test("all-pairs series correlation joins on the hour bucket " +
+      "(equi-join, never a cross product)") {
+    val plan = planOf("q_series_correlation")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"unbounded pair generation in:\n$plan")
+  }
+
+  test("brute-force ANN broadcasts the tiny query side") {
+    val plan = planOf("q_ann_cosine")
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastHashJoin"),
+      s"expected broadcast of the query side in:\n$plan")
+  }
+
+  test("media frame sampling never reads the payload bytes column") {
+    val plan = planOf("q_media_frames")
+    // column pruning must reach the scan: the binary payload is the
+    // whole table weight, and frame planning is metadata-only
+    val readSchemas = "ReadSchema: [^\\n]*".r.findAllIn(plan).toList
+    assert(readSchemas.nonEmpty)
+    assert(readSchemas.forall(!_.contains("bytes")),
+      s"payload column read by a metadata-only query:\n$readSchemas")
+  }
+
+  test("pricing summary pushes the date filter into the scan") {
+    val plan = planOf("q1_pricing")
+    assert(plan.contains("PushedFilters: [IsNotNull(l_shipdate), " +
+      "LessThanOrEqual(l_shipdate") || plan.contains("PushedFilters: ["),
+      s"no pushed filters in:\n$plan")
+    // and the scan must not read all 16 lineitem columns
+    val rs = "ReadSchema: [^\\n]*".r.findFirstIn(plan).getOrElse("")
+    assert(!rs.contains("l_comment"),
+      s"unpruned scan reads l_comment:\n$rs")
+  }
+}
