@@ -57,6 +57,16 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"payload column read by a metadata-only query:\n$readSchemas")
   }
 
+  test("embedding near-dup candidates come from a band equi-join " +
+      "carrying ids only, never an all-pairs product") {
+    val plan = planOf("q_embed_neardup")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"all-pairs embedding comparison in:\n$plan")
+    // the self-join must key on the band hash, not compare vectors
+    assert(plan.contains("band"), s"band key missing from join in:\n$plan")
+  }
+
   test("pricing summary pushes the date filter into the scan") {
     val plan = planOf("q1_pricing")
     assert(plan.contains("PushedFilters: [IsNotNull(l_shipdate), " +
