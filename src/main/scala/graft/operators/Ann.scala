@@ -76,10 +76,16 @@ object Ann {
     */
   def nearDupPairs(emb: DataFrame, dim: Int, threshold: Double,
       nBands: Int = 16, bitsPerBand: Int = 8, seed: Long = 42L): DataFrame = {
+    // Materialize the banded projection before the self-join: the
+    // nBands x bitsPerBand plane dot products are lambda expressions
+    // (no CSE/codegen reuse) and would otherwise recompute per join
+    // side — same reasoning as the MinHash signature cache. At cluster
+    // scale this stage is a checkpoint/parquet write instead.
     val banded = emb.select(col("vec_id"),
         explode(VectorFunctions.hyperplaneBands(
           col("embedding"), dim, nBands, bitsPerBand, seed)).as("bh"))
       .select(col("vec_id"), col("bh.band").as("band"), col("bh.h").as("h"))
+      .cache()
     val cands = banded.as("x").join(banded.as("y"),
         col("x.band") === col("y.band") && col("x.h") === col("y.h") &&
           col("x.vec_id") < col("y.vec_id"))

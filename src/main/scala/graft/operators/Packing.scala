@@ -25,9 +25,17 @@ import org.apache.spark.sql.functions._
   * job and the final job would disagree on the row→partition mapping
   * unless the exchange is pinned by an intact cache, and a cache
   * eviction would turn that into silently wrong cumsums. Literal
-  * boundaries make correctness independent of caching entirely (the
-  * cache below is a pure optimization so the value expression computes
-  * once); boundary QUALITY only affects balance, never the result.
+  * boundaries keep the row→bucket mapping plan-independent; boundary
+  * QUALITY only affects balance, never the result.
+  *
+  * The staged frame is `localCheckpoint`ed (materialized once, lineage
+  * cut) so the per-bucket totals job and the final cumsum job read the
+  * SAME rows even for nondeterministic inputs — a cache would only be
+  * advisory (evictable, and recomputation of a nondeterministic source
+  * would silently desync offsets from rows). The checkpoint storage is
+  * released when the returned frame is garbage-collected; on a real
+  * cluster prefer `spark.sparkContext.setCheckpointDir` + `checkpoint()`
+  * if executor loss must be survivable mid-pipeline.
   *
   * Output equals the global-window formulation when `orderKey` is
   * UNIQUE per row (true for doc_id in q_token_packing). With duplicate
@@ -53,10 +61,11 @@ object Packing {
     val input = df
       .withColumn("__val", valueCol.cast("long"))
       .withColumn("__key", orderKey.cast("double"))
-      .cache()
 
     // Equi-depth boundaries, frozen as literals. Accuracy affects only
-    // bucket balance; dedup guards degenerate (few-distinct-keys) input.
+    // bucket balance (a nondeterministic source may even be sampled on
+    // different rows here — harmless, boundaries are advisory); dedup
+    // guards degenerate (few-distinct-keys) input.
     val probs = (1 until numPartitions).map(_.toDouble / numPartitions)
     val bounds = input.stat
       .approxQuantile("__key", probs.toArray, 0.01)
@@ -65,7 +74,11 @@ object Packing {
       if (bounds.isEmpty) lit(0)
       else size(filter(array(bounds.toIndexedSeq.map(lit): _*),
         b => col("__key") > b))
-    val staged = input.withColumn("__pid", bucket)
+    // Materialize ONCE: totals below and the final cumsum must see the
+    // same rows (see scaladoc). Unlike cache(), the checkpoint is not
+    // advisory (no eviction-triggered recompute) and does not linger in
+    // CacheManager for later identical plans to silently reuse.
+    val staged = input.withColumn("__pid", bucket).localCheckpoint()
 
     // Pass 1: one row per bucket — the only thing that reaches the
     // driver. Sorted by bucket (== key range order), then prefix-summed.
@@ -74,12 +87,6 @@ object Packing {
       .collect()
       .map(r => r.getInt(0) -> r.getLong(1))
       .sortBy(_._1)
-    // The cache only had to cover the two driver passes above (quantile +
-    // totals). Release it here: the final pass below recomputes the input
-    // once, which keeps the API leak-free (no retained session memory,
-    // and no stale plan for CacheManager to silently substitute into a
-    // later identical query — e.g. a bench's timed pass after warmup).
-    input.unpersist()
     val offsets = totals.scanLeft((0, 0L)) { case ((_, acc), (pid, t)) =>
       (pid, acc + t)
     }.init.zip(totals).map { case ((_, off), (pid, _)) => pid -> off }

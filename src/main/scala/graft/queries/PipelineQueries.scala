@@ -38,6 +38,9 @@ object PipelineQueries {
     // closes over the tiny sketch (no built-in expresses the seeded grid
     // hash); it runs over DISTINCT tokens only, not the corpus. Seeded
     // sketch hashing is not SQL-expressible -> rows-only check.
+    // NOTE: BUILDING this query runs the sketch pass eagerly (the
+    // collected grid is baked into the estimate udf) — constructing the
+    // DataFrame costs one corpus aggregation before any action runs.
     "q_heavy_hitters" -> QueryDef(
       (s, dir) => {
         import s.implicits._

@@ -143,6 +143,9 @@ object RelationalQueries {
     // DECIMAL(18,4) so the sum is exact and order-independent.
     "q1_pricing" -> QueryDef(
       (s, dir) => Tables.load(s, dir, "lineitem")
+        // the canonical Q1 shipdate cutoff; also the query's pushdown
+        // surface — PlanSpec pins that it reaches the parquet scan
+        .where(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
           Det.r2(sum(col("l_quantity").cast("decimal(18,2)")).cast("double"))
@@ -165,7 +168,9 @@ object RelationalQueries {
         floor(CAST(sum(CAST(floor(l_extendedprice * (1.0 - l_discount) * 10000 + 0.5) / 10000 AS DECIMAL(18,4))) AS DOUBLE) * 100 + 0.5) / 100 AS sum_disc,
         floor(CAST(sum(CAST(floor(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax) * 10000 + 0.5) / 10000 AS DECIMAL(18,4))) AS DOUBLE) * 100 + 0.5) / 100 AS sum_charge,
         count(*) AS n_rows
-        FROM lineitem GROUP BY l_returnflag, l_linestatus"""),
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        GROUP BY l_returnflag, l_linestatus"""),
       bench = true),
 
     // Revenue by nation/region: 3-way join where nation and region are

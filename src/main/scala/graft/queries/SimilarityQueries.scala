@@ -27,13 +27,15 @@ object SimilarityQueries {
     * A shingle present in d documents contributes d·(d-1)/2 join rows — a
     * boilerplate shingle (license header, template sentence) in 10⁵ docs
     * is a 5·10⁹-row hot key at corpus scale while discriminating nothing.
-    * Capping redefines j as Jaccard over the ≤K-frequency shingle
-    * universe (sizes AND intersections count capped shingles only, in
-    * both engines — oracle in lockstep, see jaccardOracle). On the
-    * fixture the max observed DF is 4 at every SF, so results are
-    * bit-identical to the uncapped form; at corpus scale the cap bounds
-    * the worst per-shingle fan-out at K²/2. LshRecallSpec pins the
-    * LSH path's recall against this exact path.
+    * The cap bounds CANDIDATE GENERATION only: j itself is always the
+    * true Jaccard over the full shingle sets (array_intersect on the
+    * joined-back sets — the identical verification the MinHash-LSH path
+    * runs, so the two paths agree wherever both emit a pair). The shared
+    * recall caveat: a pair whose shared shingles are ALL hotter than the
+    * cap produces no candidate — for near-dup thresholds that requires a
+    * document made almost entirely of boilerplate. On the fixture the max
+    * observed DF is 4 at every SF, so results are identical to uncapped.
+    * LshRecallSpec pins the LSH path's recall against this exact path.
     */
   private val MaxShingleDf = 50
 
@@ -54,42 +56,51 @@ object SimilarityQueries {
     val hot = ex0.groupBy("s").agg(count(lit(1)).as("df"))
       .where(col("df") > MaxShingleDf).select("s")
     val ex = ex0.join(broadcast(hot), Seq("s"), "left_anti")
-    // count(*) sizes are 64-bit in DuckDB and the driver hash compares
-    // representations, not just values — keep long on both sides.
-    val sizes = ex.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val pairs = ex.as("x").join(ex.as("y"),
+    val cands = ex.as("x").join(ex.as("y"),
         col("x.s") === col("y.s") && col("x.doc_id") < col("y.doc_id"))
-      .groupBy(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
-      .agg(count(lit(1)).as("inter"))
-    pairs
-      .join(sizes.withColumnRenamed("doc_id", "a").withColumnRenamed("n", "na"), "a")
-      .join(sizes.withColumnRenamed("doc_id", "b").withColumnRenamed("n", "nb"), "b")
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+      .distinct()
+    // Verification joins the FULL sets back — true Jaccard, the exact
+    // computation the MinHash-LSH path runs on its candidates. Sizes
+    // cast to long: DuckDB's len() is 64-bit and the driver hash
+    // compares representations, not just values.
+    cands
+      .join(sets.select(col("doc_id").as("a"), col("sh").as("sha")), "a")
+      .join(sets.select(col("doc_id").as("b"), col("sh").as("shb")), "b")
+      .withColumn("inter",
+        size(array_intersect(col("sha"), col("shb"))).cast("long"))
+      .withColumn("na", size(col("sha")).cast("long"))
+      .withColumn("nb", size(col("shb")).cast("long"))
       .withColumn("j", Det.r4(col("inter").cast("double") /
         (col("na") + col("nb") - col("inter"))))
+      .drop("sha", "shb")
   }
 
   private def jaccardOracle(minJ: Double): String =
-    s"""WITH sh0 AS (
-      SELECT doc_id, unnest(list_distinct(list_transform(
+    s"""WITH docs AS (
+      SELECT doc_id, list_distinct(list_transform(
         generate_series(1, greatest(len(toks) - ${Ngram - 1}, 0)),
-        i -> list_aggregate(toks[i:i+${Ngram - 1}], 'string_agg', ' ')))) AS s
+        i -> list_aggregate(toks[i:i+${Ngram - 1}], 'string_agg', ' '))) AS sh
       FROM (SELECT doc_id, list_filter(regexp_split_to_array(text, '\\s+'),
         t -> len(t) > 0) AS toks FROM documents)),
+    sh0 AS (SELECT doc_id, unnest(sh) AS s FROM docs),
     sh AS (
       SELECT doc_id, s FROM (
         SELECT doc_id, s, count(*) OVER (PARTITION BY s) AS df FROM sh0)
       WHERE df <= $MaxShingleDf),
-    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
-    pairs AS (
-      SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS inter
-      FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id
-      GROUP BY 1, 2)
-    SELECT a, b, inter, sa.n AS na, sb.n AS nb,
-      floor(CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) * 10000 + 0.5) / 10000 AS j
-    FROM pairs
-    JOIN sizes sa ON a = sa.doc_id
-    JOIN sizes sb ON b = sb.doc_id
-    WHERE floor(CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) * 10000 + 0.5) / 10000 >= $minJ"""
+    cand AS (
+      SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+      FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id),
+    scored AS (
+      SELECT a, b, len(list_intersect(da.sh, db.sh)) AS inter,
+        len(da.sh) AS na, len(db.sh) AS nb
+      FROM cand
+      JOIN docs da ON a = da.doc_id
+      JOIN docs db ON b = db.doc_id)
+    SELECT a, b, inter, na, nb,
+      floor(CAST(inter AS DOUBLE) / (na + nb - inter) * 10000 + 0.5) / 10000 AS j
+    FROM scored
+    WHERE floor(CAST(inter AS DOUBLE) / (na + nb - inter) * 10000 + 0.5) / 10000 >= $minJ"""
 
   /** DuckDB double dot product with the same left-to-right fold order as
     * VectorFunctions.dot.

@@ -113,7 +113,12 @@ final class Subscription[T](
     */
   def close(): Unit = {
     query.stop()
-    if (!closed) { closed = true; detach() }
+    // synchronized: concurrent closes must not double-detach (each
+    // detach decrements the owning topic's attachment count once)
+    val doDetach = synchronized {
+      if (closed) false else { closed = true; true }
+    }
+    if (doDetach) detach()
   }
 }
 
@@ -145,10 +150,12 @@ final class PubSub(val spark: SparkSession) {
 
   private val topics = mutable.Map.empty[StreamKey, Topic[_]]
   private val subs = mutable.ListBuffer.empty[Subscription[_]]
-  // tracked attachments per topic: open Publisher handles + owner-scoped
-  // Subscriptions (the reference's publishersMap/subscribers counts that
-  // gate tryClose, stream.go:83-107)
-  private val attached = mutable.Map.empty[StreamKey, Int].withDefaultValue(0)
+  // tracked attachments per topic INSTANCE: open Publisher handles +
+  // owner-scoped Subscriptions (the reference's publishersMap/subscribers
+  // counts that gate tryClose, stream.go:83-107). Keyed by identity, not
+  // StreamKey, so a handle surviving a force-remove can never detach a
+  // RECREATED topic under the same name.
+  private val attached = mutable.Map.empty[Topic[_], Int].withDefaultValue(0)
 
   private def keyOf[T](topic: String)(implicit tt: TypeTag[T]) =
     StreamKey(topic, tt.tpe.toString)
@@ -187,15 +194,20 @@ final class PubSub(val spark: SparkSession) {
   def registerPublisher[T: TypeTag](name: String): Publisher[T] =
     synchronized {
       val t = topic[T](name)
-      attached(t.key) += 1
-      new Publisher[T](t, () => detach(t.key))
+      attached(t) += 1
+      new Publisher[T](t, () => detach(t))
     }
 
-  private def detach(key: StreamKey): Unit = synchronized {
-    attached(key) -= 1
-    if (attached(key) <= 0) {
-      attached.remove(key)
-      if (topics.get(key).exists(_.autoCleanup)) topics.remove(key)
+  private def detach(t: Topic[_]): Unit = synchronized {
+    if (attached.contains(t)) {
+      attached(t) -= 1
+      if (attached(t) <= 0) {
+        attached.remove(t)
+        // only the still-registered instance auto-cleans; a force-removed
+        // topic's stale handles must not touch a recreated namesake
+        if (t.autoCleanup && topics.get(t.key).contains(t))
+          topics.remove(t.key)
+      }
     }
   }
 
@@ -205,9 +217,11 @@ final class PubSub(val spark: SparkSession) {
     * or owner-scoped subscription is open.
     */
   def tryRemoveTopic[T: TypeTag](name: String): Boolean = synchronized {
-    val key = keyOf[T](name)
-    if (attached(key) > 0) false
-    else topics.remove(key).isDefined
+    topics.get(keyOf[T](name)) match {
+      case Some(t) if attached(t) > 0 => false
+      case Some(t) => attached.remove(t); topics.remove(t.key).isDefined
+      case None => false
+    }
   }
 
   /** Fetch an EXISTING topic expecting type T; a type mismatch is an
@@ -266,8 +280,8 @@ final class PubSub(val spark: SparkSession) {
   private def attachSub[T](q: StreamingQuery,
       owner: Option[Topic[T]]): Subscription[T] = owner match {
     case Some(t) =>
-      attached(t.key) += 1
-      new Subscription[T](q, () => detach(t.key))
+      attached(t) += 1
+      new Subscription[T](q, () => detach(t))
     case None => new Subscription[T](q)
   }
 
@@ -286,12 +300,14 @@ final class PubSub(val spark: SparkSession) {
         StatefulOps.countingWindows[T](1, 1)(ds)
       case CountingWindowPolicy(n, shift) =>
         StatefulOps.countingWindows[T](n, shift)(ds)
-      case TemporalWindowPolicy(length, slide) if slide == length =>
-        // Tumbling policies go through the gapless sequencer so batch
-        // subscribers observe EMPTY windows between distant events —
-        // the reference buffer's sequence contract
-        // (selection_policy_test.go:146-201). Epoch-aligned to keep
-        // windowIds identical to the grouped-agg path.
+      // Tumbling policies (compared by PARSED duration, so "1 minute" ==
+      // "60 seconds") go through the gapless sequencer so batch
+      // subscribers observe EMPTY windows between distant events — the
+      // reference buffer's sequence contract
+      // (selection_policy_test.go:146-201). Epoch-aligned to keep
+      // windowIds identical to the grouped-agg path.
+      case TemporalWindowPolicy(length, slide)
+          if PubSub.intervalMs(slide) == PubSub.intervalMs(length) =>
         StatefulOps.temporalBatchesGapless[T](
           PubSub.intervalMs(length), alignToEpoch = true)(ds)
       case TemporalWindowPolicy(length, slide) =>
@@ -322,7 +338,7 @@ final class PubSub(val spark: SparkSession) {
     */
   def removeTopic[T: TypeTag](name: String): Boolean = synchronized {
     val key = keyOf[T](name)
-    attached.remove(key)
+    topics.get(key).foreach(attached.remove)
     topics.remove(key).isDefined
   }
 

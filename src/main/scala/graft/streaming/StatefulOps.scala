@@ -171,7 +171,8 @@ object StatefulOps {
       origin: Option[Long] = None,
       alignToEpoch: Boolean = false)(
       ds: Dataset[EventEnvelope[T]]): Dataset[WindowBatch[T]] = {
-    require(lengthMs > 0)
+    require(lengthMs >= 1000,
+      "sub-second windows unsupported: windowId is epoch-seconds")
     implicit val encState: Encoder[GaplessState[T]] =
       ExpressionEncoder[GaplessState[T]]()
     implicit val encOut: Encoder[WindowBatch[T]] =
@@ -194,7 +195,8 @@ object StatefulOps {
       origin: Option[Long] = None,
       alignToEpoch: Boolean = false)(key: EventEnvelope[T] => String)(
       ds: Dataset[EventEnvelope[T]]): Dataset[(String, WindowBatch[T])] = {
-    require(lengthMs > 0)
+    require(lengthMs >= 1000,
+      "sub-second windows unsupported: windowId is epoch-seconds")
     implicit val encState: Encoder[GaplessState[T]] =
       ExpressionEncoder[GaplessState[T]]()
     implicit val encOut: Encoder[(String, WindowBatch[T])] =
@@ -234,9 +236,13 @@ object StatefulOps {
       def bucketStart(b: Long) = o + b * lengthMs
       val maxSeen = (st.maxSeenMs +: incoming.map(
         _.stamp.start_time.getTime)).max
-      // late = before the next open bucket; dropped like the ref
-      val pending = st.buf ++ incoming.filter(
-        _.stamp.start_time.getTime >= bucketStart(st.nextBucket))
+      // late = before the next open bucket; dropped like the ref.
+      // Re-sort after appending: a later micro-batch can deliver events
+      // that precede buffered ones, and both window member order and
+      // mergeAll's later-wins meta union depend on event-time order.
+      val pending = (st.buf ++ incoming.filter(
+        _.stamp.start_time.getTime >= bucketStart(st.nextBucket)))
+        .sortBy(_.stamp.start_time.getTime)
       val out = mutable.Buffer.empty[WindowBatch[T]]
       var b = st.nextBucket
       while (bucketStart(b + 1) <= maxSeen) {

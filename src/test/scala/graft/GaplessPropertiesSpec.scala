@@ -72,6 +72,37 @@ class GaplessPropertiesSpec extends AnyFunSuite with BeforeAndAfterAll {
     ps.close()
   }
 
+  test("cross-micro-batch out-of-order events: members emitted in event-" +
+      "time order, meta later-wins honored") {
+    val ps = new PubSub(spark)
+    val topic = ps.topic[String]("gapless-ooo")
+    val out = StatefulOps.temporalBatchesGapless[String](LenMs)(topic.stream)
+    val batches = mutable.Buffer.empty[WindowBatch[String]]
+    val q = out.writeStream.outputMode("append")
+      .foreachBatch { (b: Dataset[WindowBatch[String]], _: Long) =>
+        batches.synchronized { batches ++= b.collect() }; ()
+      }.start()
+    def at(sec: Int, v: String, meta: Map[String, String]) =
+      EventEnvelope.at(new Timestamp(base + sec * 1000L), v, meta)
+    // batch 1: anchor at t=0 and buffer e@25 (bucket 2 still open)
+    topic.publish(Seq(
+      at(0, "anchor", Map.empty),
+      at(25, "late-arriving-later", Map("k" -> "t25"))))
+    q.processAllAvailable()
+    // batch 2: an EARLIER event for the same open bucket + the trigger
+    topic.publish(Seq(
+      at(22, "early-arriving-later", Map("k" -> "t22")),
+      at(35, "trigger", Map.empty)))
+    q.processAllAvailable()
+    q.stop()
+    val w2 = batches.sortBy(_.windowId).apply(2)
+    // event-time order, not arrival order
+    assert(w2.events == Seq("early-arriving-later", "late-arriving-later"))
+    // later-wins on event time: the t=25 event's meta must win
+    assert(w2.stamp.meta("k") == "t25")
+    ps.close()
+  }
+
   test("keyed variant: independent contiguous sequences per key") {
     val ps = new PubSub(spark)
     val topic = ps.topic[String]("gapless-keyed")

@@ -69,9 +69,8 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   test("pricing summary pushes the date filter into the scan") {
     val plan = planOf("q1_pricing")
-    assert(plan.contains("PushedFilters: [IsNotNull(l_shipdate), " +
-      "LessThanOrEqual(l_shipdate") || plan.contains("PushedFilters: ["),
-      s"no pushed filters in:\n$plan")
+    assert("PushedFilters: \\[[^\\]]*l_shipdate".r.findFirstIn(plan).isDefined,
+      s"l_shipdate filter not pushed to the scan in:\n$plan")
     // and the scan must not read all 16 lineitem columns
     val rs = "ReadSchema: [^\\n]*".r.findFirstIn(plan).getOrElse("")
     assert(!rs.contains("l_comment"),
