@@ -60,13 +60,11 @@ object VectorFunctions {
     * production near-dup (cosine>0.99) regime at corpus scale.
     */
   def hyperplaneBands(vec: Column, dim: Int, nBands: Int, bitsPerBand: Int,
-      seed: Long = 42L): Column = {
-    val rng = new scala.util.Random(seed)
-    array((0 until nBands).map { bi =>
-      val h = bandHash(vec, planeSet(dim, bitsPerBand, rng))
-      struct(lit(bi).as("band"), h.as("h"))
-    }: _*)
-  }
+      seed: Long = 42L): Column =
+    // one-pass native expression; plane sequence identical to the
+    // Column-composed form (see HyperplaneBands scaladoc for why the
+    // composed form's 128 expression subtrees fall out of JIT)
+    graft.expressions.HyperplaneBands(vec, dim, nBands, bitsPerBand, seed)
 
   private def planeSet(dim: Int, nBits: Int,
       rng: scala.util.Random): Seq[Array[Double]] =

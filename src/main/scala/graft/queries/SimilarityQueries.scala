@@ -279,5 +279,6 @@ object SimilarityQueries {
     "q_embed_neardup" -> QueryDef(
       (s, dir) => graft.operators.Ann.nearDupPairs(
         Tables.load(s, dir, "embeddings"), dim = 64, threshold = 0.4),
-      None))
+      None,
+      bench = true))
 }
