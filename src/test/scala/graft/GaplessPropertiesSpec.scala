@@ -103,6 +103,39 @@ class GaplessPropertiesSpec extends AnyFunSuite with BeforeAndAfterAll {
     ps.close()
   }
 
+  test("sequencer state survives a checkpointed restart: anchor kept, " +
+      "pre-restart buckets stay closed") {
+    val ps = new PubSub(spark)
+    val topic = ps.topic[Int]("gapless-restart")
+    val out = StatefulOps.temporalBatchesGapless[Int](LenMs)(topic.stream)
+    val ckpt = s"/tmp/graft-ckpt-gapless-${System.nanoTime()}"
+    val batches = mutable.Buffer.empty[WindowBatch[Int]]
+    def start() = out.writeStream.outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (b: Dataset[WindowBatch[Int]], _: Long) =>
+        batches.synchronized { batches ++= b.collect() }; ()
+      }.start()
+    def at(sec: Int, v: Int) =
+      EventEnvelope.at(new Timestamp(base + sec * 1000L), v)
+    val q1 = start()
+    topic.publish(Seq(at(0, 1), at(35, 99))) // closes [0,10)..[20,30)
+    q1.processAllAvailable()
+    q1.stop()
+    val q2 = start()
+    topic.publish(Seq(
+      at(5, -1),   // late: its bucket closed BEFORE the restart
+      at(65, 98))) // closes [30,40)..[50,60)
+    q2.processAllAvailable()
+    q2.stop()
+    val ordered = batches.sortBy(_.windowId)
+    // a lost anchor would re-anchor at t=5 (shifted ids) and deliver -1
+    assert(ordered.map(_.windowId) ==
+      (0 until 6).map(i => (base + i * LenMs) / 1000L))
+    assert(ordered.map(_.events) ==
+      Seq(Seq(1), Seq.empty, Seq.empty, Seq(99), Seq.empty, Seq.empty))
+    ps.close()
+  }
+
   test("keyed variant: independent contiguous sequences per key") {
     val ps = new PubSub(spark)
     val topic = ps.topic[String]("gapless-keyed")
