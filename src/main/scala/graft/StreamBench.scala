@@ -89,6 +89,23 @@ object StreamBench {
     val countingSec = (System.nanoTime() - c0) / 1e9
     q2.stop()
 
+    // pipeline 3: gapless temporal sequencer, keyed (the scale form) —
+    // events spread over 64 keys, 10s buckets, event times advancing
+    // 100ms apart so every key sees its full bucket sequence
+    val t3 = ps.topic[Double]("bench-gapless")
+    val gap = StatefulOps.temporalBatchesGaplessByKey[Double](10000L)(
+      e => (e.content % 64).toInt.toString)(t3.stream)
+    var nGapWins = 0L
+    val q3 = gap.writeStream.outputMode("append")
+      .foreachBatch { (b: Dataset[(String, WindowBatch[Double])], _: Long) =>
+        nGapWins += b.count(); ()
+      }.start()
+    val g0 = System.nanoTime()
+    t3.publish(events(n))
+    q3.processAllAvailable()
+    val gaplessSec = (System.nanoTime() - g0) / 1e9
+    q3.stop()
+
     println(f"""{"stream_bench":{"n_events":$n,""" +
       f""""lake_rows":$lakeRows,"lake_sec":$lakeSec%.2f,""" +
       f""""lake_rows_per_sec":${lakeRows / lakeSec}%.0f,""" +
@@ -98,7 +115,10 @@ object StreamBench {
       f""""window_out_rows":$outRows,""" +
       f""""counting_sec":$countingSec%.2f,""" +
       f""""counting_events_per_sec":${n / countingSec}%.0f,""" +
-      f""""counting_windows":$nWins}}""")
+      f""""counting_windows":$nWins,""" +
+      f""""gapless_keyed_sec":$gaplessSec%.2f,""" +
+      f""""gapless_keyed_events_per_sec":${n / gaplessSec}%.0f,""" +
+      f""""gapless_windows":$nGapWins}}""")
     ps.close()
     spark.stop()
   }
