@@ -84,6 +84,31 @@ class ExpressionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(sqlRow.isNullAt(0))
   }
 
+  test("hyperplane_bands: deterministic, float/double parity, " +
+      "dimension mismatch yields null") {
+    val dim = 8
+    val vf = Seq(0.5f, -1.0f, 2.0f, 0.1f, -0.3f, 1.5f, -2.0f, 0.7f)
+    val df = Seq((vf, vf.map(_.toDouble), Seq(1.0f, 2.0f)))
+      .toDF("f", "d", "short")
+    def bands(c: String) =
+      graft.expressions.HyperplaneBands(col(c), dim, 4, 8, 42L)
+    val r = df.select(bands("f").as("bf"), bands("d").as("bd"),
+      graft.expressions.HyperplaneBands(col("short"), dim, 4, 8, 42L)
+        .as("bs")).head()
+    val bf = r.getSeq[Row](0).map(x => (x.getInt(0), x.getLong(1)))
+    val bd = r.getSeq[Row](1).map(x => (x.getInt(0), x.getLong(1)))
+    // same seed + same vector -> identical buckets, float or double
+    assert(bf == bd)
+    assert(bf.map(_._1) == Seq(0, 1, 2, 3))
+    assert(bf.forall { case (_, h) => h >= 0 && h < 256 })
+    // wrong dimension is NULL (the DotProduct mismatch contract)
+    assert(r.isNullAt(2))
+    // a second evaluation (fresh plan) reproduces the same signature
+    val again = df.select(bands("f")).head().getSeq[Row](0)
+      .map(x => (x.getInt(0), x.getLong(1)))
+    assert(again == bf)
+  }
+
   test("cosine via native dot: null array yields null, self-sim is 1") {
     val df = Seq((Seq(1.0f, 2.0f), Option(Seq(1.0f, 2.0f))),
       (Seq(1.0f, 2.0f), None))
