@@ -24,9 +24,11 @@ import org.apache.spark.sql.types._
   *
   * The plane sequence is generated from `seed` in the exact order of the
   * previous Column formulation (per band, per bit, `dim` gaussians), so
-  * bucket assignments — and therefore query results — are unchanged.
-  * A vector whose length differs from `dim` yields NULL, like
-  * DotProduct's dimension-mismatch contract.
+  * bucket assignments for well-formed vectors are unchanged. DEGENERATE
+  * inputs differ deliberately: a null or wrong-length vector yields NULL
+  * (DotProduct's mismatch contract) and drops out at the explode, where
+  * the old composed form hashed every such vector to (band, h=0) — one
+  * giant spurious candidate clique of all malformed vectors.
   */
 case class HyperplaneBands(child: Expression, dim: Int, nBands: Int,
     bitsPerBand: Int, seed: Long)

@@ -77,10 +77,11 @@ object Ann {
   def nearDupPairs(emb: DataFrame, dim: Int, threshold: Double,
       nBands: Int = 16, bitsPerBand: Int = 8, seed: Long = 42L): DataFrame = {
     // Materialize the banded projection before the self-join: the
-    // nBands x bitsPerBand plane dot products are lambda expressions
-    // (no CSE/codegen reuse) and would otherwise recompute per join
-    // side — same reasoning as the MinHash signature cache. At cluster
-    // scale this stage is a checkpoint/parquet write instead.
+    // HyperplaneBands expression evaluates per reference — uncached,
+    // each join side would recompute the full nBands x bitsPerBand x dim
+    // projection pass (and regenerate the plane matrix per expression
+    // instance) — same reasoning as the MinHash signature cache. At
+    // cluster scale this stage is a checkpoint/parquet write instead.
     val banded = emb.select(col("vec_id"),
         explode(VectorFunctions.hyperplaneBands(
           col("embedding"), dim, nBands, bitsPerBand, seed)).as("bh"))

@@ -243,24 +243,29 @@ object StatefulOps {
       val pending = (st.buf ++ incoming.filter(
         _.stamp.start_time.getTime >= bucketStart(st.nextBucket)))
         .sortBy(_.stamp.start_time.getTime)
+        .toIndexedSeq
+      // Single advancing index over the time-sorted buffer: emission is
+      // O(events + buckets) per trigger. (A per-bucket rescan is
+      // O(events x buckets) — ruinous when one trigger closes thousands
+      // of buckets, the long-gap case this operator exists for.)
       val out = mutable.Buffer.empty[WindowBatch[T]]
       var b = st.nextBucket
+      var idx = 0
       while (bucketStart(b + 1) <= maxSeen) {
-        val (members, _) = pending.partition { e =>
-          val t = e.stamp.start_time.getTime
-          t >= bucketStart(b) && t < bucketStart(b + 1)
-        }
+        val end = bucketStart(b + 1)
+        val from = idx
+        while (idx < pending.size &&
+          pending(idx).stamp.start_time.getTime < end) idx += 1
+        val members = pending.slice(from, idx)
         val stamp =
           if (members.nonEmpty) Stamp.mergeAll(members.map(_.stamp))
           else Stamp(new java.sql.Timestamp(bucketStart(b)),
-            new java.sql.Timestamp(bucketStart(b + 1)), Map.empty)
+            new java.sql.Timestamp(end), Map.empty)
         out += WindowBatch(bucketStart(b) / 1000L, stamp,
           members.map(_.content))
         b += 1
       }
-      val kept = pending.filter(
-        _.stamp.start_time.getTime >= bucketStart(b))
-      state.update(GaplessState(o, b, maxSeen, kept))
+      state.update(GaplessState(o, b, maxSeen, pending.drop(idx)))
       out.iterator
     }
   }
