@@ -300,18 +300,15 @@ final class PubSub(val spark: SparkSession) {
         StatefulOps.countingWindows[T](1, 1)(ds)
       case CountingWindowPolicy(n, shift) =>
         StatefulOps.countingWindows[T](n, shift)(ds)
-      // Tumbling policies (compared by PARSED duration, so "1 minute" ==
-      // "60 seconds") go through the gapless sequencer so batch
-      // subscribers observe EMPTY windows between distant events — the
-      // reference buffer's sequence contract
-      // (selection_policy_test.go:146-201). Epoch-aligned to keep
-      // windowIds identical to the grouped-agg path.
-      case TemporalWindowPolicy(length, slide)
-          if PubSub.intervalMs(slide) == PubSub.intervalMs(length) =>
-        StatefulOps.temporalBatchesGapless[T](
-          PubSub.intervalMs(length), alignToEpoch = true)(ds)
+      // Temporal policies go through the gapless sequencer so batch
+      // subscribers observe the reference buffer's FULL window sequence
+      // — strict order, sliding overlap, and EMPTY windows between
+      // distant events (selection_policy_test.go:100-201). Epoch-aligned
+      // to keep windowIds identical to the grouped-agg path.
       case TemporalWindowPolicy(length, slide) =>
-        TemporalOps.temporalBatches[T](length, Some(slide))(ds)
+        StatefulOps.temporalBatchesGapless[T](
+          PubSub.intervalMs(length), PubSub.intervalMs(slide),
+          alignToEpoch = true)(ds)
     }
     val q = windows.writeStream
       .outputMode("append")

@@ -143,35 +143,39 @@ object StatefulOps {
       }
   }
 
-  /** Gapless tumbling temporal windows — emits EMPTY windows between
-    * distant events, the one temporal semantic Spark's grouped
-    * aggregation cannot express (a group with no rows never exists).
-    * Mirrors the reference's TemporalWindowPolicy sequence contract:
-    * consuming yields window 0, 1, 2, ... with no bucket skipped, empty
-    * buckets yielding an empty event array
-    * (selection_policy_test.go:146-201).
+  /** Gapless temporal windows — the full reference TemporalWindowPolicy
+    * sequence contract (selection_policy_test.go:100-232): windows
+    * [origin + k*slide, + length) delivered strictly in order, with
+    * EMPTY windows between distant events — the one temporal semantic
+    * Spark's grouped aggregation cannot express (a group with no rows
+    * never exists). slide == length tumbles, slide < length overlaps
+    * (an event appears in length/slide consecutive windows), slide >
+    * length hops with gaps (gap events dropped at trim, like the
+    * reference's pre-window skip).
     *
-    * Bucket anchoring: the reference policy is constructed with an
-    * explicit start time (the test anchors at e1's stamp); here `origin`
+    * Window anchoring: the reference policy is constructed with an
+    * explicit start time (its tests anchor at e1's stamp); here `origin`
     * defaults to the FIRST event's start_time. A window closes once an
     * event at/past its end is seen — the same data-driven punctuation as
-    * the grouped-agg path. Events earlier than the next open bucket are
+    * the grouped-agg path. Events earlier than the next open window are
     * dropped as late (reference: updateSelectionForBuffer,
     * selection_policy.go:583-596).
     *
-    * Empty windows carry the bucket's own bounds as their stamp (there
+    * Empty windows carry the window's own bounds as their stamp (there
     * are no member events to merge). Emission volume per trigger is
-    * gap/length — inherent to the semantics, not a buffering bug.
+    * gap/slide — inherent to the semantics, not a buffering bug.
     *
     * Scale stance: single logical group, like `countingWindows` — the
-    * reference's buffer is one sequential stream; state is O(open-bucket
-    * events), trimmed on every emit.
+    * reference's buffer is one sequential stream; state is O(open-window
+    * events), trimmed on every emit. Keyed variant below partitions.
     */
   def temporalBatchesGapless[T: TypeTag](lengthMs: Long,
+      slideMs: Long = 0L,
       origin: Option[Long] = None,
       alignToEpoch: Boolean = false)(
       ds: Dataset[EventEnvelope[T]]): Dataset[WindowBatch[T]] = {
-    require(lengthMs >= 1000,
+    val slide = if (slideMs <= 0) lengthMs else slideMs
+    require(lengthMs >= 1000 && slide >= 1000,
       "sub-second windows unsupported: windowId is epoch-seconds")
     implicit val encState: Encoder[GaplessState[T]] =
       ExpressionEncoder[GaplessState[T]]()
@@ -183,19 +187,21 @@ object StatefulOps {
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (_: Int, it: Iterator[EventEnvelope[T]],
          state: org.apache.spark.sql.streaming.GroupState[GaplessState[T]]) =>
-          processGapless(lengthMs, origin, alignToEpoch, it, state)
+          processGapless(lengthMs, slide, origin, alignToEpoch, it, state)
       }
   }
 
   /** Keyed gapless temporal windows — the horizontally scalable variant
-    * (one independent bucket sequence per key, state partitioned across
+    * (one independent window sequence per key, state partitioned across
     * executors), same shape as `countingWindowsByKey`.
     */
   def temporalBatchesGaplessByKey[T: TypeTag](lengthMs: Long,
+      slideMs: Long = 0L,
       origin: Option[Long] = None,
       alignToEpoch: Boolean = false)(key: EventEnvelope[T] => String)(
       ds: Dataset[EventEnvelope[T]]): Dataset[(String, WindowBatch[T])] = {
-    require(lengthMs >= 1000,
+    val slide = if (slideMs <= 0) lengthMs else slideMs
+    require(lengthMs >= 1000 && slide >= 1000,
       "sub-second windows unsupported: windowId is epoch-seconds")
     implicit val encState: Encoder[GaplessState[T]] =
       ExpressionEncoder[GaplessState[T]]()
@@ -207,15 +213,18 @@ object StatefulOps {
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (k: String, it: Iterator[EventEnvelope[T]],
          state: org.apache.spark.sql.streaming.GroupState[GaplessState[T]]) =>
-          processGapless(lengthMs, origin, alignToEpoch, it, state).map(k -> _)
+          processGapless(lengthMs, slide, origin, alignToEpoch, it, state)
+            .map(k -> _)
       }
   }
 
-  /** Shared sequencer step: buffer incoming, emit every bucket closed by
+  /** Shared sequencer step: buffer incoming, emit every window closed by
     * the max event time seen (including empty ones), trim, update state.
+    * Window b spans [origin + b*slide, + length).
     */
-  private def processGapless[T](lengthMs: Long, origin: Option[Long],
-      alignToEpoch: Boolean, it: Iterator[EventEnvelope[T]],
+  private def processGapless[T](lengthMs: Long, slideMs: Long,
+      origin: Option[Long], alignToEpoch: Boolean,
+      it: Iterator[EventEnvelope[T]],
       state: org.apache.spark.sql.streaming.GroupState[GaplessState[T]])
       : Iterator[WindowBatch[T]] = {
     val incoming = it.toSeq.sortBy(_.stamp.start_time.getTime)
@@ -228,44 +237,54 @@ object StatefulOps {
         // temporal operators; the default anchors at the first
         // event like the reference policy's explicit start time.
         val o = origin.getOrElse(
-          if (alignToEpoch) Math.floorDiv(first, lengthMs) * lengthMs
+          if (alignToEpoch) Math.floorDiv(first, slideMs) * slideMs
           else first)
         GaplessState[T](o, 0L, Long.MinValue, Seq.empty)
       }
       val o = st.originMs
-      def bucketStart(b: Long) = o + b * lengthMs
+      def winStart(b: Long) = o + b * slideMs
       val maxSeen = (st.maxSeenMs +: incoming.map(
         _.stamp.start_time.getTime)).max
-      // late = before the next open bucket; dropped like the ref.
+      // late = before the next open window; dropped like the ref.
       // Re-sort after appending: a later micro-batch can deliver events
       // that precede buffered ones, and both window member order and
       // mergeAll's later-wins meta union depend on event-time order.
       val pending = (st.buf ++ incoming.filter(
-        _.stamp.start_time.getTime >= bucketStart(st.nextBucket)))
+        _.stamp.start_time.getTime >= winStart(st.nextBucket)))
         .sortBy(_.stamp.start_time.getTime)
         .toIndexedSeq
-      // Single advancing index over the time-sorted buffer: emission is
-      // O(events + buckets) per trigger. (A per-bucket rescan is
-      // O(events x buckets) — ruinous when one trigger closes thousands
-      // of buckets, the long-gap case this operator exists for.)
+      // Two advancing indices over the time-sorted buffer: `base` tracks
+      // the current window's start, `idx` its end. Tumbling emission is
+      // O(events + windows) per trigger (a per-window rescan would be
+      // O(events x windows) — ruinous when one trigger closes thousands
+      // of windows, the long-gap case this operator exists for);
+      // overlapping windows additionally re-deliver each event in its
+      // length/slide windows, which is the output volume itself.
       val out = mutable.Buffer.empty[WindowBatch[T]]
       var b = st.nextBucket
+      var base = 0
       var idx = 0
-      while (bucketStart(b + 1) <= maxSeen) {
-        val end = bucketStart(b + 1)
-        val from = idx
+      while (winStart(b) + lengthMs <= maxSeen) {
+        val start = winStart(b)
+        val end = start + lengthMs
+        while (base < pending.size &&
+          pending(base).stamp.start_time.getTime < start) base += 1
+        if (idx < base) idx = base
         while (idx < pending.size &&
           pending(idx).stamp.start_time.getTime < end) idx += 1
-        val members = pending.slice(from, idx)
+        val members = pending.slice(base, idx)
         val stamp =
           if (members.nonEmpty) Stamp.mergeAll(members.map(_.stamp))
-          else Stamp(new java.sql.Timestamp(bucketStart(b)),
+          else Stamp(new java.sql.Timestamp(start),
             new java.sql.Timestamp(end), Map.empty)
-        out += WindowBatch(bucketStart(b) / 1000L, stamp,
-          members.map(_.content))
+        out += WindowBatch(start / 1000L, stamp, members.map(_.content))
         b += 1
       }
-      state.update(GaplessState(o, b, maxSeen, pending.drop(idx)))
+      // keep only events still visible to window b and beyond
+      var keep = 0
+      while (keep < pending.size &&
+        pending(keep).stamp.start_time.getTime < winStart(b)) keep += 1
+      state.update(GaplessState(o, b, maxSeen, pending.drop(keep)))
       out.iterator
     }
   }

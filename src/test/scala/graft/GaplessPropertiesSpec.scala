@@ -72,6 +72,36 @@ class GaplessPropertiesSpec extends AnyFunSuite with BeforeAndAfterAll {
     ps.close()
   }
 
+  test("sliding windows select and slide based on time " +
+      "(ref selection_policy_test.go:100-145, scaled 60x)") {
+    // reference: length 1h, slide 10m; e1@0, e2@10m, e3@65m, e4@24h.
+    // scaled: length 60s, slide 10s; expectations es1=[e1,e2],
+    // es2=[e2,e3], then e3 rides its remaining windows, then empties.
+    val ps = new PubSub(spark)
+    val topic = ps.topic[String]("gapless-slide")
+    val out = StatefulOps.temporalBatchesGapless[String](
+      60000L, 10000L)(topic.stream)
+    val batches = mutable.Buffer.empty[WindowBatch[String]]
+    val q = out.writeStream.outputMode("append")
+      .foreachBatch { (b: Dataset[WindowBatch[String]], _: Long) =>
+        batches.synchronized { batches ++= b.collect() }; ()
+      }.start()
+    def at(sec: Int, v: String) =
+      EventEnvelope.at(new Timestamp(base + sec * 1000L), v)
+    topic.publish(Seq(
+      at(0, "e1"), at(10, "e2"), at(65, "e3"), at(1440, "e4")))
+    q.processAllAvailable()
+    q.stop()
+    val ordered = batches.sortBy(_.windowId).map(_.events)
+    assert(ordered.head == Seq("e1", "e2"))       // [0,60)
+    assert(ordered(1) == Seq("e2", "e3"))         // [10,70)
+    assert((2 to 6).forall(ordered(_) == Seq("e3"))) // [20,80)..[60,120)
+    assert(ordered.drop(7).forall(_.isEmpty))     // gap until e4's window
+    // windows up to [1380,1440) closed by e4@1440 (exclusive end)
+    assert(ordered.size == 139)
+    ps.close()
+  }
+
   test("cross-micro-batch out-of-order events: members emitted in event-" +
       "time order, meta later-wins honored") {
     val ps = new PubSub(spark)
