@@ -147,15 +147,18 @@ object SimilarityQueries {
     "q_minhash_lsh" -> QueryDef(
       (s, dir) => {
         val sets = shingleSets(s, dir).cache()
-        // Materialize the signature before banding (lambda expressions get
-        // no CSE — inline, the 64-hash signature would be recomputed per
-        // band and per join side). At cluster scale this stage would be a
-        // checkpoint/parquet write instead of a cache.
+        // Materialize the BANDED projection (not the signature): one
+        // cached stage covers both self-join sides, which would
+        // otherwise each recompute scan -> shingles -> 64-hash signature
+        // (native expressions evaluate per reference, no cross-plan
+        // CSE). At cluster scale this stage would be a checkpoint /
+        // parquet write instead of a cache.
         val sigs = sets.select(col("doc_id"),
-          HashFunctions.minhashSignature(col("sh"), 64).as("sig")).cache()
+          HashFunctions.minhashSignature(col("sh"), 64).as("sig"))
         val banded = sigs.select(col("doc_id"),
           explode(HashFunctions.lshBands(col("sig"), 16, 4)).as("bh"))
           .select(col("doc_id"), col("bh.band"), col("bh.h"))
+          .cache()
         val cands = banded.as("x").join(banded.as("y"),
             col("x.band") === col("y.band") && col("x.h") === col("y.h") &&
               col("x.doc_id") < col("y.doc_id"))
