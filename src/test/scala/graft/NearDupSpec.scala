@@ -58,6 +58,15 @@ class NearDupSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out.map(r => (r._1, r._2)).toSet == planted)
   }
 
+  test("pair set is invariant under input partitioning") {
+    val once = Ann.nearDupPairs(corpus, Dim, threshold = 0.4)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    val repart = Ann.nearDupPairs(corpus.repartition(7), Dim, threshold = 0.4)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    assert(once == repart)
+    assert(once.nonEmpty)
+  }
+
   test("the fixture-threshold configuration also verifies exactly") {
     // q_embed_neardup's shape: moderate threshold, same plan. Every
     // emitted pair's score must equal the exact (rounded) cosine.
