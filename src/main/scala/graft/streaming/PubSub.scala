@@ -303,12 +303,21 @@ final class PubSub(val spark: SparkSession) {
       // Temporal policies go through the gapless sequencer so batch
       // subscribers observe the reference buffer's FULL window sequence
       // — strict order, sliding overlap, and EMPTY windows between
-      // distant events (selection_policy_test.go:100-201). Epoch-aligned
-      // to keep windowIds identical to the grouped-agg path.
+      // distant events (selection_policy_test.go:100-201). Like the
+      // counting policies above, this is deliberate single-sequence
+      // parity with the reference's one-buffer-per-stream model; for
+      // horizontally scaled consumption use the keyed sequencer or the
+      // distributed grouped-agg operators (TemporalOps) directly.
+      // alignToEpoch puts window STARTS on window()'s epoch-floored
+      // grid; note the sequence still begins at the first event's
+      // window, so the grouped-agg path may emit earlier partial
+      // windows for the very first events that this path does not.
       case TemporalWindowPolicy(length, slide) =>
+        val slideMs = PubSub.intervalMs(slide)
+        require(slideMs > 0,
+          s"temporal policy slide must be positive, got '$slide'")
         StatefulOps.temporalBatchesGapless[T](
-          PubSub.intervalMs(length), PubSub.intervalMs(slide),
-          alignToEpoch = true)(ds)
+          PubSub.intervalMs(length), slideMs, alignToEpoch = true)(ds)
     }
     val q = windows.writeStream
       .outputMode("append")

@@ -24,9 +24,11 @@ final case class WindowBatch[T](windowId: Long, stamp: Stamp, events: Seq[T])
 final case class CountingState[T](
     seen: Long, head: Long, win: Long, buf: Seq[EventEnvelope[T]])
 
-/** State of the gapless temporal sequencer: bucket origin (ms), the next
-  * bucket index not yet emitted, the max event time seen (the data-driven
-  * punctuation mark), and the still-open buffered events.
+/** State of the gapless temporal sequencer: window-grid origin (ms), the
+  * next WINDOW index not yet emitted (window b starts at
+  * origin + b * slide — slide-multiples, not length-multiples), the max
+  * event time seen (the data-driven punctuation mark), and the buffered
+  * events still visible to unemitted windows.
   */
 final case class GaplessState[T](
     originMs: Long, nextBucket: Long, maxSeenMs: Long,
@@ -174,7 +176,8 @@ object StatefulOps {
       origin: Option[Long] = None,
       alignToEpoch: Boolean = false)(
       ds: Dataset[EventEnvelope[T]]): Dataset[WindowBatch[T]] = {
-    val slide = if (slideMs <= 0) lengthMs else slideMs
+    require(slideMs >= 0, "slide must be non-negative (0 = tumbling)")
+    val slide = if (slideMs == 0) lengthMs else slideMs
     require(lengthMs >= 1000 && slide >= 1000,
       "sub-second windows unsupported: windowId is epoch-seconds")
     implicit val encState: Encoder[GaplessState[T]] =
@@ -200,7 +203,8 @@ object StatefulOps {
       origin: Option[Long] = None,
       alignToEpoch: Boolean = false)(key: EventEnvelope[T] => String)(
       ds: Dataset[EventEnvelope[T]]): Dataset[(String, WindowBatch[T])] = {
-    val slide = if (slideMs <= 0) lengthMs else slideMs
+    require(slideMs >= 0, "slide must be non-negative (0 = tumbling)")
+    val slide = if (slideMs == 0) lengthMs else slideMs
     require(lengthMs >= 1000 && slide >= 1000,
       "sub-second windows unsupported: windowId is epoch-seconds")
     implicit val encState: Encoder[GaplessState[T]] =

@@ -104,6 +104,15 @@ object TemporalOps {
     * one WindowBatch (the unit handed to the reference's pipeline
     * operators and batch subscribers, operator_engine.go:88-92). windowId
     * is the bucket's epoch-second start.
+    *
+    * This is the DISTRIBUTED grouped-agg form: map-side partials, state
+    * partitioned by window — but it cannot emit empty windows and gives
+    * no cross-window ordering guarantee. Batch subscriptions route
+    * through `StatefulOps.temporalBatchesGapless` instead for the
+    * reference buffer's exact sequence; use this form directly when
+    * empty windows don't matter and horizontal scale does.
+    * GaplessParity in GaplessPropertiesSpec pins that both forms agree
+    * on every OCCUPIED window.
     */
   def temporalBatches[T: TypeTag](length: String,
       slide: Option[String] = None)(

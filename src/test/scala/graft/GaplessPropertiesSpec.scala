@@ -166,6 +166,39 @@ class GaplessPropertiesSpec extends AnyFunSuite with BeforeAndAfterAll {
     ps.close()
   }
 
+  test("grouped-agg temporalBatches agrees with the sequencer on every " +
+      "occupied window (GaplessParity)") {
+    val ps = new PubSub(spark)
+    val t1 = ps.topic[String]("parity-agg")
+    val t2 = ps.topic[String]("parity-seq")
+    def at(sec: Int, v: String, m: Map[String, String] = Map.empty) =
+      EventEnvelope.at(new Timestamp(base + sec * 1000L), v, m)
+    // meta collision inside a window exercises the later-wins fold of
+    // both implementations
+    val evs = Seq(
+      at(1, "a", Map("k" -> "early")), at(4, "b", Map("k" -> "late")),
+      at(12, "c"), at(47, "d"), at(60, "trigger"))
+    def collect(out: Dataset[WindowBatch[String]],
+        topic: graft.streaming.Topic[String]): Seq[WindowBatch[String]] = {
+      val buf = mutable.Buffer.empty[WindowBatch[String]]
+      val q = out.writeStream.outputMode("append")
+        .foreachBatch { (b: Dataset[WindowBatch[String]], _: Long) =>
+          buf.synchronized { buf ++= b.collect() }; ()
+        }.start()
+      topic.publish(evs); q.processAllAvailable(); q.stop()
+      buf.sortBy(_.windowId).toSeq
+    }
+    val agg = collect(
+      TemporalOps.temporalBatches[String]("10 seconds")(t1.stream), t1)
+    val seq = collect(StatefulOps.temporalBatchesGapless[String](
+      10000L, alignToEpoch = true)(t2.stream), t2)
+    val occupied = seq.filter(_.events.nonEmpty)
+    assert(agg.map(_.windowId) == occupied.map(_.windowId))
+    assert(agg.map(_.events) == occupied.map(_.events))
+    assert(agg.map(_.stamp) == occupied.map(_.stamp))
+    ps.close()
+  }
+
   test("keyed variant: independent contiguous sequences per key") {
     val ps = new PubSub(spark)
     val topic = ps.topic[String]("gapless-keyed")
