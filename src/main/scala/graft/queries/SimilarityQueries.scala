@@ -138,6 +138,24 @@ object SimilarityQueries {
       Some(jaccardOracle(JaccardThreshold)),
       bench = true),
 
+    // Near-dup CONSOLIDATION: connected components over the exact-pair
+    // graph — the step that turns matched pairs into a dedup decision
+    // (component_id = min doc id of the duplicate cluster; keep one doc
+    // per component). Iterative min-label propagation, each round one
+    // join + one min-agg, O(cluster diameter) rounds; oracle is a
+    // recursive CTE computing the same min-reachable-id fixpoint.
+    "q_neardup_components" -> QueryDef(
+      (s, dir) => graft.operators.Components.connectedComponents(
+        jaccardPairs(s, dir).where(col("j") >= JaccardThreshold)
+          .select(col("a"), col("b"))),
+      Some(s"""WITH RECURSIVE pairs AS (${jaccardOracle(JaccardThreshold)}),
+        edges AS (SELECT a, b FROM pairs UNION SELECT b AS a, a AS b FROM pairs),
+        reach(doc_id, lab) AS (
+          SELECT a, a FROM edges
+          UNION
+          SELECT e.a, r.lab FROM edges e JOIN reach r ON e.b = r.doc_id)
+        SELECT doc_id, min(lab) AS component_id FROM reach GROUP BY doc_id""")),
+
     // MinHash + LSH banding (64 perms, 16 bands x 4 rows), candidates
     // verified with exact Jaccard. Seeded affine hash family — output is
     // deterministic, but xxhash64 is not reproducible in DuckDB, so this
