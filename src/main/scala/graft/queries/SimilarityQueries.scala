@@ -156,6 +156,31 @@ object SimilarityQueries {
           SELECT e.a, r.lab FROM edges e JOIN reach r ON e.b = r.doc_id)
         SELECT doc_id, min(lab) AS component_id FROM reach GROUP BY doc_id""")),
 
+    // The dedup DECISION artifact: the kept corpus after near-dup
+    // consolidation — drop every document that is in a duplicate
+    // cluster but is not its min-id representative. This is the query a
+    // training-data pipeline actually materializes.
+    "q_dedup_keepers" -> QueryDef(
+      (s, dir) => {
+        val drop = graft.operators.Components.connectedComponents(
+          jaccardPairs(s, dir).where(col("j") >= JaccardThreshold)
+            .select(col("a"), col("b")))
+          .where(col("doc_id") =!= col("component_id"))
+        Tables.load(s, dir, "documents")
+          .join(drop, Seq("doc_id"), "left_anti")
+          .select(col("doc_id"))
+      },
+      Some(s"""WITH RECURSIVE pairs AS (${jaccardOracle(JaccardThreshold)}),
+        edges AS (SELECT a, b FROM pairs UNION SELECT b AS a, a AS b FROM pairs),
+        reach(doc_id, lab) AS (
+          SELECT a, a FROM edges
+          UNION
+          SELECT e.a, r.lab FROM edges e JOIN reach r ON e.b = r.doc_id),
+        comp AS (
+          SELECT doc_id, min(lab) AS component_id FROM reach GROUP BY doc_id)
+        SELECT doc_id FROM documents WHERE doc_id NOT IN (
+          SELECT doc_id FROM comp WHERE doc_id <> component_id)""")),
+
     // MinHash + LSH banding (64 perms, 16 bands x 4 rows), candidates
     // verified with exact Jaccard. Seeded affine hash family — output is
     // deterministic, but xxhash64 is not reproducible in DuckDB, so this
