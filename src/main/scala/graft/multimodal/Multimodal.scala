@@ -1,93 +1,239 @@
 package graft.multimodal
 
+import java.io.ByteArrayInputStream
+
 import org.apache.spark.sql.{DataFrame, Dataset, Encoder, Encoders}
 import org.apache.spark.sql.functions._
 
 /** Multimodal columns: image/audio/video as opaque binary payloads with
-  * typed metadata, processed by per-partition "decoders".
+  * typed metadata, processed by per-partition codec instances.
   *
-  * The DECODE MATH here is a deliberate, clearly-marked STUB (this
-  * container has no image/audio codecs): `FakeDecoder` derives
-  * deterministic features from the bytes. Everything around it — the
-  * schema, the typed Dataset plumbing, the mapPartitions batching with
-  * one decoder instance per partition, the frame-sampling explode — is
-  * the real production shape: at 100 TB you swap `FakeDecoder` for a JNI
-  * codec and nothing else changes.
+  * The media fixture is REAL encoded media: images/videos are 24-bit
+  * uncompressed BMP files (written by [[MediaCodecs.encodeBmp]]), audio is
+  * 16-bit PCM mono WAV (written by [[MediaCodecs.encodeWav]]). The decode
+  * path runs the JDK's actual codecs — `javax.imageio.ImageIO` for BMP,
+  * `javax.sound.sampled.AudioSystem` for WAV — NOT a stub. Because the
+  * encoded content is a pure function of (media_id, unit index), both the
+  * exact file byte length and the exact per-pixel/per-sample statistics
+  * are closed-form SQL, so the full encode→decode round trip is
+  * oracle-checked by DuckDB (q_media_meta, q_media_features).
   *
   * Scale notes:
-  *  - One decoder per PARTITION, not per row (mapPartitions): codec/model
-  *    init is amortized over ~maxPartitionBytes of media.
+  *  - One codec instance per PARTITION, not per row (mapPartitions):
+  *    codec/model init is amortized over ~maxPartitionBytes of media. At
+  *    100 TB the fixture generator is replaced by a parquet scan of real
+  *    payloads and `MediaDecoder` by a JNI codec — the Spark plumbing
+  *    (schema, batching, partitioning) is unchanged.
   *  - Binary payloads stay columnar in parquet; metadata-only transforms
-  *    (resize plan, frame index computation) never touch the bytes, so
-  *    column pruning keeps them off the wire.
+  *    (resize plan, frame index computation) work on [[Multimodal.mediaTable]]
+  *    which carries NO bytes column at all, so the payload never reaches
+  *    the wire for those queries.
   */
 final case class MediaMeta(
     format: String, width: Int, height: Int, durationMs: Long)
 
+/** Metadata-only row describing one media object to encode (`n_samples`
+  * is the PCM sample budget for audio rows; ignored for bmp rows).
+  */
+final case class MediaSpec(
+    media_id: Long, kind: String, meta: MediaMeta, n_samples: Long)
+
 final case class MediaRecord(
     media_id: Long, kind: String, bytes: Array[Byte], meta: MediaMeta)
 
-final case class MediaFeatures(media_id: Long, features: Array[Float])
-
-final case class MediaFrame(
-    media_id: Long, frame_idx: Int, frame_ts_ms: Long)
-
-/** STUB decoder — stands in for a real image/audio codec. Deterministic:
-  * feature i is a 64-bit FNV-1a hash of (bytes, i) scaled into [0, 1).
+/** Exact integer decode statistics over the media's units (pixels for
+  * bmp, samples for wav) — oracle-comparable, no floating point.
   */
-final class FakeDecoder private () {
-  def features(bytes: Array[Byte], dim: Int): Array[Float] =
-    Array.tabulate(dim) { i =>
-      var h = 0xcbf29ce484222325L ^ i.toLong
-      var j = 0
-      while (j < bytes.length) {
-        h ^= bytes(j); h *= 0x100000001b3L; j += 1
+final case class MediaStats(
+    media_id: Long, unit_count: Long, unit_sum: Long,
+    unit_min: Long, unit_max: Long)
+
+/** Deterministic encoders for the two container formats plus their
+  * closed-form size arithmetic (mirrored in the DuckDB oracles).
+  */
+object MediaCodecs {
+
+  /** Content functions: unit i of media `id`. Pure integer arithmetic so
+    * DuckDB reproduces them exactly.
+    */
+  def pixelValue(id: Long, i: Long): Int = ((id * 31 + i * 7) % 256).toInt
+  def sampleValue(id: Long, i: Long): Int =
+    ((id * 31 + i * 7) % 4096).toInt - 2048
+
+  /** 24-bit BMP row stride is padded to a 4-byte boundary. */
+  def bmpRowSize(w: Int): Int = ((3 * w + 3) / 4) * 4
+  def bmpByteLen(w: Int, h: Int): Int = 54 + bmpRowSize(w) * h
+  def wavByteLen(n: Long): Long = 44 + 2 * n
+
+  private def putInt(b: Array[Byte], off: Int, v: Int): Unit = {
+    b(off) = v.toByte; b(off + 1) = (v >> 8).toByte
+    b(off + 2) = (v >> 16).toByte; b(off + 3) = (v >> 24).toByte
+  }
+
+  /** A complete, valid 24-bit uncompressed (BI_RGB) BMP: 14-byte file
+    * header + 40-byte BITMAPINFOHEADER + bottom-up padded BGR rows.
+    * Gray pixel at row-major index i = y*w + x carries `pixel(i)`.
+    */
+  def encodeBmp(id: Long, w: Int, h: Int): Array[Byte] = {
+    val rowSize = bmpRowSize(w)
+    val dataSize = rowSize * h
+    val b = new Array[Byte](54 + dataSize)
+    b(0) = 'B'; b(1) = 'M'
+    putInt(b, 2, 54 + dataSize); putInt(b, 10, 54)
+    putInt(b, 14, 40); putInt(b, 18, w); putInt(b, 22, h)
+    b(26) = 1; b(28) = 24 // planes=1, bpp=24, compression=0 (BI_RGB)
+    putInt(b, 34, dataSize)
+    putInt(b, 38, 2835); putInt(b, 42, 2835) // 72 dpi
+    var y = 0
+    while (y < h) {
+      val rowOff = 54 + (h - 1 - y) * rowSize // bottom-up storage
+      var x = 0
+      while (x < w) {
+        val v = pixelValue(id, y.toLong * w + x).toByte
+        val o = rowOff + 3 * x
+        b(o) = v; b(o + 1) = v; b(o + 2) = v
+        x += 1
       }
-      ((h >>> 11) % 1000000L).toFloat / 1000000.0f
+      y += 1
     }
+    b
+  }
+
+  /** A complete RIFF/WAVE container: PCM_SIGNED, 16-bit little-endian,
+    * mono, 8 kHz; sample i carries `sampleValue(id, i)`.
+    */
+  def encodeWav(id: Long, n: Int): Array[Byte] = {
+    val b = new Array[Byte](44 + 2 * n)
+    b(0) = 'R'; b(1) = 'I'; b(2) = 'F'; b(3) = 'F'
+    putInt(b, 4, 36 + 2 * n)
+    b(8) = 'W'; b(9) = 'A'; b(10) = 'V'; b(11) = 'E'
+    b(12) = 'f'; b(13) = 'm'; b(14) = 't'; b(15) = ' '
+    putInt(b, 16, 16)
+    b(20) = 1; b(22) = 1 // PCM, mono
+    putInt(b, 24, 8000); putInt(b, 28, 16000) // rate, byte rate
+    b(32) = 2; b(34) = 16 // block align, bits
+    b(36) = 'd'; b(37) = 'a'; b(38) = 't'; b(39) = 'a'
+    putInt(b, 40, 2 * n)
+    var i = 0
+    while (i < n) {
+      val s = sampleValue(id, i)
+      b(44 + 2 * i) = s.toByte; b(45 + 2 * i) = (s >> 8).toByte
+      i += 1
+    }
+    b
+  }
 }
 
-object FakeDecoder {
-  /** Per-partition "open" — the hook where a real codec would load. */
-  def open(): FakeDecoder = new FakeDecoder()
+/** Real decode via the JDK codecs. One instance per partition (the
+  * `open()` hook is where a heavyweight codec/model would load once and
+  * be reused for every row of the partition).
+  */
+final class MediaDecoder private () {
+
+  /** Exact integer stats over decoded units: pixels (gray = blue channel
+    * of the decoded ARGB) for bmp media, 16-bit samples for wav.
+    */
+  def stats(r: MediaRecord): MediaStats = r.meta.format match {
+    case "wav" =>
+      val ais = javax.sound.sampled.AudioSystem
+        .getAudioInputStream(new ByteArrayInputStream(r.bytes))
+      val data = ais.readAllBytes()
+      ais.close()
+      val n = data.length / 2
+      var i = 0; var sum = 0L
+      var min = Long.MaxValue; var max = Long.MinValue
+      while (i < n) {
+        val s = ((data(2 * i) & 0xff) | (data(2 * i + 1) << 8)).toShort.toLong
+        sum += s; if (s < min) min = s; if (s > max) max = s
+        i += 1
+      }
+      MediaStats(r.media_id, n.toLong, sum, min, max)
+    case _ =>
+      val img = javax.imageio.ImageIO.read(new ByteArrayInputStream(r.bytes))
+      require(img != null, s"undecodable bmp payload for media ${r.media_id}")
+      val (w, h) = (img.getWidth, img.getHeight)
+      var sum = 0L; var min = Long.MaxValue; var max = Long.MinValue
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val v = (img.getRGB(x, y) & 0xff).toLong
+          sum += v; if (v < min) min = v; if (v > max) max = v
+          x += 1
+        }
+        y += 1
+      }
+      MediaStats(r.media_id, w.toLong * h, sum, min, max)
+  }
+}
+
+object MediaDecoder {
+  /** Per-partition "open" — the hook where a real heavyweight codec
+    * would initialize.
+    */
+  def open(): MediaDecoder = {
+    // ImageIO must not try to reach a display pipeline on executors.
+    System.setProperty("java.awt.headless", "true")
+    new MediaDecoder()
+  }
 }
 
 object Multimodal {
 
+  implicit private val encSpec: Encoder[MediaSpec] =
+    Encoders.product[MediaSpec]
   implicit private val encRecord: Encoder[MediaRecord] =
     Encoders.product[MediaRecord]
-  implicit private val encFeatures: Encoder[MediaFeatures] =
-    Encoders.product[MediaFeatures]
+  implicit private val encStats: Encoder[MediaStats] =
+    Encoders.product[MediaStats]
 
-  /** Derive a deterministic media table from the documents fixture: the
-    * payload is the utf-8 text (a stand-in blob); metadata is a pure
-    * function of doc fields so the DuckDB oracle can reproduce it.
+  /** Metadata-only media table derived from the documents fixture — NO
+    * bytes column, so metadata queries (frames, resize plans) prune the
+    * payload entirely. All fields are pure column expressions the DuckDB
+    * oracle reproduces.
     */
-  def mediaFromDocuments(docs: DataFrame): DataFrame =
+  def mediaTable(docs: DataFrame): DataFrame =
     docs.select(
       col("doc_id").as("media_id"),
       element_at(array(lit("image"), lit("audio"), lit("video")),
         (col("doc_id") % 3 + 1).cast("int")).as("kind"),
-      encode(col("text"), "UTF-8").as("bytes"),
       struct(
-        lit("raw").as("format"),
-        (lit(64) + (col("n_chars") % 64) * 8).cast("int").as("width"),
-        (lit(64) + (col("n_chars") % 48) * 8).cast("int").as("height"),
-        (col("n_chars") * 20).cast("long").as("durationMs")).as("meta"))
+        when(col("doc_id") % 3 === 1, lit("wav")).otherwise(lit("bmp"))
+          .as("format"),
+        (lit(16) + (col("n_chars") % 16) * 2).cast("int").as("width"),
+        (lit(16) + (col("n_chars") % 12) * 2).cast("int").as("height"),
+        (col("n_chars") * 20).cast("long").as("durationMs")).as("meta"),
+      (col("n_chars") + 16).cast("long").as("n_samples"))
 
-  /** Batched feature extraction: one decoder per partition, features as
-    * array<float> — the UDF signature and batch shape of a real decode
-    * stage.
+  /** Materialize real encoded payloads (BMP for image/video, WAV for
+    * audio) — one encoder pass per partition. Fixture-generation stage:
+    * at production scale the bytes arrive from parquet instead and this
+    * stage disappears; everything downstream is unchanged.
     */
-  def extractFeatures(media: Dataset[MediaRecord], dim: Int): Dataset[MediaFeatures] =
-    media.mapPartitions { it =>
-      val decoder = FakeDecoder.open() // once per partition
-      it.map(r => MediaFeatures(r.media_id, decoder.features(r.bytes, dim)))
+  def encodeMedia(table: DataFrame): Dataset[MediaRecord] =
+    table.as[MediaSpec].mapPartitions { it =>
+      it.map { s =>
+        val bytes =
+          if (s.meta.format == "wav")
+            MediaCodecs.encodeWav(s.media_id, s.n_samples.toInt)
+          else MediaCodecs.encodeBmp(s.media_id, s.meta.width, s.meta.height)
+        MediaRecord(s.media_id, s.kind, bytes, s.meta)
+      }
     }
 
-  /** Resize plan: metadata-only transform — bytes column untouched, so
-    * parquet column pruning skips the payload entirely when downstream
-    * only reads metadata.
+  /** Batched real decode: one JDK codec instance per partition, exact
+    * integer stats out — the UDF signature and batch shape of a real
+    * decode stage, with oracle-checkable output.
+    */
+  def decodeStats(media: Dataset[MediaRecord]): Dataset[MediaStats] =
+    media.mapPartitions { it =>
+      val decoder = MediaDecoder.open() // once per partition
+      it.map(decoder.stats)
+    }
+
+  /** Resize plan: metadata-only transform — payload column (if any)
+    * untouched, so parquet column pruning skips it entirely when
+    * downstream only reads metadata.
     */
   def resizePlan(media: DataFrame, w: Int, h: Int): DataFrame =
     media.withColumn("meta",

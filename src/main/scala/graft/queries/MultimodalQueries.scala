@@ -2,20 +2,26 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 
-import graft.multimodal.{MediaRecord, Multimodal}
+import graft.multimodal.Multimodal
 
-/** Multimodal-pipeline queries over the synthetic media table derived
-  * from `documents` (payload = utf-8 text; metadata = pure function of
-  * doc fields, so the metadata path is fully oracle-checked while the
-  * stubbed byte-decode path is rows-only).
+/** Multimodal-pipeline queries over real encoded media (24-bit BMP for
+  * image/video, 16-bit PCM WAV for audio) derived deterministically from
+  * `documents`. Because the encoded content is a pure function of
+  * (media_id, unit index), DuckDB predicts the exact container byte
+  * lengths (q_media_meta) and the exact decoded pixel/sample statistics
+  * (q_media_features) in closed form — so the whole encode→JDK-decode
+  * round trip is oracle-checked, not just the plumbing.
   */
 object MultimodalQueries {
 
   def defs: Map[String, QueryDef] = Map(
-    // Metadata path: schema + derivations, no byte access — oracle-checked.
+    // Container metadata + MEASURED byte length of the real encoded
+    // payload vs DuckDB's closed-form BMP/WAV size arithmetic: a hash
+    // match proves the writers emit exactly the documented file layout.
     "q_media_meta" -> QueryDef(
-      (s, dir) => Multimodal.mediaFromDocuments(
-        Tables.load(s, dir, "documents"))
+      (s, dir) => Multimodal.encodeMedia(
+        Multimodal.mediaTable(Tables.load(s, dir, "documents")))
+        .toDF()
         .select(col("media_id"), col("kind"),
           length(col("bytes")).cast("long").as("byte_len"),
           col("meta.width").as("width"),
@@ -23,37 +29,54 @@ object MultimodalQueries {
           col("meta.durationMs").as("duration_ms")),
       Some("""SELECT doc_id AS media_id,
         ['image', 'audio', 'video'][CAST(doc_id % 3 + 1 AS INTEGER)] AS kind,
-        CAST(strlen(text) AS BIGINT) AS byte_len,
-        CAST(64 + (n_chars % 64) * 8 AS INTEGER) AS width,
-        CAST(64 + (n_chars % 48) * 8 AS INTEGER) AS height,
+        CAST(CASE WHEN doc_id % 3 = 1 THEN 44 + 2 * (n_chars + 16)
+             ELSE 54 + ((3 * (16 + (n_chars % 16) * 2) + 3) // 4) * 4
+                       * (16 + (n_chars % 12) * 2) END AS BIGINT) AS byte_len,
+        CAST(16 + (n_chars % 16) * 2 AS INTEGER) AS width,
+        CAST(16 + (n_chars % 12) * 2 AS INTEGER) AS height,
         CAST(n_chars * 20 AS BIGINT) AS duration_ms
         FROM documents""")),
 
     // Frame sampling: explode over deterministic frame indices —
-    // oracle-checked, bytes never read (column pruning keeps the payload
-    // out of the scan).
+    // oracle-checked, bytes never materialized (the metadata-only media
+    // table carries no payload column at all).
     "q_media_frames" -> QueryDef(
       (s, dir) => Multimodal.sampleFrames(
-        Multimodal.mediaFromDocuments(Tables.load(s, dir, "documents")),
+        Multimodal.mediaTable(Tables.load(s, dir, "documents")),
         1000L),
       Some("""SELECT doc_id AS media_id,
         CAST(unnest(generate_series(0, CAST(floor((n_chars * 20 - 1) / 1000) AS BIGINT))) AS INTEGER) AS frame_idx,
         unnest(generate_series(0, CAST(floor((n_chars * 20 - 1) / 1000) AS BIGINT))) * 1000 AS frame_ts_ms
         FROM documents WHERE doc_id % 3 = 2""")),
 
-    // Byte-decode path through the per-partition stub decoder: rows-only
-    // check (the FNV feature math runs JVM-side, not in SQL).
+    // Full decode path through the JDK codecs (ImageIO for BMP,
+    // AudioSystem for WAV), one codec instance per partition: exact
+    // integer unit stats, matched against DuckDB's closed-form
+    // reconstruction of the encoded content.
     "q_media_features" -> QueryDef(
-      (s, dir) => {
-        import org.apache.spark.sql.Encoders
-        val media = Multimodal.mediaFromDocuments(
-          Tables.load(s, dir, "documents"))
-          .as[MediaRecord](Encoders.product[MediaRecord])
-        Multimodal.extractFeatures(media, 8).toDF()
-          .select(col("media_id"),
-            Det.r4(graft.functions.VectorFunctions.norm(col("features")))
-              .as("feature_norm"))
-      },
-      None,
+      (s, dir) => Multimodal.decodeStats(
+        Multimodal.encodeMedia(
+          Multimodal.mediaTable(Tables.load(s, dir, "documents"))))
+        .toDF(),
+      Some("""WITH m AS (
+          SELECT doc_id, doc_id % 3 AS k,
+            CASE WHEN doc_id % 3 = 1 THEN n_chars + 16
+                 ELSE (16 + (n_chars % 16) * 2) * (16 + (n_chars % 12) * 2)
+            END AS n_units
+          FROM documents),
+        u AS (
+          SELECT doc_id, k, unnest(generate_series(0, n_units - 1)) AS i
+          FROM m),
+        v AS (
+          SELECT doc_id,
+            CASE WHEN k = 1 THEN (doc_id * 31 + i * 7) % 4096 - 2048
+                 ELSE (doc_id * 31 + i * 7) % 256 END AS val
+          FROM u)
+        SELECT doc_id AS media_id,
+          CAST(count(*) AS BIGINT) AS unit_count,
+          CAST(sum(val) AS BIGINT) AS unit_sum,
+          CAST(min(val) AS BIGINT) AS unit_min,
+          CAST(max(val) AS BIGINT) AS unit_max
+        FROM v GROUP BY doc_id"""),
       bench = true))
 }

@@ -1,6 +1,8 @@
 package graft
 
-import org.apache.spark.sql.{Encoders, SparkSession}
+import java.io.ByteArrayInputStream
+
+import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 import org.scalatest.BeforeAndAfterAll
 import org.scalatest.funsuite.AnyFunSuite
@@ -8,8 +10,9 @@ import org.scalatest.funsuite.AnyFunSuite
 import graft.core.Sessions
 import graft.multimodal._
 
-/** Multimodal plumbing: schema, per-partition decode, determinism,
-  * metadata-only transforms.
+/** Multimodal: real-codec round trips (encoders vs the JDK's ImageIO /
+  * AudioSystem decoders), per-partition decode determinism, metadata-only
+  * transforms.
   */
 class MultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
 
@@ -26,28 +29,69 @@ class MultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
     (5L, "another video here", 18L))
     .toDF("doc_id", "text", "n_chars")
 
-  test("media table schema: binary payload + typed metadata") {
-    val m = Multimodal.mediaFromDocuments(docs)
-    assert(m.schema("bytes").dataType.typeName == "binary")
-    val row = m.where(col("media_id") === 0).select("kind", "meta.width").head()
-    assert(row.getString(0) == "image") // 0 % 3
-    // width = 64 + (11 % 64) * 8 = 152
-    assert(row.getInt(1) == 152)
+  test("bmp encoder round-trips pixel-exact through javax.imageio") {
+    val (id, w, h) = (7L, 20, 18)
+    val img = javax.imageio.ImageIO.read(
+      new ByteArrayInputStream(MediaCodecs.encodeBmp(id, w, h)))
+    assert(img != null && img.getWidth == w && img.getHeight == h)
+    for (y <- 0 until h; x <- 0 until w) {
+      val got = img.getRGB(x, y) & 0xff
+      assert(got == MediaCodecs.pixelValue(id, y.toLong * w + x),
+        s"pixel ($x,$y)")
+    }
+    assert(MediaCodecs.encodeBmp(id, w, h).length ==
+      MediaCodecs.bmpByteLen(w, h))
   }
 
-  test("feature extraction is deterministic and batched per partition") {
-    val media = Multimodal.mediaFromDocuments(docs)
-      .as[MediaRecord](Encoders.product[MediaRecord])
-    val f1 = Multimodal.extractFeatures(media, 8).collect()
-      .map(f => f.media_id -> f.features.toSeq).toMap
-    val f2 = Multimodal.extractFeatures(media.repartition(3), 8).collect()
-      .map(f => f.media_id -> f.features.toSeq).toMap
-    assert(f1 == f2) // partitioning must not change decode output
-    assert(f1(0L).size == 8 && f1.values.flatten.forall(v => v >= 0 && v < 1))
+  test("wav encoder round-trips sample-exact through javax.sound.sampled") {
+    val (id, n) = (7L, 100)
+    val bytes = MediaCodecs.encodeWav(id, n)
+    assert(bytes.length == MediaCodecs.wavByteLen(n.toLong))
+    val ais = javax.sound.sampled.AudioSystem
+      .getAudioInputStream(new ByteArrayInputStream(bytes))
+    assert(ais.getFormat.getSampleRate == 8000f)
+    val data = ais.readAllBytes()
+    assert(data.length == 2 * n)
+    for (i <- 0 until n) {
+      val s = ((data(2 * i) & 0xff) | (data(2 * i + 1) << 8)).toShort.toInt
+      assert(s == MediaCodecs.sampleValue(id, i.toLong), s"sample $i")
+    }
+  }
+
+  test("media table is metadata-only with typed meta; encode adds real bytes") {
+    val m = Multimodal.mediaTable(docs)
+    assert(!m.columns.contains("bytes")) // payload never scanned for metadata work
+    val row = m.where(col("media_id") === 0).select("kind", "meta.width").head()
+    assert(row.getString(0) == "image") // 0 % 3
+    assert(row.getInt(1) == 16 + (11 % 16) * 2) // = 38
+    val enc = Multimodal.encodeMedia(m)
+    assert(enc.schema("bytes").dataType.typeName == "binary")
+    // audio row (doc 1): WAV container size = 44 + 2*(3+16)
+    val wavLen = enc.filter(_.kind == "audio").head().bytes.length
+    assert(wavLen == 44 + 2 * 19)
+  }
+
+  test("decode stats are exact and invariant under repartitioning") {
+    val media = Multimodal.encodeMedia(Multimodal.mediaTable(docs))
+    val s1 = Multimodal.decodeStats(media).collect()
+      .map(s => s.media_id -> s).toMap
+    val s2 = Multimodal.decodeStats(media.repartition(3)).collect()
+      .map(s => s.media_id -> s).toMap
+    assert(s1 == s2) // partitioning must not change decode output
+    // doc 0: image 38x38 px (w = 16+(11%16)*2, h = 16+(11%12)*2);
+    // recompute stats directly from the generator
+    val (w, h) = (38, 38)
+    val vals = (0L until w.toLong * h).map(MediaCodecs.pixelValue(0L, _))
+    assert(s1(0L) == MediaStats(0L, w.toLong * h,
+      vals.map(_.toLong).sum, vals.min.toLong, vals.max.toLong))
+    // doc 1: audio, 3+16 samples
+    val samples = (0L until 19L).map(MediaCodecs.sampleValue(1L, _))
+    assert(s1(1L) == MediaStats(1L, 19L,
+      samples.map(_.toLong).sum, samples.min.toLong, samples.max.toLong))
   }
 
   test("frame sampling: one row per everyMs, videos only") {
-    val m = Multimodal.mediaFromDocuments(docs)
+    val m = Multimodal.mediaTable(docs)
     val frames = Multimodal.sampleFrames(m, 100L)
       .select("media_id", "frame_idx", "frame_ts_ms")
       .as[(Long, Int, Long)].collect().groupBy(_._1)
@@ -59,12 +103,12 @@ class MultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
   }
 
   test("resize plan touches only metadata") {
-    val m = Multimodal.mediaFromDocuments(docs)
+    val m = Multimodal.mediaTable(docs)
     val r = Multimodal.resizePlan(m, 224, 224)
     assert(r.select("meta.width", "meta.height").distinct().head() ==
       org.apache.spark.sql.Row(224, 224))
-    // payload untouched
-    assert(r.select(length(col("bytes"))).as[Int].collect().sorted.toSeq ==
-      m.select(length(col("bytes"))).as[Int].collect().sorted.toSeq)
+    // other metadata fields ride through unchanged
+    assert(r.select("meta.durationMs").as[Long].collect().sorted.toSeq ==
+      m.select("meta.durationMs").as[Long].collect().sorted.toSeq)
   }
 }
