@@ -9,6 +9,13 @@ import org.apache.spark.sql.functions._
   */
 object AnalyticsQueries {
 
+  /** Per-hour cohort cap for the exact pairwise correlation: bounds the
+    * quadratic users-per-hour blowup deterministically (smallest K user
+    * ids per hour). 64 binds at sf0.1 (max 166 users/hour) and keeps the
+    * worst hour's pair count ≤ K²/2 at any scale.
+    */
+  val MaxUsersPerHour = 64
+
   def defs: Map[String, QueryDef] = Map(
     // Exact quantiles per group (linear interpolation — both engines use
     // the same definition; elements rounded with the deterministic floor
@@ -99,7 +106,15 @@ object AnalyticsQueries {
     // hourly activity series (aligned on hour buckets; per-hour sums made
     // exact via DECIMAL so both engines correlate identical series). The
     // self-join on the hour bucket is an equi-join — candidate pairs
-    // share observed hours, never a full cross product of series.
+    // share observed hours, never a full cross product of series. Pair
+    // generation is quadratic in users-per-hour, so the join admits only
+    // a DETERMINISTIC per-hour cohort: the MaxUsersPerHour smallest user
+    // ids of each hour (row_number over the already-aggregated hourly
+    // series — one small exchange, bounded output). That bounds the
+    // worst hour at any scale the same way the shingle-DF cap bounds
+    // q_ngram_jaccard; the unbounded-corpus path is
+    // q_series_correlation_seeded (broadcast seeds, linear). SCALE.md
+    // documents the cutover.
     "q_series_correlation" -> QueryDef(
       (s, dir) => {
         val hourly = Tables.load(s, dir, "events")
@@ -107,7 +122,10 @@ object AnalyticsQueries {
             (col("ts").cast("long") / 3600).cast("long").as("h"))
           .agg(sum(col("value").cast("decimal(18,2)")).cast("double")
             .as("sv"))
-        hourly.as("a").join(hourly.as("b"),
+        val capped = hourly.withColumn("rk",
+            row_number().over(Window.partitionBy("h").orderBy("user_id")))
+          .where(col("rk") <= MaxUsersPerHour).drop("rk")
+        capped.as("a").join(capped.as("b"),
             col("a.h") === col("b.h") &&
               col("a.user_id") < col("b.user_id"))
           .groupBy(col("a.user_id").as("user_a"),
@@ -116,14 +134,20 @@ object AnalyticsQueries {
             Det.r4(corr(col("a.sv"), col("b.sv"))).as("r"))
           .where(col("n_hours") >= 5)
       },
-      Some("""WITH hourly AS (
+      Some(s"""WITH hourly AS (
           SELECT user_id, CAST(floor(epoch(ts)/3600) AS BIGINT) AS h,
             CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sv
-          FROM events GROUP BY 1, 2)
+          FROM events GROUP BY 1, 2),
+        capped AS (
+          SELECT user_id, h, sv FROM (
+            SELECT user_id, h, sv,
+              row_number() OVER (PARTITION BY h ORDER BY user_id) AS rk
+            FROM hourly) t
+          WHERE rk <= $MaxUsersPerHour)
         SELECT a.user_id AS user_a, b.user_id AS user_b,
           count(*) AS n_hours,
           floor(corr(a.sv, b.sv) * 10000 + 0.5) / 10000 AS r
-        FROM hourly a JOIN hourly b
+        FROM capped a JOIN capped b
           ON a.h = b.h AND a.user_id < b.user_id
         GROUP BY 1, 2 HAVING count(*) >= 5"""),
       bench = true),
