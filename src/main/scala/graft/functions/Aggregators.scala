@@ -69,7 +69,11 @@ object Aggregators {
     extends Aggregator[String, Array[Long], Array[Long]] {
     require(depth > 0 && width > 0)
 
-    private def bucket(row: Int, s: String): Int = {
+    /** Row r's counter index for key s — public so estimation can run as
+      * a distributed join against the exploded grid rather than a
+      * driver-side probe (PipelineQueries.q_heavy_hitters).
+      */
+    def bucket(row: Int, s: String): Int = {
       var h = 0xcbf29ce484222325L ^ row.toLong
       var i = 0
       while (i < s.length) { h ^= s.charAt(i); h *= 0x100000001b3L; i += 1 }

@@ -31,26 +31,35 @@ object PipelineQueries {
     // Heavy hitters via the Count-Min sketch (Aggregators.countMin): ONE
     // constant-memory pass builds the mergeable 4x2048 counter grid — at
     // corpus scale the shuffle carries 64 KB partial grids per task,
-    // never per-token counts — then the collected sketch (one 64 KB row)
-    // serves point estimates over the candidate token set. CMS
-    // guarantees est >= exact with error <= 2N/width w.h.p.; AnalyticsSpec
-    // pins both against the exact q_top_tokens counts. The estimate udf
-    // closes over the tiny sketch (no built-in expresses the seeded grid
-    // hash); it runs over DISTINCT tokens only, not the corpus. Seeded
+    // never per-token counts. Estimation is a BROADCAST equi-join: the
+    // finished grid posexplodes to (row, bucket, count) rows (8192 of
+    // them), each distinct candidate token derives its depth probe
+    // coordinates (the bucket udf — no built-in expresses the seeded
+    // grid hash), and min-over-rows is a plain groupBy. Everything is
+    // one lazy plan — no job runs until an action (the r4 fix of the
+    // construction-time head() that baked the sketch into a closure) —
+    // and no row ever carries the whole grid. CMS guarantees est >=
+    // exact with error <= 2N/width w.h.p.; AnalyticsSpec pins the
+    // bounds and the top-20 overlap vs exact q_top_tokens. Seeded
     // sketch hashing is not SQL-expressible -> rows-only check.
-    // NOTE: BUILDING this query runs the sketch pass eagerly (the
-    // collected grid is baked into the estimate udf) — constructing the
-    // DataFrame costs one corpus aggregation before any action runs.
     "q_heavy_hitters" -> QueryDef(
       (s, dir) => {
         import s.implicits._
-        val cms = Aggregators.countMin(4, 2048)
+        val (depth, width) = (4, 2048)
+        val cms = Aggregators.countMin(depth, width)
         val toks = Tables.load(s, dir, "documents")
           .select(explode(TextFunctions.tokens(col("text"))).as("token"))
-        val sketch = toks.as[String].select(cms.toColumn).head()
-        val est = udf((t: String) => cms.estimate(sketch, t))
+        val grid = toks.as[String].select(cms.toColumn.name("grid"))
+          .select(posexplode(col("grid")).as(Seq("pos", "cnt")))
+          .select(expr(s"pos div $width").cast("int").as("r"),
+            expr(s"pos % $width").cast("int").as("b"), col("cnt"))
+        val bucket = udf((t: String, r: Int) => cms.bucket(r, t))
         toks.distinct()
-          .withColumn("est_n", est(col("token")))
+          .select(col("token"),
+            explode(sequence(lit(0), lit(depth - 1))).as("r"))
+          .withColumn("b", bucket(col("token"), col("r")))
+          .join(broadcast(grid), Seq("r", "b"))
+          .groupBy("token").agg(min(col("cnt")).as("est_n"))
           .orderBy(col("est_n").desc, col("token"))
           .limit(20)
       },

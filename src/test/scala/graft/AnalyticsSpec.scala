@@ -43,8 +43,42 @@ class AnalyticsSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   test("q_heavy_hitters: CMS estimates bound the exact token counts") {
     val dir = "/root/testdata/sf0.001"
-    val est = SparkEntry.queries("q_heavy_hitters")(spark, dir)
-      .as[(String, Long)].collect().toMap
+    // QueryDef contract: CONSTRUCTING the query must not run the corpus
+    // aggregation (the sketch build lives in the plan, not in a
+    // construction-time collect). Parquet file-listing jobs are inherent
+    // to spark.read and single-stage, so count only multi-stage
+    // (shuffle-bearing) jobs.
+    val shuffleJobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val markerSeen = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        val group = Option(js.properties)
+          .flatMap(p => Option(p.getProperty("spark.jobGroup.id")))
+        if (group.contains("hh-lazy-marker")) markerSeen.set(true)
+        else if (js.stageInfos.size > 1) shuffleJobs.incrementAndGet()
+        ()
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    val df =
+      try {
+        val built = SparkEntry.queries("q_heavy_hitters")(spark, dir)
+        // the listener bus is async but FIFO: run a tagged marker job and
+        // wait for its event — any construction-time aggregation would be
+        // delivered (and counted) before it
+        spark.sparkContext.setJobGroup("hh-lazy-marker", "lazy check")
+        try spark.range(1).count()
+        finally spark.sparkContext.clearJobGroup()
+        val deadline = System.nanoTime() + 10e9.toLong
+        while (!markerSeen.get() && System.nanoTime() < deadline)
+          Thread.sleep(10)
+        assert(markerSeen.get(), "marker job event never arrived")
+        assert(shuffleJobs.get() == 0,
+          s"building q_heavy_hitters ran ${shuffleJobs.get()} shuffle job(s); must be lazy")
+        built
+      } finally spark.sparkContext.removeSparkListener(listener)
+    val est = df.as[(String, Long)].collect().toMap
     val exactAll = graft.queries.Tables.load(spark, dir, "documents")
       .select(explode(graft.functions.TextFunctions.tokens(col("text")))
         .as("token"))
@@ -64,6 +98,12 @@ class AnalyticsSpec extends AnyFunSuite with BeforeAndAfterAll {
     // top-k unless k-1 others legitimately estimate higher
     val trueTop = exactAll.maxBy(r => (r._2, r._1))._1
     assert(est.contains(trueTop))
+    // estimate-top-20 vs exact top-20 (q_top_tokens' ranking): at this
+    // vocabulary-to-width ratio collisions are rare, so the sets must
+    // agree on the clear majority of slots
+    val exactTop = exactAll.sortBy(r => (-r._2, r._1)).take(20).map(_._1).toSet
+    val overlap = est.keySet.intersect(exactTop).size
+    assert(overlap >= 15, s"estimate top-20 shares only $overlap with exact")
   }
 
   test("streaming session window merges events within the gap") {
