@@ -93,11 +93,16 @@ object Ann {
       .select(col("x.vec_id").as("a"), col("y.vec_id").as("b"))
       .distinct()
     val vecs = emb.select(col("vec_id"), col("embedding"))
-    cands
+    val result = cands
       .join(vecs.select(col("vec_id").as("a"), col("embedding").as("ea")), "a")
       .join(vecs.select(col("vec_id").as("b"), col("embedding").as("eb")), "b")
       .select(col("a"), col("b"), cosineScore(col("ea"), col("eb")).as("score"))
       .where(col("score") >= threshold)
+    // release the banded cache once the pair frame first materializes —
+    // a long-lived session calling this repeatedly must not accumulate
+    // executor storage (the cache exists only to share the projection
+    // between the self-join's two sides within one action)
+    graft.core.CacheHygiene.unpersistAfterFirstUse(banded, result)
   }
 
   /** IVF search: probe the nprobe highest-affinity cells per query, exact

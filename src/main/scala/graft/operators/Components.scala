@@ -24,9 +24,30 @@ import org.apache.spark.sql.functions._
   */
 object Components {
 
+  /** Free the storage blocks behind an eager localCheckpoint. A plain
+    * `unpersist()` does nothing here — the checkpointed frame is a
+    * LogicalRDD, so the pinned blocks belong to its RDD, not to the
+    * CacheManager. Only call on frames no other live frame derives from:
+    * a checkpoint's lineage is truncated, so freed blocks cannot be
+    * recomputed.
+    */
+  private def freeCheckpoint(df: DataFrame): Unit = {
+    df.queryExecution.analyzed.collectFirst {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
+    }.foreach(_.unpersist(blocking = false))
+    ()
+  }
+
   /** (doc_id, component_id) for every vertex of `edges` (columns a, b).
     * component_id = min doc_id reachable, i.e. the cluster
     * representative.
+    *
+    * Storage discipline: superseded label generations are freed as soon
+    * as the next one materializes, so the loop holds at most two label
+    * checkpoints (plus the symmetrized edges) at any moment instead of
+    * one per round. The RETURNED frame stays pinned — it is the caller's
+    * live result; a long-lived session drops it with
+    * `spark.catalog.clearCache()` or by letting the session end.
     */
   def connectedComponents(edges: DataFrame): DataFrame = {
     val sym = edges.select(col("a"), col("b"))
@@ -47,8 +68,10 @@ object Components {
       changed = prop.as("n").join(labels.as("o"), "doc_id")
         .where(col("n.label") < col("o.label"))
         .limit(1).count() > 0
+      freeCheckpoint(labels) // superseded generation — prop is material
       labels = prop
     }
+    freeCheckpoint(sym) // the fixpoint labels no longer need the edges
     labels.select(col("doc_id"), col("label").as("component_id"))
   }
 }

@@ -64,7 +64,7 @@ object SimilarityQueries {
     // computation the MinHash-LSH path runs on its candidates. Sizes
     // cast to long: DuckDB's len() is 64-bit and the driver hash
     // compares representations, not just values.
-    cands
+    val result = cands
       .join(sets.select(col("doc_id").as("a"), col("sh").as("sha")), "a")
       .join(sets.select(col("doc_id").as("b"), col("sh").as("shb")), "b")
       .withColumn("inter",
@@ -74,6 +74,7 @@ object SimilarityQueries {
       .withColumn("j", Det.r4(col("inter").cast("double") /
         (col("na") + col("nb") - col("inter"))))
       .drop("sha", "shb")
+    graft.core.CacheHygiene.unpersistAfterFirstUse(sets, result)
   }
 
   private def jaccardOracle(minJ: Double): String =
@@ -207,12 +208,16 @@ object SimilarityQueries {
               col("x.doc_id") < col("y.doc_id"))
           .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
           .distinct()
-        cands
+        val result = cands
           .join(sets.select(col("doc_id").as("a"), col("sh").as("sha")), "a")
           .join(sets.select(col("doc_id").as("b"), col("sh").as("shb")), "b")
           .withColumn("j", Det.r4(HashFunctions.jaccard(col("sha"), col("shb"))))
           .where(col("j") >= JaccardThreshold)
           .select("a", "b", "j")
+        // both pinned stages release on the first action — repeated
+        // library use must not accumulate executor storage
+        graft.core.CacheHygiene.unpersistAfterFirstUse(sets,
+          graft.core.CacheHygiene.unpersistAfterFirstUse(banded, result))
       },
       None,
       bench = true),
@@ -232,13 +237,14 @@ object SimilarityQueries {
               shiftrightunsigned(col("sig"), i * 16)
                 .bitwiseAND(0xFFFFL).as("v"))): _*)).as("b"))
           .select(col("doc_id"), col("sig"), col("b.blk"), col("b.v"))
-        blocks.as("x").join(blocks.as("y"),
+        val result = blocks.as("x").join(blocks.as("y"),
             col("x.blk") === col("y.blk") && col("x.v") === col("y.v") &&
               col("x.doc_id") < col("y.doc_id"))
           .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
             HashFunctions.hamming64(col("x.sig"), col("y.sig")).as("dist"))
           .distinct()
           .where(col("dist") <= 3)
+        graft.core.CacheHygiene.unpersistAfterFirstUse(sigs, result)
       },
       None),
 

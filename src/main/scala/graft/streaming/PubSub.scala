@@ -112,13 +112,19 @@ final class Subscription[T](
     * pub_sub.go:183-211).
     */
   def close(): Unit = {
-    query.stop()
-    // synchronized: concurrent closes must not double-detach (each
-    // detach decrements the owning topic's attachment count once)
-    val doDetach = synchronized {
-      if (closed) false else { closed = true; true }
+    // the detach transition must run even if stop() throws (a query that
+    // already failed with a StreamingQueryException rethrows it here) —
+    // otherwise the attachment count leaks and an auto-cleanup topic is
+    // pinned in the registry forever
+    try query.stop()
+    finally {
+      // synchronized: concurrent closes must not double-detach (each
+      // detach decrements the owning topic's attachment count once)
+      val doDetach = synchronized {
+        if (closed) false else { closed = true; true }
+      }
+      if (doDetach) detach()
     }
-    if (doDetach) detach()
   }
 }
 
@@ -130,10 +136,25 @@ final class Subscription[T](
 final class Publisher[T] private[streaming] (
     private[streaming] val topic: Topic[T], detach: () => Unit) {
 
-  private var closed = false
+  @volatile private var closed = false
 
-  def publish(events: Seq[EventEnvelope[T]]): Unit = topic.publish(events)
-  def publishValues(values: T*): Unit = topic.publishValues(values: _*)
+  /** Publishing after close() is an error — the detach may have
+    * auto-cleaned the topic, so silently writing into the defunct stream
+    * would diverge from the reference's error-after-unregister behavior
+    * (pub_sub.go:253-286).
+    */
+  def publish(events: Seq[EventEnvelope[T]]): Unit = {
+    ensureOpen()
+    topic.publish(events)
+  }
+  def publishValues(values: T*): Unit = {
+    ensureOpen()
+    topic.publishValues(values: _*)
+  }
+
+  private def ensureOpen(): Unit =
+    if (closed) throw new IllegalStateException(
+      s"publisher for topic '${topic.key.topic}' is closed")
 
   def close(): Unit = synchronized {
     if (!closed) { closed = true; detach() }
@@ -350,11 +371,21 @@ final class PubSub(val spark: SparkSession) {
 
   def topicCount: Int = synchronized(topics.size)
 
-  def close(): Unit = synchronized {
-    subs.foreach(s => try s.close() catch { case _: Throwable => () })
-    subs.clear()
-    topics.clear()
-    attached.clear()
+  def close(): Unit = {
+    // snapshot under the lock, stop OUTSIDE it: s.close() blocks on the
+    // micro-batch thread, and a subscriber callback that re-enters a
+    // synchronized PubSub method (e.g. instantPublish into another
+    // topic) would deadlock teardown if we held the monitor here
+    val snapshot = synchronized {
+      val ss = subs.toList
+      subs.clear()
+      ss
+    }
+    snapshot.foreach(s => try s.close() catch { case _: Throwable => () })
+    synchronized {
+      topics.clear()
+      attached.clear()
+    }
   }
 }
 

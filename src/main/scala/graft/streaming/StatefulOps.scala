@@ -46,6 +46,14 @@ final case class GaplessState[T](
   */
 object StatefulOps {
 
+  /** Upper bound on windows the gapless sequencer will close in ONE
+    * trigger. A gap of (length + MaxWindowsPerTrigger*slide) ms between
+    * consecutive events — ~11.5 days at 1 s slide — is treated as a
+    * corrupt timestamp and fails the query instead of OOMing the
+    * sequencer task on millions of buffered empty windows.
+    */
+  val MaxWindowsPerTrigger: Long = 1000000L
+
   /** Shared single-pass counting-window engine: ArrayBuffer accumulation
     * (amortized O(1) append — a Seq `:+` loop is O(n²) over a large
     * micro-batch) and ONE physical trim per invocation; per-window work
@@ -264,6 +272,23 @@ object StatefulOps {
       // of windows, the long-gap case this operator exists for);
       // overlapping windows additionally re-deliver each event in its
       // length/slide windows, which is the output volume itself.
+      // Guard the gap BEFORE buffering: one event with a corrupt
+      // far-future timestamp would otherwise force (gap/slide)
+      // WindowBatch objects — potentially billions of empty windows —
+      // into this trigger's in-memory buffer and OOM the sequencer
+      // task. Emission volume per trigger is inherent to the gapless
+      // semantics; a gap this size is data corruption, so fail fast
+      // with the numbers rather than degrade.
+      val toClose =
+        if (maxSeen == Long.MinValue) 0L
+        else (maxSeen - lengthMs - winStart(st.nextBucket)) / slideMs + 1
+      if (toClose > StatefulOps.MaxWindowsPerTrigger)
+        throw new IllegalStateException(
+          s"gapless sequencer asked to close $toClose windows in one " +
+            s"trigger (max event time $maxSeen, next window " +
+            s"${winStart(st.nextBucket)}, slide $slideMs ms) — exceeds " +
+            s"MaxWindowsPerTrigger=${StatefulOps.MaxWindowsPerTrigger}; " +
+            "likely a corrupt far-future timestamp")
       val out = mutable.Buffer.empty[WindowBatch[T]]
       var b = st.nextBucket
       var base = 0

@@ -67,6 +67,18 @@ class AnnSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(sizes.values.forall(_ == 50)) // clean cluster separation
   }
 
+  test("nearDupPairs releases its banded cache after the first action") {
+    val before = spark.sparkContext.getPersistentRDDs.size
+    val pairs = Ann.nearDupPairs(corpus, dim = 16, threshold = 0.9)
+    pairs.collect()
+    // the QueryExecutionListener fires on the async listener bus
+    val deadline = System.nanoTime() + 15e9.toLong
+    while (spark.sparkContext.getPersistentRDDs.size > before &&
+      System.nanoTime() < deadline) Thread.sleep(50)
+    assert(spark.sparkContext.getPersistentRDDs.size <= before,
+      s"banded cache still pinned: ${spark.sparkContext.getPersistentRDDs}")
+  }
+
   test("bucketed tables co-locate the join: no shuffle exchange") {
     val a = (0L until 1000L).map(i => (i, i * 2)).toDF("k", "va")
     val b = (0L until 1000L).map(i => (i, i * 3)).toDF("k", "vb")

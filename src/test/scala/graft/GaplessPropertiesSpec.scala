@@ -22,7 +22,12 @@ class GaplessPropertiesSpec extends AnyFunSuite with BeforeAndAfterAll {
   private lazy val spark: SparkSession =
     Sessions.tune(SparkSession.builder().master("local[4]")
       .config("spark.sql.streaming.checkpointLocation",
-        s"/tmp/graft-ckpt-gp-${System.nanoTime()}"), 4).getOrCreate()
+        s"/tmp/graft-ckpt-gp-${System.nanoTime()}")
+      // surface task exceptions from stateful operators directly: with
+      // validation on, a task that fails mid-batch is masked by
+      // STATE_STORE_COMMIT_VALIDATION_FAILED and the root cause is lost
+      .config("spark.sql.streaming.stateStore.commitValidation.enabled",
+        "false"), 4).getOrCreate()
 
   override def afterAll(): Unit = spark.stop()
 
@@ -69,6 +74,35 @@ class GaplessPropertiesSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(wb.events.sorted == expected.sorted,
         s"window $k members mismatch")
     }
+    ps.close()
+  }
+
+  test("corrupt far-future timestamp fails fast instead of buffering " +
+      "millions of empty windows") {
+    val ps = new PubSub(spark)
+    val topic = ps.topic[Int]("gapless-guard")
+    val out = StatefulOps.temporalBatchesGapless[Int](LenMs)(topic.stream)
+    val q = out.writeStream.outputMode("append")
+      // count() forces each micro-batch: an ignored foreachBatch Dataset
+      // would never execute the stateful plan (or hit the guard)
+      .foreachBatch { (b: Dataset[WindowBatch[Int]], _: Long) =>
+        b.count(); () }.start()
+    topic.publish(Seq(EventEnvelope.at(new Timestamp(base), 1)))
+    q.processAllAvailable()
+    // a gap demanding > MaxWindowsPerTrigger windows in one trigger
+    val corrupt = base +
+      (StatefulOps.MaxWindowsPerTrigger + 10) * LenMs + LenMs
+    topic.publish(Seq(EventEnvelope.at(new Timestamp(corrupt), 2)))
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q.processAllAvailable()
+    }
+    def chain(t: Throwable): List[Throwable] =
+      if (t == null) Nil else t :: chain(t.getCause)
+    assert(chain(e).exists(_.getMessage != null) &&
+      chain(e).exists(t => Option(t.getMessage)
+        .exists(_.contains("MaxWindowsPerTrigger"))),
+      s"expected the guard's message in: ${chain(e).map(_.getMessage)}")
+    try q.stop() catch { case _: Throwable => () }
     ps.close()
   }
 

@@ -49,6 +49,18 @@ class PubSubLifecycleSpec extends AnyFunSuite with BeforeAndAfterAll {
     ps.close()
   }
 
+  test("publishing through a closed handle errors " +
+      "(ref error-after-unregister, pub_sub.go:253-286)") {
+    val ps = new PubSub(spark)
+    val p = ps.registerPublisher[Int]("pub-closed")
+    p.publishValues(1)
+    p.close() // last handle: topic auto-cleans
+    intercept[IllegalStateException](p.publishValues(2))
+    intercept[IllegalStateException](
+      p.publish(Seq(EventEnvelope.of(3))))
+    ps.close()
+  }
+
   test("tryRemove succeeds on a detached topic (ref pub_sub_test.go:187-192)") {
     val ps = new PubSub(spark)
     ps.createTopic[Int]("try-close-1")
