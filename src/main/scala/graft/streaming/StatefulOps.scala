@@ -24,6 +24,14 @@ final case class WindowBatch[T](windowId: Long, stamp: Stamp, events: Seq[T])
 final case class CountingState[T](
     seen: Long, head: Long, win: Long, buf: Seq[EventEnvelope[T]])
 
+/** Envelope + projected event-time column: the multi-input gapless
+  * fan-in watermarks each branch on `event_time` (= stamp.start_time),
+  * and Spark's event-time-timeout check requires that watermarked column
+  * to flow into the stateful operator itself.
+  */
+final case class WatermarkedEnvelope[T](
+    stamp: Stamp, content: T, event_time: java.sql.Timestamp)
+
 /** State of the gapless temporal sequencer: window-grid origin (ms), the
   * next WINDOW index not yet emitted (window b starts at
   * origin + b * slide — slide-multiples, not length-multiples), the max
@@ -230,14 +238,92 @@ object StatefulOps {
       }
   }
 
+  /** Multi-input gapless temporal windows — the reference's
+    * MultiTemporalWindowPolicy readiness rule (every buffer must hold an
+    * event past the window end before the window fires,
+    * selection_policy.go:385-398) over a fan-in of streams.
+    *
+    * A plain union of the inputs would close windows on EITHER side's
+    * max event time; the reference waits for ALL sides. Spark's
+    * min-over-sources watermark expresses exactly that: each branch gets
+    * its own 0-delay watermark BEFORE the union, the query watermark is
+    * their minimum, and the sequencer closes windows up to the watermark
+    * instead of the observed max event time. A fast input's events
+    * simply buffer in state until the slow input catches up — the same
+    * buffering the reference's per-input buffers do.
+    *
+    * Because the close bound is the watermark (which advances BETWEEN
+    * micro-batches), emission rides event-time timeouts: after each
+    * invocation the group re-arms a timeout at the next unemitted window
+    * end, so windows fire as soon as the watermark passes them even if
+    * no further events arrive on any input.
+    *
+    * Boundary convention: a window closes when watermark >= end — the
+    * same equality convention as the single-input sequencer's
+    * max-seen punctuation (the reference's strict `After` differs only
+    * when a source's newest event sits exactly ON the window end).
+    */
+  def temporalBatchesGaplessMulti[T: TypeTag](lengthMs: Long,
+      slideMs: Long = 0L,
+      origin: Option[Long] = None,
+      alignToEpoch: Boolean = false)(
+      inputs: Seq[Dataset[EventEnvelope[T]]]): Dataset[WindowBatch[T]] = {
+    require(inputs.nonEmpty, "fan-in needs at least one input stream")
+    val slide = if (slideMs == 0) lengthMs else slideMs
+    require(lengthMs >= 1000 && slide >= 1000,
+      "sub-second windows unsupported: windowId is epoch-seconds")
+    implicit val encState: Encoder[GaplessState[T]] =
+      ExpressionEncoder[GaplessState[T]]()
+    implicit val encOut: Encoder[WindowBatch[T]] =
+      ExpressionEncoder[WindowBatch[T]]()
+    implicit val encKey: Encoder[Int] = Encoders.scalaInt
+    // the event-time timeout check requires the watermarked COLUMN to
+    // reach the stateful operator, so the envelope rides in a carrier
+    // with the projected event_time (stamp.start_time) alongside
+    implicit val encWm: Encoder[WatermarkedEnvelope[T]] =
+      ExpressionEncoder[WatermarkedEnvelope[T]]()
+
+    import org.apache.spark.sql.functions.col
+    // one 0-delay watermark PER BRANCH, before the union: the query
+    // watermark becomes min over branches = the reference readiness
+    val union = inputs.map { ds =>
+      ds.toDF()
+        .withColumn("event_time", col("stamp.start_time"))
+        .withWatermark("event_time", "0 seconds")
+    }.reduce(_.unionByName(_))
+      .as[WatermarkedEnvelope[T]]
+
+    union.groupByKey(_ => 0)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout) {
+        (_: Int, it: Iterator[WatermarkedEnvelope[T]],
+         state: org.apache.spark.sql.streaming.GroupState[GaplessState[T]]) =>
+          val wm = state.getCurrentWatermarkMs()
+          val out = processGapless(lengthMs, slide, origin, alignToEpoch,
+            it.map(w => EventEnvelope(w.stamp, w.content)), state,
+            closeBoundOverride = Some(wm))
+          // re-arm: fire again when the watermark passes the next
+          // unemitted window's end (must be strictly ahead of the
+          // current watermark or Spark rejects the timestamp)
+          state.getOption.foreach { st =>
+            val nextEnd = st.originMs + st.nextBucket * slide + lengthMs
+            state.setTimeoutTimestamp(math.max(nextEnd, wm + 1))
+          }
+          out
+      }
+  }
+
   /** Shared sequencer step: buffer incoming, emit every window closed by
-    * the max event time seen (including empty ones), trim, update state.
-    * Window b spans [origin + b*slide, + length).
+    * the close bound (including empty ones), trim, update state. Window b
+    * spans [origin + b*slide, + length). The default close bound is the
+    * max event time seen — single-input punctuation; the multi-input
+    * variant overrides it with the query watermark (min over sources).
     */
   private def processGapless[T](lengthMs: Long, slideMs: Long,
       origin: Option[Long], alignToEpoch: Boolean,
       it: Iterator[EventEnvelope[T]],
-      state: org.apache.spark.sql.streaming.GroupState[GaplessState[T]])
+      state: org.apache.spark.sql.streaming.GroupState[GaplessState[T]],
+      closeBoundOverride: Option[Long] = None)
       : Iterator[WindowBatch[T]] = {
     val incoming = it.toSeq.sortBy(_.stamp.start_time.getTime)
     if (incoming.isEmpty && state.getOption.isEmpty) Iterator.empty
@@ -279,13 +365,14 @@ object StatefulOps {
       // task. Emission volume per trigger is inherent to the gapless
       // semantics; a gap this size is data corruption, so fail fast
       // with the numbers rather than degrade.
+      val closeBound = closeBoundOverride.getOrElse(maxSeen)
       val toClose =
-        if (maxSeen == Long.MinValue) 0L
-        else (maxSeen - lengthMs - winStart(st.nextBucket)) / slideMs + 1
+        if (closeBound == Long.MinValue) 0L
+        else (closeBound - lengthMs - winStart(st.nextBucket)) / slideMs + 1
       if (toClose > StatefulOps.MaxWindowsPerTrigger)
         throw new IllegalStateException(
           s"gapless sequencer asked to close $toClose windows in one " +
-            s"trigger (max event time $maxSeen, next window " +
+            s"trigger (close bound $closeBound, next window " +
             s"${winStart(st.nextBucket)}, slide $slideMs ms) — exceeds " +
             s"MaxWindowsPerTrigger=${StatefulOps.MaxWindowsPerTrigger}; " +
             "likely a corrupt far-future timestamp")
@@ -293,7 +380,7 @@ object StatefulOps {
       var b = st.nextBucket
       var base = 0
       var idx = 0
-      while (winStart(b) + lengthMs <= maxSeen) {
+      while (winStart(b) + lengthMs <= closeBound) {
         val start = winStart(b)
         val end = start + lengthMs
         while (base < pending.size &&

@@ -106,6 +106,41 @@ class GaplessPropertiesSpec extends AnyFunSuite with BeforeAndAfterAll {
     ps.close()
   }
 
+  test("multi-input fan-in: windows (incl. empty) fire only once EVERY " +
+      "input passes the window end (ref selection_policy.go:385-398)") {
+    val ps = new PubSub(spark)
+    val a = ps.topic[Int]("fanin-a")
+    val b = ps.topic[Int]("fanin-b")
+    val out = StatefulOps.temporalBatchesGaplessMulti[Int](
+      LenMs, origin = Some(base))(Seq(a.stream, b.stream))
+    val batches = mutable.Buffer.empty[WindowBatch[Int]]
+    val q = out.writeStream.outputMode("append")
+      .foreachBatch { (d: Dataset[WindowBatch[Int]], _: Long) =>
+        batches.synchronized { batches ++= d.collect() }; ()
+      }.start()
+    // input A races ahead: events at 0s and 35s; B lags at 5s
+    a.publish(Seq(EventEnvelope.at(new Timestamp(base), 10),
+      EventEnvelope.at(new Timestamp(base + 35000), 11)))
+    b.publish(Seq(EventEnvelope.at(new Timestamp(base + 5000), 20)))
+    q.processAllAvailable()
+    // A alone passed window ends 10s/20s/30s — but B (watermark 5s) has
+    // not, so NOTHING may fire yet (the single-input sequencer would
+    // already have closed 3 windows here)
+    assert(batches.synchronized(batches.isEmpty),
+      s"windows fired before all inputs were ready: $batches")
+    // B catches up past 30s: min watermark now 35s -> windows
+    // [0,10) {10,20}, [10,20) {}, [20,30) {} close — empties included
+    b.publish(Seq(EventEnvelope.at(new Timestamp(base + 36000), 21)))
+    q.processAllAvailable()
+    q.stop()
+    val ordered = batches.synchronized(batches.sortBy(_.windowId))
+    assert(ordered.map(_.windowId) ==
+      Seq(base / 1000, base / 1000 + 10, base / 1000 + 20))
+    assert(ordered.head.events.sorted == Seq(10, 20))
+    assert(ordered(1).events.isEmpty && ordered(2).events.isEmpty)
+    ps.close()
+  }
+
   test("sliding windows select and slide based on time " +
       "(ref selection_policy_test.go:100-145, scaled 60x)") {
     // reference: length 1h, slide 10m; e1@0, e2@10m, e3@65m, e4@24h.
