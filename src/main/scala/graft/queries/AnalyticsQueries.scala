@@ -16,6 +16,39 @@ object AnalyticsQueries {
     */
   val MaxUsersPerHour = 64
 
+  /** Session-conf key naming an explicit seed-user list (comma-separated
+    * ids) for `q_series_correlation_seeded` — the production contract:
+    * the target list arrives as configuration, not a code literal.
+    */
+  val SeedUsersConf = "spark.graft.correlation.seedUsers"
+
+  /** Seed-set series correlation, the linear-cost production path:
+    * correlate every user's hourly series against the named seed users
+    * only. The seed side is tiny and broadcast — the corpus side never
+    * shuffles for the join. `seedIds = None` selects the fixture default
+    * (user_id % 25 == 0).
+    */
+  def seriesCorrelationSeeded(events: org.apache.spark.sql.DataFrame,
+      seedIds: Option[Seq[Long]]): org.apache.spark.sql.DataFrame = {
+    val hourly = events
+      .groupBy(col("user_id"),
+        (col("ts").cast("long") / 3600).cast("long").as("h"))
+      .agg(sum(col("value").cast("decimal(18,2)")).cast("double")
+        .as("sv"))
+    val seeds = seedIds match {
+      case Some(ids) => hourly.where(col("user_id").isin(ids: _*))
+      case None => hourly.where(col("user_id") % 25 === 0)
+    }
+    broadcast(seeds).as("a").join(hourly.as("b"),
+        col("a.h") === col("b.h") &&
+          col("a.user_id") =!= col("b.user_id"))
+      .groupBy(col("a.user_id").as("seed_user"),
+        col("b.user_id").as("user_b"))
+      .agg(count(lit(1)).as("n_hours"),
+        Det.r4(corr(col("a.sv"), col("b.sv"))).as("r"))
+      .where(col("n_hours") >= 5)
+  }
+
   def defs: Map[String, QueryDef] = Map(
     // Exact quantiles per group (linear interpolation — both engines use
     // the same definition; elements rounded with the deterministic floor
@@ -153,28 +186,21 @@ object AnalyticsQueries {
       bench = true),
 
     // The 100x path for series correlation: correlate every user against
-    // a SEED set only (here users with id % 25 == 0 — in production a
-    // provided target list). Cost is linear in corpus x |seeds| instead
-    // of quadratic in users-per-hour: the seed side's hourly series is
+    // a SEED set only. Cost is linear in corpus x |seeds| instead of
+    // quadratic in users-per-hour: the seed side's hourly series is
     // tiny and BROADCAST, so the big side never shuffles at all — no
     // hour-bucket skew, no pairwise blowup. Same plan shape downstream
     // (corr moments partial-agg). SCALE.md documents the cutover.
+    // The seed set is a PARAMETER (seriesCorrelationSeeded); the query
+    // reads an explicit list from the session conf key `SeedUsersConf`
+    // when set, else falls back to the fixture default (id % 25 == 0,
+    // which the DuckDB oracle mirrors).
     "q_series_correlation_seeded" -> QueryDef(
       (s, dir) => {
-        val hourly = Tables.load(s, dir, "events")
-          .groupBy(col("user_id"),
-            (col("ts").cast("long") / 3600).cast("long").as("h"))
-          .agg(sum(col("value").cast("decimal(18,2)")).cast("double")
-            .as("sv"))
-        val seeds = hourly.where(col("user_id") % 25 === 0)
-        broadcast(seeds).as("a").join(hourly.as("b"),
-            col("a.h") === col("b.h") &&
-              col("a.user_id") =!= col("b.user_id"))
-          .groupBy(col("a.user_id").as("seed_user"),
-            col("b.user_id").as("user_b"))
-          .agg(count(lit(1)).as("n_hours"),
-            Det.r4(corr(col("a.sv"), col("b.sv"))).as("r"))
-          .where(col("n_hours") >= 5)
+        val confSeeds = s.conf.getOption(SeedUsersConf)
+          .map(_.split(",").toSeq.map(_.trim).filter(_.nonEmpty)
+            .map(_.toLong))
+        seriesCorrelationSeeded(Tables.load(s, dir, "events"), confSeeds)
       },
       Some("""WITH hourly AS (
           SELECT user_id, CAST(floor(epoch(ts)/3600) AS BIGINT) AS h,

@@ -106,6 +106,22 @@ class AnalyticsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(overlap >= 15, s"estimate top-20 shares only $overlap with exact")
   }
 
+  test("seeded correlation takes its seed set from configuration") {
+    val dir = "/root/testdata/sf0.01"
+    val key = graft.queries.AnalyticsQueries.SeedUsersConf
+    try {
+      spark.conf.set(key, "3, 7")
+      val seeds = SparkEntry.queries("q_series_correlation_seeded")(spark, dir)
+        .select("seed_user").distinct().as[Long].collect().toSet
+      assert(seeds.nonEmpty && seeds.subsetOf(Set(3L, 7L)),
+        s"configured seed set ignored: $seeds")
+    } finally spark.conf.unset(key)
+    // default (no conf): the fixture's % 25 == 0 seed family
+    val defSeeds = SparkEntry.queries("q_series_correlation_seeded")(spark, dir)
+      .select("seed_user").distinct().as[Long].collect()
+    assert(defSeeds.nonEmpty && defSeeds.forall(_ % 25 == 0))
+  }
+
   test("streaming session window merges events within the gap") {
     val ps = new PubSub(spark)
     val t = ps.topic[Long]("sess")

@@ -67,6 +67,33 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(plan.contains("band"), s"band key missing from join in:\n$plan")
   }
 
+  test("dimension joins broadcast the small side (no big-side shuffle)") {
+    for (q <- Seq("q_revenue_nation", "q_brand_volume")) {
+      val plan = planOf(q)
+      assert(plan.contains("BroadcastHashJoin"),
+        s"$q: expected dim tables broadcast in:\n$plan")
+      assert(!plan.contains("SortMergeJoin"),
+        s"$q: fact-side shuffle join crept in:\n$plan")
+    }
+  }
+
+  test("filter family pushes its predicate into the parquet scan") {
+    // numeric comparisons reach the scan as data filters; events.ts is
+    // read via the nanos loader, so check the value predicates
+    for ((q, colName) <- Seq(
+        "q_filter_greater" -> "value",
+        "q_filter_smaller" -> "value")) {
+      val plan = planOf(q)
+      assert(s"PushedFilters: \\[[^\\]]*$colName".r.findFirstIn(plan).isDefined,
+        s"$q: $colName predicate not pushed to the scan in:\n$plan")
+    }
+    // contains() pushes as StringContains on the documents scan
+    val containsPlan = planOf("q_filter_contains")
+    assert("PushedFilters: \\[[^\\]]*[Cc]ontains".r
+      .findFirstIn(containsPlan).isDefined,
+      s"q_filter_contains: substring predicate not pushed:\n$containsPlan")
+  }
+
   test("pricing summary pushes the date filter into the scan") {
     val plan = planOf("q1_pricing")
     assert("PushedFilters: \\[[^\\]]*l_shipdate".r.findFirstIn(plan).isDefined,
