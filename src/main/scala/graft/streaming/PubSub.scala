@@ -352,6 +352,36 @@ final class PubSub(val spark: SparkSession) {
     s
   }
 
+  /** Multi-input batch subscriber — the reference's
+    * MultiTemporalWindowPolicy over a fan-in of streams (one buffer per
+    * input; a window fires only when EVERY input holds an event past its
+    * end, selection_policy.go:385-398). Routed through the
+    * watermark-gated fan-in sequencer: each branch carries a 0-delay
+    * watermark, the query watermark is their minimum, and windows
+    * (including empty ones) close against that minimum — a lagging input
+    * holds the whole fan-in back, exactly the reference readiness rule.
+    */
+  def subscribeBatchMulti[T: TypeTag](inputs: Seq[Dataset[EventEnvelope[T]]],
+      policy: TemporalWindowPolicy)(
+      cb: WindowBatch[T] => Unit): Subscription[T] = synchronized {
+    val slideMs = PubSub.intervalMs(policy.slide)
+    require(slideMs > 0,
+      s"temporal policy slide must be positive, got '${policy.slide}'")
+    val windows = StatefulOps.temporalBatchesGaplessMulti[T](
+      PubSub.intervalMs(policy.length), slideMs,
+      alignToEpoch = true)(inputs)
+    val q = windows.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: Dataset[WindowBatch[T]], _: Long) =>
+        batch.collect().sortBy(_.windowId)
+          .foreach(w => PubSub.guarded(cb(w))); ()
+      }
+      .start()
+    val s = attachSub[T](q, None)
+    subs += s
+    s
+  }
+
   /** One-shot publish without keeping a publisher handle (reference:
     * InstantPublishByTopic, pub_sub.go:215-227).
     */

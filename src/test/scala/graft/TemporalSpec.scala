@@ -226,6 +226,31 @@ class TemporalSpec extends AnyFunSuite with BeforeAndAfterAll {
     ps.close()
   }
 
+  test("subscribeBatchMulti: a lagging input holds every window open " +
+      "(ref MultiTemporalWindowPolicy, selection_policy.go:385-398)") {
+    val ps = new PubSub(spark)
+    val a = ps.topic[Int]("multi-a")
+    val b = ps.topic[Int]("multi-b")
+    val batches = mutable.Buffer.empty[WindowBatch[Int]]
+    val sub = ps.subscribeBatchMulti(Seq(a.stream, b.stream),
+      TemporalWindowPolicy.tumbling("10 seconds")) { wb =>
+      batches.synchronized { batches += wb }; ()
+    }
+    a.publish(Seq(EventEnvelope.at(ts(1), 10),
+      EventEnvelope.at(ts(25), 99))) // A passed ends 10s and 20s
+    b.publish(Seq(EventEnvelope.at(ts(2), 20)))
+    sub.drain()
+    assert(batches.synchronized(batches.isEmpty),
+      s"fired with input B still inside the window: $batches")
+    b.publish(Seq(EventEnvelope.at(ts(21), 98))) // B passes end 20s too
+    sub.drain()
+    sub.close()
+    val ordered = batches.synchronized(batches.sortBy(_.windowId))
+    // both inputs past 20s -> [0,10) and [10,20) close, fan-in members
+    assert(ordered.map(_.events.sorted) == Seq(Seq(10, 20), Seq.empty))
+    ps.close()
+  }
+
   test("window batch meta union: later event wins on key collision") {
     val ps = new PubSub(spark)
     val t = ps.topic[Int]("tmeta")
