@@ -127,6 +127,92 @@ object PipelineQueries {
         FROM c GROUP BY 1"""),
       bench = true),
 
+    // Benchmark-contamination detection: train docs sharing >= 2 word
+    // trigrams with any doc of the held-out eval source (src19 stands in
+    // for a benchmark set). The eval side's exploded shingles are tiny
+    // at any corpus scale (benchmarks are small) and BROADCAST, so the
+    // 100 TB train side is a map-side equi-join — no shuffle, no
+    // all-pairs. The overlap count is exact and deterministic.
+    "q_contamination" -> QueryDef(
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        def sh(d: org.apache.spark.sql.DataFrame, idAs: String) =
+          d.select(col("doc_id").as(idAs),
+            explode(array_distinct(
+              TextFunctions.wordShingles(col("text"), 3))).as("s"))
+        val ev = sh(docs.where(col("source") === "src19"), "eval_doc")
+        val tr = sh(docs.where(col("source") =!= "src19"), "train_doc")
+        tr.join(broadcast(ev), "s")
+          .groupBy("train_doc", "eval_doc")
+          .agg(count(lit(1)).as("n_shared"))
+          .where(col("n_shared") >= 2)
+      },
+      Some("""WITH docs AS (
+          SELECT doc_id, source, list_distinct(list_transform(
+            generate_series(1, greatest(len(toks) - 2, 0)),
+            i -> list_aggregate(toks[i:i+2], 'string_agg', ' '))) AS sh
+          FROM (SELECT doc_id, source,
+            list_filter(regexp_split_to_array(text, '\s+'),
+              t -> len(t) > 0) AS toks FROM documents)),
+        ev AS (SELECT doc_id AS eval_doc, unnest(sh) AS s FROM docs
+          WHERE source = 'src19'),
+        tr AS (SELECT doc_id AS train_doc, unnest(sh) AS s FROM docs
+          WHERE source <> 'src19')
+        SELECT train_doc, eval_doc, count(*) AS n_shared
+        FROM tr JOIN ev USING (s)
+        GROUP BY 1, 2 HAVING count(*) >= 2"""),
+      bench = true),
+
+    // Deterministic distributed corpus shuffle: the pre-training
+    // randomize-and-shard step, with NO RNG and NO global sort. Shard =
+    // first md5 hex digit (16-way split); order within shard = md5 then
+    // id. Each shard's window sorts independently (partition-parallel) —
+    // a global row_number would funnel 100 TB through one task.
+    "q_corpus_shuffle" -> QueryDef(
+      (s, dir) => {
+        val w = Window.partitionBy("shard").orderBy(col("hx"), col("doc_id"))
+        Tables.load(s, dir, "documents")
+          .withColumn("hx", md5(col("text").cast("binary")))
+          .withColumn("shard",
+            (expr("instr('0123456789abcdef', substring(hx, 1, 1))") - 1)
+              .cast("int"))
+          .withColumn("rk", row_number().over(w).cast("long"))
+          .select("doc_id", "shard", "rk")
+      },
+      Some("""SELECT doc_id,
+        CAST(instr('0123456789abcdef', substr(md5(text), 1, 1)) - 1
+          AS INTEGER) AS shard,
+        CAST(row_number() OVER (
+          PARTITION BY instr('0123456789abcdef', substr(md5(text), 1, 1))
+          ORDER BY md5(text), doc_id) AS BIGINT) AS rk
+        FROM documents""")),
+
+    // Domain mixing: per-source deterministic sampling rates (the
+    // data-mixture step of a pretraining pipeline). The keep decision is
+    // a pure function of (text, source) — md5-uniform u in [0,256) vs
+    // the source's rate — so the mixture is reproducible across engines,
+    // partitionings, and reruns; integer arithmetic only.
+    "q_domain_mix" -> QueryDef(
+      (s, dir) => Tables.load(s, dir, "documents")
+        .withColumn("hx", md5(col("text").cast("binary")))
+        .withColumn("v",
+          (expr("instr('0123456789abcdef', substring(hx, 1, 1))") - 1) * 16 +
+            (expr("instr('0123456789abcdef', substring(hx, 2, 1))") - 1))
+        .withColumn("rate_pct",
+          (regexp_extract(col("source"), "src(\\d+)", 1).cast("int") % 4 + 1)
+            * 20)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          count(when(col("v") * 100 < col("rate_pct") * 256, 1))
+            .as("n_kept")),
+      Some("""SELECT source, count(*) AS n_docs,
+        count(*) FILTER (WHERE
+          ((instr('0123456789abcdef', substr(md5(text), 1, 1)) - 1) * 16
+            + instr('0123456789abcdef', substr(md5(text), 2, 1)) - 1) * 100
+          < (CAST(regexp_extract(source, 'src(\d+)', 1) AS INTEGER) % 4 + 1)
+            * 20 * 256) AS n_kept
+        FROM documents GROUP BY source""")),
+
     // Symmetric int8 quantization of embeddings (per-vector absmax
     // scale): 4x storage reduction for ANN candidate stages. Checksum +
     // scale are oracle-compared; quantization arithmetic is the

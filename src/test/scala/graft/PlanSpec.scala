@@ -94,6 +94,25 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"q_filter_contains: substring predicate not pushed:\n$containsPlan")
   }
 
+  test("contamination check broadcasts the eval shingles " +
+      "(train side joins map-side, no shuffle of the corpus)") {
+    val plan = planOf("q_contamination")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"expected the eval side broadcast in:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"corpus-side shuffle join crept in:\n$plan")
+  }
+
+  test("corpus shuffle windows per shard, never a single global sort") {
+    val plan = planOf("q_corpus_shuffle")
+    // the Sort feeding WindowExec must be partitioned by shard (hash
+    // exchange), not a single-partition global ordering
+    assert(plan.contains("hashpartitioning"),
+      s"expected shard-hash partitioning before the window in:\n$plan")
+    assert(!plan.contains("SinglePartition"),
+      s"global single-partition stage in:\n$plan")
+  }
+
   test("pricing summary pushes the date filter into the scan") {
     val plan = planOf("q1_pricing")
     assert("PushedFilters: \\[[^\\]]*l_shipdate".r.findFirstIn(plan).isDefined,
