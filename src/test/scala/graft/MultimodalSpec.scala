@@ -58,6 +58,36 @@ class MultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("codec round-trip property: random shapes decode exactly") {
+    val rng = new scala.util.Random(7)
+    for (_ <- 1 to 25) {
+      val (id, w, h) = (rng.nextInt(10000).toLong,
+        1 + rng.nextInt(80), 1 + rng.nextInt(60))
+      val img = javax.imageio.ImageIO.read(
+        new ByteArrayInputStream(MediaCodecs.encodeBmp(id, w, h)))
+      assert(img.getWidth == w && img.getHeight == h, s"dims ($w,$h)")
+      // spot-check corners + a random interior pixel (full sweep is the
+      // dedicated test above)
+      for ((x, y) <- Seq((0, 0), (w - 1, 0), (0, h - 1), (w - 1, h - 1),
+          (rng.nextInt(w), rng.nextInt(h)))) {
+        assert((img.getRGB(x, y) & 0xff) ==
+          MediaCodecs.pixelValue(id, y.toLong * w + x), s"($x,$y) of ($w,$h)")
+      }
+      val n = rng.nextInt(500)
+      val wav = MediaCodecs.encodeWav(id, n)
+      assert(wav.length == MediaCodecs.wavByteLen(n.toLong))
+      val ais = javax.sound.sampled.AudioSystem
+        .getAudioInputStream(new ByteArrayInputStream(wav))
+      val data = ais.readAllBytes()
+      assert(data.length == 2 * n)
+      if (n > 0) {
+        val i = rng.nextInt(n)
+        val s = ((data(2 * i) & 0xff) | (data(2 * i + 1) << 8)).toShort.toInt
+        assert(s == MediaCodecs.sampleValue(id, i.toLong), s"sample $i of $n")
+      }
+    }
+  }
+
   test("media table is metadata-only with typed meta; encode adds real bytes") {
     val m = Multimodal.mediaTable(docs)
     assert(!m.columns.contains("bytes")) // payload never scanned for metadata work
