@@ -48,6 +48,14 @@ final case class MediaStats(
     media_id: Long, unit_count: Long, unit_sum: Long,
     unit_min: Long, unit_max: Long)
 
+/** Per-row decode outcome for the quarantine path: corrupt payloads are
+  * flagged, never thrown — at 100 TB some fraction of payloads WILL be
+  * undecodable and one bad row must not fail the job.
+  */
+final case class MediaDecodeOutcome(
+    media_id: Long, kind: String, ok: Boolean, err: String,
+    unit_count: Long, unit_sum: Long, unit_min: Long, unit_max: Long)
+
 /** Deterministic encoders for the two container formats plus their
   * closed-form size arithmetic (mirrored in the DuckDB oracles).
   */
@@ -230,6 +238,32 @@ object Multimodal {
       val decoder = MediaDecoder.open() // once per partition
       it.map(decoder.stats)
     }
+
+  /** Quarantining decode: per-partition codec as in [[decodeStats]], but
+    * an undecodable payload yields a flagged row (truncated error text,
+    * zeroed stats) instead of failing the task. The good-path output is
+    * bit-identical to decodeStats.
+    */
+  def decodeQuarantine(media: Dataset[MediaRecord])
+      : Dataset[MediaDecodeOutcome] = {
+    implicit val enc: Encoder[MediaDecodeOutcome] =
+      Encoders.product[MediaDecodeOutcome]
+    media.mapPartitions { it =>
+      val decoder = MediaDecoder.open()
+      it.map { r =>
+        try {
+          val s = decoder.stats(r)
+          MediaDecodeOutcome(r.media_id, r.kind, ok = true, "",
+            s.unit_count, s.unit_sum, s.unit_min, s.unit_max)
+        } catch {
+          case scala.util.control.NonFatal(e) =>
+            MediaDecodeOutcome(r.media_id, r.kind, ok = false,
+              s"${e.getClass.getSimpleName}: ${e.getMessage}".take(200),
+              0L, 0L, 0L, 0L)
+        }
+      }
+    }
+  }
 
   /** Resize plan: metadata-only transform — payload column (if any)
     * untouched, so parquet column pruning skips it entirely when

@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 
-import graft.multimodal.Multimodal
+import graft.multimodal.{MediaRecord, Multimodal}
 
 /** Multimodal-pipeline queries over real encoded media (24-bit BMP for
   * image/video, 16-bit PCM WAV for audio) derived deterministically from
@@ -78,5 +78,29 @@ object MultimodalQueries {
           CAST(min(val) AS BIGINT) AS unit_min,
           CAST(max(val) AS BIGINT) AS unit_max
         FROM v GROUP BY doc_id"""),
-      bench = true))
+      bench = true),
+
+    // Quarantine path: payloads of every 50th doc are deterministically
+    // truncated to 10 bytes — neither JDK codec can read them — and the
+    // decode stage must flag, not fail. Per-kind totals oracle-checked.
+    "q_media_quarantine" -> QueryDef(
+      (s, dir) => {
+        import org.apache.spark.sql.Encoders
+        implicit val enc = Encoders.product[MediaRecord]
+        val media = Multimodal.encodeMedia(
+          Multimodal.mediaTable(Tables.load(s, dir, "documents")))
+          .map(r => if (r.media_id % 50 == 0)
+            r.copy(bytes = r.bytes.take(10)) else r)
+        Multimodal.decodeQuarantine(media).toDF()
+          .groupBy("kind")
+          .agg(count(lit(1)).as("n_total"),
+            count(when(col("ok"), 1)).as("n_ok"),
+            count(when(!col("ok"), 1)).as("n_quarantined"))
+      },
+      Some("""SELECT
+        ['image', 'audio', 'video'][CAST(doc_id % 3 + 1 AS INTEGER)] AS kind,
+        count(*) AS n_total,
+        count(*) FILTER (WHERE doc_id % 50 <> 0) AS n_ok,
+        count(*) FILTER (WHERE doc_id % 50 = 0) AS n_quarantined
+        FROM documents GROUP BY 1""")))
 }

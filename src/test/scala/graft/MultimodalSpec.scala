@@ -120,6 +120,25 @@ class MultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
       samples.map(_.toLong).sum, samples.min.toLong, samples.max.toLong))
   }
 
+  test("corrupt payloads are quarantined, not thrown; good rows unchanged") {
+    val media = Multimodal.encodeMedia(Multimodal.mediaTable(docs))
+    val corrupted = media.map(r =>
+      if (r.media_id == 1L) r.copy(bytes = r.bytes.take(10)) else r)(
+      org.apache.spark.sql.Encoders.product[MediaRecord])
+    val outcomes = Multimodal.decodeQuarantine(corrupted).collect()
+      .map(o => o.media_id -> o).toMap
+    assert(outcomes.size == 4)
+    assert(!outcomes(1L).ok && outcomes(1L).err.nonEmpty)
+    // good rows carry exactly the clean-path stats
+    val clean = Multimodal.decodeStats(media).collect()
+      .map(s => s.media_id -> s).toMap
+    for (id <- Seq(0L, 2L, 5L)) {
+      val (o, s) = (outcomes(id), clean(id))
+      assert(o.ok && (o.unit_count, o.unit_sum, o.unit_min, o.unit_max) ==
+        ((s.unit_count, s.unit_sum, s.unit_min, s.unit_max)))
+    }
+  }
+
   test("frame sampling: one row per everyMs, videos only") {
     val m = Multimodal.mediaTable(docs)
     val frames = Multimodal.sampleFrames(m, 100L)
