@@ -313,6 +313,56 @@ object StatefulOps {
       }
   }
 
+  /** Keyed multi-input gapless windows — the horizontally scalable
+    * variant of [[temporalBatchesGaplessMulti]]: one independent
+    * watermark-gated window sequence per key, state partitioned across
+    * executors. The watermark is still global (min over SOURCES) — the
+    * reference readiness rule — while sequencing, buffering, and timeout
+    * re-arming happen per key.
+    */
+  def temporalBatchesGaplessMultiByKey[T: TypeTag](lengthMs: Long,
+      slideMs: Long = 0L,
+      origin: Option[Long] = None,
+      alignToEpoch: Boolean = false)(key: EventEnvelope[T] => String)(
+      inputs: Seq[Dataset[EventEnvelope[T]]])
+      : Dataset[(String, WindowBatch[T])] = {
+    require(inputs.nonEmpty, "fan-in needs at least one input stream")
+    val slide = if (slideMs == 0) lengthMs else slideMs
+    require(lengthMs >= 1000 && slide >= 1000,
+      "sub-second windows unsupported: windowId is epoch-seconds")
+    implicit val encState: Encoder[GaplessState[T]] =
+      ExpressionEncoder[GaplessState[T]]()
+    implicit val encOut: Encoder[(String, WindowBatch[T])] =
+      ExpressionEncoder[(String, WindowBatch[T])]()
+    implicit val encKey: Encoder[String] = Encoders.STRING
+    implicit val encWm: Encoder[WatermarkedEnvelope[T]] =
+      ExpressionEncoder[WatermarkedEnvelope[T]]()
+
+    import org.apache.spark.sql.functions.col
+    val union = inputs.map { ds =>
+      ds.toDF()
+        .withColumn("event_time", col("stamp.start_time"))
+        .withWatermark("event_time", "0 seconds")
+    }.reduce(_.unionByName(_))
+      .as[WatermarkedEnvelope[T]]
+
+    union.groupByKey(w => key(EventEnvelope(w.stamp, w.content)))
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout) {
+        (k: String, it: Iterator[WatermarkedEnvelope[T]],
+         state: org.apache.spark.sql.streaming.GroupState[GaplessState[T]]) =>
+          val wm = state.getCurrentWatermarkMs()
+          val out = processGapless(lengthMs, slide, origin, alignToEpoch,
+            it.map(w => EventEnvelope(w.stamp, w.content)), state,
+            closeBoundOverride = Some(wm))
+          state.getOption.foreach { st =>
+            val nextEnd = st.originMs + st.nextBucket * slide + lengthMs
+            state.setTimeoutTimestamp(math.max(nextEnd, wm + 1))
+          }
+          out.map(k -> _)
+      }
+  }
+
   /** Shared sequencer step: buffer incoming, emit every window closed by
     * the close bound (including empty ones), trim, update state. Window b
     * spans [origin + b*slide, + length). The default close bound is the

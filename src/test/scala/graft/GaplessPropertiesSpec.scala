@@ -141,6 +141,39 @@ class GaplessPropertiesSpec extends AnyFunSuite with BeforeAndAfterAll {
     ps.close()
   }
 
+  test("keyed multi-input fan-in: per-key sequences, global " +
+      "min-over-sources readiness") {
+    val ps = new PubSub(spark)
+    val a = ps.topic[String]("kmulti-a")
+    val b = ps.topic[String]("kmulti-b")
+    val out = StatefulOps.temporalBatchesGaplessMultiByKey[String](
+      LenMs, origin = Some(base))(_.content.take(1))(Seq(a.stream, b.stream))
+    val batches = mutable.Buffer.empty[(String, WindowBatch[String])]
+    val q = out.writeStream.outputMode("append")
+      .foreachBatch { (d: Dataset[(String, WindowBatch[String])], _: Long) =>
+        batches.synchronized { batches ++= d.collect() }; ()
+      }.start()
+    def at(sec: Int, v: String) =
+      EventEnvelope.at(new Timestamp(base + sec * 1000L), v)
+    // keys x: events on A only; y: events on both
+    a.publish(Seq(at(1, "x1"), at(25, "x2"), at(2, "y1")))
+    b.publish(Seq(at(3, "y2")))
+    q.processAllAvailable()
+    // B's watermark (3s) holds back EVERY key, including x (A-only)
+    assert(batches.synchronized(batches.isEmpty),
+      s"keyed windows fired before all sources advanced: $batches")
+    b.publish(Seq(at(22, "y3")))
+    q.processAllAvailable()
+    q.stop()
+    // min watermark 22s: windows [0,10) and [10,20) close for both keys
+    val byKey = batches.synchronized(batches.toList).groupBy(_._1)
+      .map { case (k, ws) =>
+        k -> ws.map(_._2).sortBy(_.windowId).map(_.events.sorted) }
+    assert(byKey("x") == Seq(Seq("x1"), Seq.empty))
+    assert(byKey("y") == Seq(Seq("y1", "y2"), Seq.empty))
+    ps.close()
+  }
+
   test("sliding windows select and slide based on time " +
       "(ref selection_policy_test.go:100-145, scaled 60x)") {
     // reference: length 1h, slide 10m; e1@0, e2@10m, e3@65m, e4@24h.
