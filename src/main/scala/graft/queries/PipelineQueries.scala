@@ -33,9 +33,10 @@ object PipelineQueries {
     // corpus scale the shuffle carries 64 KB partial grids per task,
     // never per-token counts. Estimation is a BROADCAST equi-join: the
     // finished grid posexplodes to (row, bucket, count) rows (8192 of
-    // them), each distinct candidate token derives its depth probe
-    // coordinates (the bucket udf — no built-in expresses the seeded
-    // grid hash), and min-over-rows is a plain groupBy. Everything is
+    // them), each distinct candidate token emits its depth probe
+    // coordinates in one pass of the native CmsBuckets expression
+    // (bucket-identical to the aggregator's seeded FNV — pinned by
+    // SourcesSpec), and min-over-rows is a plain groupBy. Everything is
     // one lazy plan — no job runs until an action (the r4 fix of the
     // construction-time head() that baked the sketch into a closure) —
     // and no row ever carries the whole grid. CMS guarantees est >=
@@ -53,11 +54,10 @@ object PipelineQueries {
           .select(posexplode(col("grid")).as(Seq("pos", "cnt")))
           .select(expr(s"pos div $width").cast("int").as("r"),
             expr(s"pos % $width").cast("int").as("b"), col("cnt"))
-        val bucket = udf((t: String, r: Int) => cms.bucket(r, t))
         toks.distinct()
           .select(col("token"),
-            explode(sequence(lit(0), lit(depth - 1))).as("r"))
-          .withColumn("b", bucket(col("token"), col("r")))
+            posexplode(graft.expressions.CmsBuckets(col("token"),
+              depth, width)).as(Seq("r", "b")))
           .join(broadcast(grid), Seq("r", "b"))
           .groupBy("token").agg(min(col("cnt")).as("est_n"))
           .orderBy(col("est_n").desc, col("token"))

@@ -107,6 +107,20 @@ class SourcesSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(absent <= 2 * 800 / 256 + 8)
   }
 
+  test("CmsBuckets expression matches the aggregator's bucket function") {
+    val (depth, width) = (4, 256)
+    val cms = Aggregators.countMin(depth, width)
+    val keys = Seq("hot", "tail1", "", "a b", "日本語")
+    val fromExpr = keys.toDF("k")
+      .select(col("k"), graft.expressions.CmsBuckets(col("k"), depth, width)
+        .as("bks"))
+      .as[(String, Seq[Int])].collect().toMap
+    keys.foreach { k =>
+      assert(fromExpr(k) == (0 until depth).map(r => cms.bucket(r, k)),
+        s"bucket divergence for '$k' would silently zero all estimates")
+    }
+  }
+
   test("EnvelopeSum aggregator: sum with merged stamp lineage") {
     import graft.core.EventEnvelope
     def ts(sec: Int) = new java.sql.Timestamp(1700000000000L + sec * 1000L)
