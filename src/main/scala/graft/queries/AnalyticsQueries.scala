@@ -215,6 +215,32 @@ object AnalyticsQueries {
         GROUP BY 1, 2 HAVING count(*) >= 5"""),
       bench = true),
 
+    // Windowed trending top-k: the most active users per hour window —
+    // the "trending now" analytics shape. Rank-limit pushdown
+    // (WindowGroupLimit) computes a per-partition partial top-k BEFORE
+    // the exchange, so each hour's full user list never shuffles; hours
+    // partition the rank windows, so no global sort exists at any scale.
+    "q_window_topk" -> QueryDef(
+      (s, dir) => {
+        val byWin = Window.partitionBy("ws")
+          .orderBy(col("n").desc, col("user_id"))
+        Tables.load(s, dir, "events")
+          .groupBy(window(col("ts"), "3600 seconds"), col("user_id"))
+          .agg(count(lit(1)).as("n"))
+          .select(col("window.start").cast("long").as("ws"),
+            col("user_id"), col("n"))
+          .withColumn("rk", row_number().over(byWin).cast("long"))
+          .where(col("rk") <= 5)
+      },
+      Some("""SELECT ws, user_id, n, rk FROM (
+          SELECT ws, user_id, n,
+            CAST(row_number() OVER (
+              PARTITION BY ws ORDER BY n DESC, user_id) AS BIGINT) AS rk
+          FROM (SELECT CAST(floor(epoch(ts)/3600)*3600 AS BIGINT) AS ws,
+              user_id, count(*) AS n
+            FROM events GROUP BY 1, 2) t) r
+        WHERE rk <= 5""")),
+
     // Sessionization: maximal event chains per user with gaps < 30 min —
     // gaps-and-islands on both engines (identical semantics to Spark's
     // session_window for point events; the streaming form lives in

@@ -94,6 +94,13 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"q_filter_contains: substring predicate not pushed:\n$containsPlan")
   }
 
+  test("windowed top-k pushes the rank limit below the exchange " +
+      "(partial per-partition top-k, full per-hour lists never shuffle)") {
+    val plan = planOf("q_window_topk")
+    val limits = "WindowGroupLimit".r.findAllIn(plan).size
+    assert(limits >= 2, s"expected partial+final WindowGroupLimit in:\n$plan")
+  }
+
   test("contamination check broadcasts the eval shingles " +
       "(train side joins map-side, no shuffle of the corpus)") {
     val plan = planOf("q_contamination")
