@@ -93,6 +93,20 @@ object AnalyticsQueries {
         floor(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) * 100 + 0.5) / 100 AS revenue
         FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)""")),
 
+    // Cube (all grouping-set combinations) — completes the grouping-set
+    // family next to q_rollup. One shuffle; Spark expands the grouping
+    // sets map-side so each input row feeds its 4 combinations before
+    // the exchange (partial agg still applies).
+    "q_cube" -> QueryDef(
+      (s, dir) => Tables.load(s, dir, "orders")
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(count(lit(1)).as("n"),
+          Det.r2(sum(col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")).as("revenue")),
+      Some("""SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+        floor(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) * 100 + 0.5) / 100 AS revenue
+        FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)""")),
+
     // Pivot: event-type columns per user. Conditional aggregation rather
     // than Dataset.pivot — the same result in ONE shuffle (pivot plans
     // groupBy(user, type) + re-agg = two exchanges).

@@ -68,6 +68,42 @@ class CountingPropertiesSpec extends AnyFunSuite with BeforeAndAfterAll {
     ps.close()
   }
 
+  test("keyed counting windows also survive a checkpointed restart") {
+    import java.sql.Timestamp
+    import graft.core.EventEnvelope
+    import graft.streaming._
+    val ps = new PubSub(spark)
+    val topic = ps.topic[Int]("counting-restart-keyed")
+    val wins = StatefulOps.countingWindowsByKey[Int](2, 2)(
+      e => if (e.content % 2 == 0) "even" else "odd")(topic.stream)
+    val ckpt = s"/tmp/graft-ckpt-crk-${System.nanoTime()}"
+    val fired = scala.collection.mutable.Buffer.empty[(String, Seq[Int])]
+    def start() = wins.writeStream.outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[
+          (String, WindowBatch[Int])], _: Long) =>
+        fired.synchronized {
+          fired ++= b.collect().map { case (k, w) => k -> w.events }
+        }; ()
+      }.start()
+    val base = 1700000000000L
+    def at(i: Int) = EventEnvelope.at(new Timestamp(base + i * 1000L), i)
+    val q1 = start()
+    topic.publish(Seq(at(1), at(2), at(3))) // odd fires [1,3]; even buffers 2
+    q1.processAllAvailable()
+    q1.stop()
+    val q2 = start()
+    topic.publish(Seq(at(4), at(5), at(7))) // even fires [2,4]; odd [5,7]
+    q2.processAllAvailable()
+    q2.stop()
+    val byKey = fired.synchronized(fired.toList).groupBy(_._1)
+      .map { case (k, ws) => k -> ws.map(_._2) }
+    // lost keyed state would re-fire [1,3] or pair 4 with a later even
+    assert(byKey("odd") == Seq(Seq(1, 3), Seq(5, 7)))
+    assert(byKey("even") == Seq(Seq(2, 4)))
+    ps.close()
+  }
+
   test("batch and streaming counting windows agree on the same input") {
     import java.sql.Timestamp
     import graft.core.EventEnvelope
