@@ -134,12 +134,19 @@ object MediaCodecs {
 
 /** Real decode via the JDK codecs. One instance per partition (the
   * `open()` hook is where a heavyweight codec/model would load once and
-  * be reused for every row of the partition).
+  * be reused for every row of the partition) — and the BMP ImageReader
+  * IS reused across the partition's rows: `ImageIO.read` would do an
+  * SPI lookup and allocate a fresh reader per image, which dominates
+  * decode cost for small images.
   */
 final class MediaDecoder private () {
 
-  /** Exact integer stats over decoded units: pixels (gray = blue channel
-    * of the decoded ARGB) for bmp media, 16-bit samples for wav.
+  // one reader for the whole partition; setInput rebinds it per image
+  private val bmpReader =
+    javax.imageio.ImageIO.getImageReadersByFormatName("bmp").next()
+
+  /** Exact integer stats over decoded units: pixels (gray channel of
+    * the decoded image) for bmp media, 16-bit samples for wav.
     */
   def stats(r: MediaRecord): MediaStats = r.meta.format match {
     case "wav" =>
@@ -157,19 +164,41 @@ final class MediaDecoder private () {
       }
       MediaStats(r.media_id, n.toLong, sum, min, max)
     case _ =>
-      val img = javax.imageio.ImageIO.read(new ByteArrayInputStream(r.bytes))
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new ByteArrayInputStream(r.bytes))
+      val img =
+        try {
+          bmpReader.setInput(iis)
+          bmpReader.read(0)
+        } finally iis.close()
       require(img != null, s"undecodable bmp payload for media ${r.media_id}")
       val (w, h) = (img.getWidth, img.getHeight)
       var sum = 0L; var min = Long.MaxValue; var max = Long.MinValue
-      var y = 0
-      while (y < h) {
-        var x = 0
-        while (x < w) {
-          val v = (img.getRGB(x, y) & 0xff).toLong
-          sum += v; if (v < min) min = v; if (v > max) max = v
-          x += 1
-        }
-        y += 1
+      img.getRaster.getDataBuffer match {
+        // 24-bit BMPs decode to TYPE_3BYTE_BGR: walk the raw byte
+        // buffer directly (any channel — the pixels are gray). A
+        // per-pixel getRGB walk pays a ColorModel conversion per call.
+        case db: java.awt.image.DataBufferByte
+            if img.getType == java.awt.image.BufferedImage.TYPE_3BYTE_BGR &&
+              db.getData.length == w * h * 3 => // no scanline padding
+          val bytes = db.getData
+          var i = 0
+          while (i < bytes.length) {
+            val v = (bytes(i) & 0xff).toLong
+            sum += v; if (v < min) min = v; if (v > max) max = v
+            i += 3
+          }
+        case _ =>
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val v = (img.getRGB(x, y) & 0xff).toLong
+              sum += v; if (v < min) min = v; if (v > max) max = v
+              x += 1
+            }
+            y += 1
+          }
       }
       MediaStats(r.media_id, w.toLong * h, sum, min, max)
   }
