@@ -39,14 +39,22 @@ object AnalyticsQueries {
       case Some(ids) => hourly.where(col("user_id").isin(ids: _*))
       case None => hourly.where(col("user_id") % 25 === 0)
     }
-    broadcast(seeds).as("a").join(hourly.as("b"),
+    val paired = broadcast(seeds).as("a").join(hourly.as("b"),
         col("a.h") === col("b.h") &&
           col("a.user_id") =!= col("b.user_id"))
-      .groupBy(col("a.user_id").as("seed_user"),
-        col("b.user_id").as("user_b"))
+      .select(col("a.user_id").as("seed_user"),
+        col("b.user_id").as("user_b"),
+        col("a.sv").as("sva"), col("b.sv").as("svb"))
+    // pre-aggregate cut for the same ANSI corr single-row trap as the
+    // exact path (data-dependent here, structural there); the window
+    // shares the pair key with the groupBy so its exchange is reused
+    val byPair = org.apache.spark.sql.expressions.Window
+      .partitionBy("seed_user", "user_b")
+    paired.withColumn("nh", count(lit(1)).over(byPair))
+      .where(col("nh") >= 5)
+      .groupBy("seed_user", "user_b")
       .agg(count(lit(1)).as("n_hours"),
-        Det.r4(corr(col("a.sv"), col("b.sv"))).as("r"))
-      .where(col("n_hours") >= 5)
+        Det.r4(corr(col("sva"), col("svb"))).as("r"))
   }
 
   def defs: Map[String, QueryDef] = Map(
@@ -172,14 +180,24 @@ object AnalyticsQueries {
         val capped = hourly.withColumn("rk",
             row_number().over(Window.partitionBy("h").orderBy("user_id")))
           .where(col("rk") <= MaxUsersPerHour).drop("rk")
-        capped.as("a").join(capped.as("b"),
+        val paired = capped.as("a").join(capped.as("b"),
             col("a.h") === col("b.h") &&
               col("a.user_id") < col("b.user_id"))
-          .groupBy(col("a.user_id").as("user_a"),
-            col("b.user_id").as("user_b"))
+          .select(col("a.user_id").as("user_a"),
+            col("b.user_id").as("user_b"),
+            col("a.sv").as("sva"), col("b.sv").as("svb"))
+        // The min-shared-hours cut must happen BEFORE the aggregate:
+        // ANSI-mode corr THROWS (div/0) on single-row groups instead of
+        // returning NULL, and the per-hour cap structurally creates
+        // pairs that co-occur exactly once. The window count shares the
+        // pair key with the groupBy, so the exchange is reused — one
+        // shuffle total, same rows as the HAVING-style oracle filter.
+        val byPair = Window.partitionBy("user_a", "user_b")
+        paired.withColumn("nh", count(lit(1)).over(byPair))
+          .where(col("nh") >= 5)
+          .groupBy("user_a", "user_b")
           .agg(count(lit(1)).as("n_hours"),
-            Det.r4(corr(col("a.sv"), col("b.sv"))).as("r"))
-          .where(col("n_hours") >= 5)
+            Det.r4(corr(col("sva"), col("svb"))).as("r"))
       },
       Some(s"""WITH hourly AS (
           SELECT user_id, CAST(floor(epoch(ts)/3600) AS BIGINT) AS h,
