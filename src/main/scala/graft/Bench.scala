@@ -26,9 +26,18 @@ object Bench {
       SparkSession.builder().master(s"local[$cpus]"), cpus).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // Force FULL evaluation of every output column via the noop sink:
+    // count() lets Catalyst prune the final projections, so a query
+    // whose cost lives in computed columns (quantization arithmetic,
+    // rounded scores) would be timed as little more than a row count —
+    // and an ANSI error in a projected column would never fire.
+    def run(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
+        : Unit =
+      fn(spark, sfDir).write.mode("overwrite").format("noop").save()
+
     val qs = SparkEntry.benchQueries.toSeq.sortBy(_._1)
     qs.foreach { case (name, fn) =>
-      try fn(spark, sfDir).count()
+      try run(fn)
       catch { case e: Throwable =>
         System.err.println(s"[bench] warmup $name failed: $e")
       }
@@ -50,7 +59,7 @@ object Bench {
           spark.catalog.clearCache()
           val t0 = System.nanoTime()
           try {
-            fn(spark, sfDir).count()
+            run(fn)
             Some((System.nanoTime() - t0) / 1e9)
           } catch {
             case e: Throwable =>

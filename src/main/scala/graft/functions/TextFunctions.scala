@@ -93,7 +93,7 @@ object TextFunctions {
 
   // --- language identification ---------------------------------------
 
-  private val LangMarkers: Seq[(String, Seq[String])] = Seq(
+  private[graft] val LangMarkers: Seq[(String, Seq[String])] = Seq(
     "en" -> Seq("the", "and", "of", "to", "is", "that", "it", "with", "for", "was"),
     "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "mit", "den", "zu"),
     "fr" -> Seq("le", "la", "les", "et", "est", "une", "que", "pour", "dans", "des"),
@@ -107,16 +107,8 @@ object TextFunctions {
     * tie — e.g. an en/es tie yields "es"); a language wins over "unknown"
     * only with >=1 hit. Pure expression — no UDF, no shuffle.
     */
-  def langId(text: Column): Column = {
-    val ts = transform(tokens(text), lower _)
-    val scored = LangMarkers.map { case (lang, markers) =>
-      struct(
-        size(filter(ts, t => t.isInCollection(markers))).as("score"),
-        lit(lang).as("lang"))
-    }
-    val best = array_max(array(scored: _*))
-    when(best.getField("score") > 0, best.getField("lang")).otherwise(lit("unknown"))
-  }
+  def langId(text: Column): Column =
+    graft.expressions.LangIdExpr(text)
 
   // --- fingerprinting --------------------------------------------------
 
