@@ -43,7 +43,7 @@ object TextFunctions {
 
   // --- quality scoring -----------------------------------------------
 
-  private val StopWords = Seq(
+  private[graft] val StopWords = Seq(
     "the", "a", "an", "and", "or", "of", "to", "in", "is", "it", "that",
     "for", "on", "with", "as", "was", "at", "by", "be", "this")
 
@@ -73,9 +73,19 @@ object TextFunctions {
     * Deliberately simple and branch-free — a per-row codegen'd expression.
     */
   def qualityScore(text: Column): Column = {
-    val lenScore = least(tokenCount(text).cast("double") / 50.0, lit(1.0))
-    val stopScore = least(stopwordRatio(text) * 4.0, lit(1.0))
-    val punctPenalty = greatest(lit(1.0) - punctRatio(text) * 5.0, lit(0.0))
+    // one text scan via the native profile; the score arithmetic below
+    // is the IDENTICAL sequence of double ops as the original composed
+    // form, so oracle-compared values are bit-equal
+    val p = graft.expressions.TextProfileExpr(text)
+    val nTok = p.getField("n_tokens")
+    val lenScore = least(nTok.cast("double") / 50.0, lit(1.0))
+    val stopRatio = when(nTok > 0,
+      p.getField("n_stop").cast("double") / nTok).otherwise(lit(0.0))
+    val stopScore = least(stopRatio * 4.0, lit(1.0))
+    val punctRatio = when(p.getField("n_chars") > 0,
+      p.getField("n_punct").cast("double") / p.getField("n_chars"))
+      .otherwise(lit(0.0))
+    val punctPenalty = greatest(lit(1.0) - punctRatio * 5.0, lit(0.0))
     floor((lenScore + stopScore + punctPenalty) / 3.0 * 10000 + 0.5) / 10000
   }
 
@@ -120,8 +130,5 @@ object TextFunctions {
     * cheaper to shuffle than the full text.
     */
   def fingerprint(text: Column): Column =
-    aggregate(
-      transform(sequence(lit(1), length(text)), i => ascii(text.substr(i, lit(1)))),
-      lit(0L),
-      (acc, c) => (acc * lit(257L) + c.cast("long")) % lit(1000000007L))
+    graft.expressions.FingerprintExpr(text)
 }
