@@ -51,16 +51,8 @@ object HashFunctions {
     * sum over tokens of (+1 if bit j of xxhash64(token) else -1).
     * Near-duplicate docs land within small Hamming distance.
     */
-  def simhash64(tokens: Column): Column = {
-    val hashes = transform(tokens, t => xxhash64(t))
-    val bits = (0 until 64).map { j =>
-      val votes = aggregate(hashes, lit(0L),
-        (acc, h) => acc + when(shiftright(h, j).bitwiseAND(1L) === 1L, 1L).otherwise(-1L))
-      when(votes > 0, lit(1L << j)).otherwise(lit(0L))
-    }
-    // Disjoint bits: OR-composition, immune to ANSI overflow checking.
-    bits.reduce((a: Column, b: Column) => a.bitwiseOR(b))
-  }
+  def simhash64(tokens: Column): Column =
+    graft.expressions.SimHashExpr(tokens)
 
   /** Hamming distance between two long-encoded bit vectors. */
   def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
