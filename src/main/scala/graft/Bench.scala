@@ -35,7 +35,23 @@ object Bench {
         : Unit =
       fn(spark, sfDir).write.mode("overwrite").format("noop").save()
 
-    val qs = SparkEntry.benchQueries.toSeq.sortBy(_._1)
+    // SPARK_GRAFT_BENCH_ALL=1 sweeps the ENTIRE query catalog instead of
+    // the headliners — the per-round regression radar for queries that
+    // don't headline the bench (this is how the interpreted-fallback
+    // simhash/fingerprint paths were caught).
+    val pool =
+      if (sys.env.get("SPARK_GRAFT_BENCH_ALL").contains("1"))
+        SparkEntry.queries
+      else SparkEntry.benchQueries
+    // SPARK_GRAFT_BENCH_ONLY=q_a,q_b narrows to named queries (any
+    // catalog entry, headliner or not) for focused re-measurement.
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
+    val qs = only match {
+      case Some(names) =>
+        SparkEntry.queries.view.filterKeys(names).toSeq.sortBy(_._1)
+      case None => pool.toSeq.sortBy(_._1)
+    }
     qs.foreach { case (name, fn) =>
       try run(fn)
       catch { case e: Throwable =>

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Observation}
 import org.apache.spark.sql.functions._
 
 /** Connected components over an undirected edge list — the near-dup
@@ -56,18 +56,28 @@ object Components {
     var labels = sym.select(col("a").as("doc_id")).distinct()
       .withColumn("label", col("doc_id"))
       .localCheckpoint()
+    // Convergence signal: per-vertex labels are non-increasing under min
+    // propagation and the vertex set is fixed, so sum(label) is strictly
+    // decreasing until the fixpoint and constant at it. Observed DURING
+    // the checkpoint materialization (CollectMetricsExec in the same
+    // plan), so each round is exactly ONE job — the old probe was a
+    // second join+count job per round, which at small SF doubled the
+    // scheduling-floor cost of the loop. Decimal(38,0) sum: exact, and
+    // immune to ANSI bigint-overflow traps on huge vertex sets.
+    var prevSum: Option[Any] = None
     var changed = true
     while (changed) {
+      val obs = Observation()
       val prop = labels.as("l")
         .join(sym.as("e"), col("l.doc_id") === col("e.a"))
         .select(col("e.b").as("doc_id"), col("l.label"))
         .union(labels)
         .groupBy("doc_id").agg(min("label").as("label"))
+        .observe(obs, sum(col("label").cast("decimal(38,0)")).as("s"))
         .localCheckpoint()
-      // converged when no vertex's label decreased this round
-      changed = prop.as("n").join(labels.as("o"), "doc_id")
-        .where(col("n.label") < col("o.label"))
-        .limit(1).count() > 0
+      val roundSum = obs.get("s")
+      changed = !prevSum.contains(roundSum)
+      prevSum = Some(roundSum)
       freeCheckpoint(labels) // superseded generation — prop is material
       labels = prop
     }
