@@ -55,12 +55,33 @@ final class Topic[T] private[streaming] (
       * maxOffsetsPerTrigger on real sources — not to the in-memory
       * path.)
       */
-    val capacity: Option[Int] = None)(
+    initialCapacity: Option[Int] = None,
+    /** Policy handed to subscribers that don't pick one — the
+      * reference's StreamConfig.DefaultSubscribers
+      * (config.go:23-31); its zero-value subscriber buffer delivers
+      * one event at a time, i.e. SelectNext.
+      */
+    initialDefaultPolicy: SelectionPolicy = SelectNext)(
     implicit enc: Encoder[EventEnvelope[T]]) {
 
   private[streaming] val source: MemoryStream[EventEnvelope[T]] =
     MemoryStream[EventEnvelope[T]](
       Topic.nextId.getAndIncrement(), spark, None)(enc)
+
+  // Stream config is MUTABLE under the topic monitor: hot migration
+  // (reference: migrateStream, stream.go:109-123) re-configures a live
+  // topic between publishes. Reads synchronize for the same reason.
+  private var cap: Option[Int] = initialCapacity
+  private var defPolicy: SelectionPolicy = initialDefaultPolicy
+
+  def capacity: Option[Int] = synchronized(cap)
+  def defaultPolicy: SelectionPolicy = synchronized(defPolicy)
+
+  private[streaming] def reconfigure(newCapacity: Option[Int],
+      newDefaultPolicy: SelectionPolicy): Unit = synchronized {
+    cap = newCapacity
+    defPolicy = newDefaultPolicy
+  }
 
   private var inCount = 0L
 
@@ -71,9 +92,14 @@ final class Topic[T] private[streaming] (
     * pkg/pubsub/publisher.go:160-162).
     */
   def publish(events: Seq[EventEnvelope[T]]): Unit = synchronized {
-    capacity.filter(_ < events.size).foreach { cap =>
+    // Synchronizing on the topic monitor doubles as the migration
+    // barrier: migrateTopic holds it across drain+reconfigure, so a
+    // publisher blocks here until the swap completes (reference:
+    // publish waits on b.mutex while migrateStream runs,
+    // stream.go:109-133).
+    cap.filter(_ < events.size).foreach { c =>
       throw new BufferLimitExceededException(
-        s"publish of ${events.size} events exceeds capacity $cap " +
+        s"publish of ${events.size} events exceeds capacity $c " +
           s"of topic ${key.topic}")
     }
     if (events.nonEmpty) { source.addData(events); inCount += events.size }
