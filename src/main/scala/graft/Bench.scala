@@ -8,9 +8,12 @@ import graft.core.Sessions
   * SPARK_GRAFT_SF_DIR and prints one JSON metrics line. Each query gets
   * one untimed warmup pass (JIT + parquet footer cache) and
   * SPARK_GRAFT_BENCH_REPS timed attempts (default 2) of which the MIN is
-  * reported — host scheduling noise on this box is ±25% run-to-run, and
-  * the minimum of independent cache-isolated attempts estimates the
-  * query's actual cost rather than the noise floor.
+  * reported — host scheduling noise on this box is ±25% run-to-run (with
+  * occasional multi-second bursts during concurrent judging), and the
+  * minimum of independent cache-isolated attempts estimates the query's
+  * actual cost rather than the noise floor. Attempts are interleaved
+  * rep-major across the suite so one burst cannot inflate every attempt
+  * of the same query.
   *
   * Failures are loud: a throwing query is reported in the `errors` field
   * and excluded from `queries`/the total, never silently scored as fast.
@@ -58,34 +61,40 @@ object Bench {
         System.err.println(s"[bench] warmup $name failed: $e")
       }
     }
-    val (results, errors) = qs.foldLeft(
-      (Vector.empty[(String, Double)], Vector.empty[String])) {
-      case ((rs, es), (name, fn)) =>
-        // Per-attempt cache isolation: CacheManager substitutes any
-        // cached identical plan fragment, so without the clear a timed
-        // attempt would silently reuse intermediates cached by the
-        // warmup pass, an earlier timed query (e.g. the shingle sets
-        // shared by the minhash and jaccard paths), or its own previous
-        // attempt, and skip its scan+compute cost. Each attempt below is
-        // therefore self-contained: scan + compute + the query's own
-        // intra-query caches. (Steady-state cache reuse on a long-lived
-        // cluster is real, but benching it makes per-query figures
-        // order-dependent and unfalsifiable.)
-        val times = (1 to reps).flatMap { _ =>
-          spark.catalog.clearCache()
-          val t0 = System.nanoTime()
-          try {
-            run(fn)
-            Some((System.nanoTime() - t0) / 1e9)
-          } catch {
-            case e: Throwable =>
-              System.err.println(s"[bench] $name FAILED: $e")
-              None
-          }
-        }
-        if (times.size == reps) (rs :+ (name -> times.min), es)
-        else (rs, es :+ name)
+    // Per-attempt cache isolation: CacheManager substitutes any cached
+    // identical plan fragment, so without the clear a timed attempt would
+    // silently reuse intermediates cached by the warmup pass, an earlier
+    // timed query (e.g. the shingle sets shared by the minhash and
+    // jaccard paths), or its own previous attempt, and skip its
+    // scan+compute cost. Each attempt below is therefore self-contained:
+    // scan + compute + the query's own intra-query caches. (Steady-state
+    // cache reuse on a long-lived cluster is real, but benching it makes
+    // per-query figures order-dependent and unfalsifiable.)
+    //
+    // Attempts are REP-MAJOR (rep 1 of every query, then rep 2, ...):
+    // back-to-back attempts of the same query both land inside any
+    // multi-second host-contention burst, so the burst survives min();
+    // spacing a query's attempts a full suite pass apart decorrelates
+    // them, and min() then recovers the uncontended cost.
+    val samples = collection.mutable.Map.empty[String, Vector[Double]]
+      .withDefaultValue(Vector.empty)
+    val failed = collection.mutable.LinkedHashSet.empty[String]
+    for (_ <- 1 to reps; (name, fn) <- qs if !failed(name)) {
+      spark.catalog.clearCache()
+      val t0 = System.nanoTime()
+      try {
+        run(fn)
+        samples(name) = samples(name) :+ (System.nanoTime() - t0) / 1e9
+      } catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] $name FAILED: $e")
+          failed += name
+      }
     }
+    val results = qs.collect {
+      case (name, _) if !failed(name) => name -> samples(name).min
+    }.toVector
+    val errors = failed.toVector
     val qJson = results.map { case (k, v) => "\"" + k + f"""\":$v%.3f""" }
       .mkString("{", ",", "}")
     val errJson = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
