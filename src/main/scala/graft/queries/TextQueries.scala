@@ -127,6 +127,103 @@ object TextQueries {
         ) / 3.0 * 10000 + 0.5) / 10000 AS quality FROM m"""
       }),
 
+    // Repetition metrics (Gopher-style quality filters: distinct-token
+    // ratio, most-common-token coverage, most-common-2-gram coverage,
+    // plus the derived keep/drop flag). Scale shape: explode -> count per
+    // (doc, token|gram) -> per-doc max/sum — two combiner-friendly
+    // shuffles keyed by (doc_id, term), never a per-row O(L^2) scan of
+    // long documents; the final join is doc_id-keyed. All ratios are
+    // long/long divides quantized with the deterministic floor form.
+    "q_repetition" -> QueryDef(
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        val tokStats = docs
+          .select(col("doc_id"),
+            explode(TextFunctions.tokens(col("text"))).as("token"))
+          .groupBy("doc_id", "token").agg(count(lit(1)).as("c"))
+          .groupBy("doc_id").agg(
+            sum("c").cast("long").as("n_tokens"),
+            count(lit(1)).cast("long").as("n_distinct"),
+            max("c").cast("long").as("top_n"))
+        val gramStats = docs
+          .select(col("doc_id"),
+            explode(TextFunctions.wordShingles(col("text"), 2)).as("gram"))
+          .groupBy("doc_id", "gram").agg(count(lit(1)).as("c"))
+          .groupBy("doc_id").agg(
+            sum("c").cast("long").as("n_grams"),
+            max("c").cast("long").as("top_g"))
+        val distinctRatio =
+          Det.r4(col("n_distinct").cast("double") / col("n_tokens"))
+        val topTokenFrac =
+          Det.r4(col("top_n").cast("double") / col("n_tokens"))
+        val topGramFrac = Det.r4(coalesce(
+          col("top_g").cast("double") / col("n_grams"), lit(0.0)))
+        tokStats.join(gramStats, Seq("doc_id"), "left")
+          .select(col("doc_id"), col("n_tokens"),
+            distinctRatio.as("distinct_ratio"),
+            topTokenFrac.as("top_token_frac"),
+            topGramFrac.as("top_2gram_frac"),
+            // Gopher-ish keep rule, computed on the already-quantized
+            // ratios so the flag is cross-engine deterministic.
+            when(distinctRatio >= 0.2 && topGramFrac <= 0.18, 1)
+              .otherwise(0).cast("int").as("keep"))
+      },
+      Some("""WITH t AS (SELECT doc_id,
+          list_filter(regexp_split_to_array(text, '\s+'), x -> len(x) > 0) AS toks
+          FROM documents),
+        tc AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+            count(*) AS n_distinct, CAST(max(c) AS BIGINT) AS top_n
+          FROM (SELECT doc_id, token, count(*) AS c FROM
+            (SELECT doc_id, unnest(toks) AS token FROM t) GROUP BY 1, 2)
+          GROUP BY 1),
+        gc AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_grams,
+            CAST(max(c) AS BIGINT) AS top_g
+          FROM (SELECT doc_id, gram, count(*) AS c FROM
+            (SELECT doc_id, unnest(list_transform(
+                generate_series(1, greatest(len(toks) - 1, 0)),
+                i -> list_aggregate(toks[i:i+1], 'string_agg', ' '))) AS gram
+              FROM t) GROUP BY 1, 2)
+          GROUP BY 1),
+        m AS (SELECT tc.doc_id AS doc_id, n_tokens,
+            floor(CAST(n_distinct AS DOUBLE) / n_tokens * 10000 + 0.5) / 10000 AS distinct_ratio,
+            floor(CAST(top_n AS DOUBLE) / n_tokens * 10000 + 0.5) / 10000 AS top_token_frac,
+            floor(coalesce(CAST(top_g AS DOUBLE) / n_grams, 0.0) * 10000 + 0.5) / 10000 AS top_2gram_frac
+          FROM tc LEFT JOIN gc ON tc.doc_id = gc.doc_id)
+        SELECT doc_id, n_tokens, distinct_ratio, top_token_frac,
+          top_2gram_frac,
+          CAST(CASE WHEN distinct_ratio >= 0.2 AND top_2gram_frac <= 0.18
+            THEN 1 ELSE 0 END AS INTEGER) AS keep
+        FROM m"""),
+      bench = true),
+
+    // PII / identifier scrubbing: mask email addresses then long digit
+    // runs (account numbers, phone digits) with typed placeholders and
+    // count the redactions. Pure per-row regex work inside the scan
+    // stage — at 100 TB this is parquet-decode-bound with zero shuffle.
+    // The pattern subset (classes, alternation, bounded quantifiers) is
+    // identical under Java regex and RE2, so DuckDB oracles it verbatim.
+    "q_pii_redact" -> QueryDef(
+      (s, dir) => {
+        val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+        val digits = "[0-9]{6,}"
+        val noEmail = regexp_replace(col("c_name"), lit(email), lit("[EMAIL]"))
+        Tables.load(s, dir, "customer")
+          .select(col("c_custkey"),
+            regexp_replace(noEmail, lit(digits), lit("[ID]")).as("scrubbed"),
+            (regexp_count(col("c_name"), lit(email)) +
+              regexp_count(noEmail, lit(digits))).cast("long")
+              .as("n_redactions"))
+      },
+      Some("""SELECT c_custkey,
+        regexp_replace(
+          regexp_replace(c_name, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+          '[0-9]{6,}', '[ID]', 'g') AS scrubbed,
+        CAST(len(regexp_extract_all(c_name, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+          + len(regexp_extract_all(
+              regexp_replace(c_name, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+              '[0-9]{6,}')) AS BIGINT) AS n_redactions
+        FROM customer""")),
+
     // Rolling-hash fingerprint: polynomial base-257 mod 1e9+7 over the
     // character codes — reproducible in plain SQL arithmetic, so fully
     // oracle-checked.
