@@ -2,29 +2,90 @@ package graft.expressions
 
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Divide, Expression, ExpressionInfo, Multiply, Sqrt}
+import org.apache.spark.sql.catalyst.expressions.{Divide, Expression, ExpressionInfo, Literal, Multiply, Sqrt}
 
 /** SparkSessionExtensions hook exposing graft's native expressions to SQL
   * (set spark.sql.extensions=graft.expressions.GraftExtensions — done by
-  * graft.core.Sessions.tune). SQL users get `graft_dot(a, b)` etc. with
-  * the same codegen'd implementation the Scala API uses.
+  * graft.core.Sessions.tune). SQL users get the full native-expression
+  * catalog — `graft_dot`, `graft_cosine`, `graft_simhash64`,
+  * `graft_lang_id`, `graft_fingerprint`, `graft_text_profile`,
+  * `graft_word_shingles`, `graft_minhash`, `graft_hyperplane_bands`,
+  * `graft_cms_buckets` — with the same one-pass implementations the Scala
+  * API uses, so a SQL-only user loses nothing (reference scoped a query
+  * language out entirely, README.md:27-31; Spark gives us one for free).
+  *
+  * Shape parameters (shingle n, signature k, seeds, grid sizes) must be
+  * SQL literals: they size per-expression constant state (plane matrices,
+  * seeded hash mixes) that is built once per operator, not per row.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
+  import GraftExtensions.{intLit, longLit}
+
   override def apply(ext: SparkSessionExtensions): Unit = {
-    ext.injectFunction((
-      new FunctionIdentifier("graft_dot"),
-      new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
-      (children: Seq[Expression]) => DotProduct(children(0), children(1))))
+    def inject(name: String, clazz: Class[_],
+        build: Seq[Expression] => Expression): Unit =
+      ext.injectFunction((
+        new FunctionIdentifier(name),
+        new ExpressionInfo(clazz.getName, name),
+        build))
+
+    inject("graft_dot", classOf[DotProduct],
+      cs => DotProduct(cs(0), cs(1)))
 
     // cosine(a, b) composed from the same codegen'd dot product
-    ext.injectFunction((
-      new FunctionIdentifier("graft_cosine"),
-      new ExpressionInfo(classOf[DotProduct].getName, "graft_cosine"),
-      (children: Seq[Expression]) => {
-        val (a, b) = (children(0), children(1))
-        Divide(DotProduct(a, b),
-          Multiply(Sqrt(DotProduct(a, a)), Sqrt(DotProduct(b, b))))
-      }))
+    inject("graft_cosine", classOf[DotProduct], cs => {
+      val (a, b) = (cs(0), cs(1))
+      Divide(DotProduct(a, b),
+        Multiply(Sqrt(DotProduct(a, a)), Sqrt(DotProduct(b, b))))
+    })
+
+    inject("graft_simhash64", classOf[SimHashExpr],
+      cs => SimHashExpr(cs(0)))
+
+    inject("graft_lang_id", classOf[LangIdExpr],
+      cs => LangIdExpr(cs(0)))
+
+    inject("graft_text_profile", classOf[TextProfileExpr],
+      cs => TextProfileExpr(cs(0)))
+
+    inject("graft_fingerprint", classOf[FingerprintExpr],
+      cs => FingerprintExpr(cs(0)))
+
+    inject("graft_word_shingles", classOf[WordShingles],
+      cs => WordShingles(cs(0), intLit(cs(1), "graft_word_shingles", "n")))
+
+    inject("graft_minhash", classOf[MinHashSignature],
+      cs => MinHashSignature(cs(0),
+        intLit(cs(1), "graft_minhash", "k"),
+        longLit(cs(2), "graft_minhash", "seed")))
+
+    inject("graft_hyperplane_bands", classOf[HyperplaneBands],
+      cs => HyperplaneBands(cs(0),
+        intLit(cs(1), "graft_hyperplane_bands", "dim"),
+        intLit(cs(2), "graft_hyperplane_bands", "n_bands"),
+        intLit(cs(3), "graft_hyperplane_bands", "bits_per_band"),
+        longLit(cs(4), "graft_hyperplane_bands", "seed")))
+
+    inject("graft_cms_buckets", classOf[CmsBuckets],
+      cs => CmsBuckets(cs(0),
+        intLit(cs(1), "graft_cms_buckets", "depth"),
+        intLit(cs(2), "graft_cms_buckets", "width")))
+  }
+}
+
+object GraftExtensions {
+
+  private def intLit(e: Expression, fn: String, arg: String): Int = e match {
+    case Literal(v: Int, _) => v
+    case Literal(v: Short, _) => v.toInt
+    case Literal(v: Byte, _) => v.toInt
+    case other => throw new IllegalArgumentException(
+      s"$fn: argument '$arg' must be an integer literal, got $other")
+  }
+
+  private def longLit(e: Expression, fn: String, arg: String): Long = e match {
+    case Literal(v: Long, _) => v
+    case other => intLit(other, fn, arg).toLong
   }
 }

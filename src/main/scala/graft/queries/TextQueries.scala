@@ -127,6 +127,32 @@ object TextQueries {
         ) / 3.0 * 10000 + 0.5) / 10000 AS quality FROM m"""
       }),
 
+    // SQL-surface parity for the native-expression catalog: the same
+    // engine capabilities reachable with zero Scala — the functions are
+    // injected via SparkSessionExtensions (GraftExtensions), so a pure
+    // SQL user (JDBC, spark-sql shell, notebook) runs the identical
+    // one-pass expressions. Oracled by composing the fingerprint/langid
+    // oracle forms, so this also cross-checks the injection wiring.
+    "q_sql_functions" -> QueryDef(
+      (s, dir) => {
+        Tables.load(s, dir, "documents").createOrReplaceTempView("documents")
+        s.sql("""SELECT doc_id, graft_fingerprint(text) AS fp,
+          graft_lang_id(text) AS lang_pred,
+          CAST(size(graft_word_shingles(text, 3)) AS BIGINT) AS n_shingles
+          FROM documents""")
+      },
+      Some(s"""SELECT f.doc_id AS doc_id, f.fp, l.lang_pred, s.n_shingles
+        FROM (SELECT doc_id,
+          list_reduce(
+            list_prepend(CAST(0 AS BIGINT),
+              list_transform(generate_series(1, len(text)), i -> ascii(text[i]))),
+            (acc, c) -> (CAST(acc AS BIGINT) * 257 + c) % 1000000007) AS fp
+          FROM documents) f
+        JOIN ($langidOracleSql) l ON f.doc_id = l.doc_id
+        JOIN (SELECT doc_id,
+          CAST(greatest(len($oracleTokens) - 2, 0) AS BIGINT) AS n_shingles
+          FROM documents) s ON f.doc_id = s.doc_id""")),
+
     // Repetition metrics (Gopher-style quality filters: distinct-token
     // ratio, most-common-token coverage, most-common-2-gram coverage,
     // plus the derived keep/drop flag). Scale shape: explode -> count per

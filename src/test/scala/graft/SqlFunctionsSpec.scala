@@ -1,0 +1,112 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.core.Sessions
+import org.apache.spark.sql.graftbridge.ColumnBridge
+
+import graft.functions.{HashFunctions, TextFunctions, VectorFunctions}
+
+/** DSL-vs-SQL parity for every function GraftExtensions injects: the SQL
+  * name must resolve (the injection wiring) and produce bit-identical
+  * results to the Scala API (same Expression underneath). Runs on the
+  * sf0.001 fixture so values are real, not toy.
+  */
+class SqlFunctionsSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private lazy val spark: SparkSession =
+    Sessions.tune(SparkSession.builder().master("local[4]"), 4).getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private def assertParity(sqlExpr: String, dsl: org.apache.spark.sql.Column,
+      table: String = "documents"): Unit = {
+    graft.queries.Tables.load(spark, dir, table).createOrReplaceTempView(table)
+    val mismatches = spark.table(table)
+      .select(expr(sqlExpr).as("via_sql"), dsl.as("via_dsl"))
+      .where(not(col("via_sql") <=> col("via_dsl")))
+      .count()
+    assert(mismatches === 0L, s"$sqlExpr diverges from the DSL column")
+  }
+
+  test("graft_simhash64 == HashFunctions.simhash64") {
+    assertParity("graft_simhash64(split(trim(text), '\\\\s+'))",
+      HashFunctions.simhash64(TextFunctions.tokens(col("text"))))
+  }
+
+  test("graft_lang_id == TextFunctions.langId") {
+    assertParity("graft_lang_id(text)", TextFunctions.langId(col("text")))
+  }
+
+  test("graft_fingerprint == TextFunctions.fingerprint") {
+    assertParity("graft_fingerprint(text)",
+      TextFunctions.fingerprint(col("text")))
+  }
+
+  test("graft_word_shingles == TextFunctions.wordShingles") {
+    assertParity("graft_word_shingles(text, 5)",
+      TextFunctions.wordShingles(col("text"), 5))
+  }
+
+  test("graft_minhash == HashFunctions.minhashSignature") {
+    assertParity("graft_minhash(graft_word_shingles(text, 5), 64, 42)",
+      HashFunctions.minhashSignature(
+        TextFunctions.wordShingles(col("text"), 5), 64, 42L))
+  }
+
+  test("graft_text_profile == TextProfileExpr") {
+    assertParity("graft_text_profile(text)",
+      ColumnBridge.column(graft.expressions.TextProfileExpr(
+        ColumnBridge.expression(col("text")))))
+  }
+
+  test("graft_cosine and graft_dot == VectorFunctions on embeddings") {
+    graft.queries.Tables.load(spark, dir, "embeddings")
+      .createOrReplaceTempView("embeddings")
+    val v = col("embedding").cast("array<double>")
+    val mismatches = spark.table("embeddings")
+      .select(
+        expr("graft_dot(CAST(embedding AS ARRAY<DOUBLE>), CAST(embedding AS ARRAY<DOUBLE>))").as("sql_dot"),
+        VectorFunctions.dot(v, v).as("dsl_dot"),
+        expr("graft_cosine(CAST(embedding AS ARRAY<DOUBLE>), CAST(embedding AS ARRAY<DOUBLE>))").as("sql_cos"),
+        VectorFunctions.cosine(v, v).as("dsl_cos"))
+      .where(not(col("sql_dot") <=> col("dsl_dot")) ||
+        not(col("sql_cos") <=> col("dsl_cos")))
+      .count()
+    assert(mismatches === 0L)
+  }
+
+  test("graft_hyperplane_bands == VectorFunctions.hyperplaneBands") {
+    graft.queries.Tables.load(spark, dir, "embeddings")
+      .createOrReplaceTempView("embeddings")
+    val v = col("embedding").cast("array<double>")
+    val mismatches = spark.table("embeddings")
+      .select(
+        expr("graft_hyperplane_bands(CAST(embedding AS ARRAY<DOUBLE>), 64, 16, 8, 42)").as("via_sql"),
+        VectorFunctions.hyperplaneBands(v, 64, 16, 8, 42L).as("via_dsl"))
+      .where(not(col("via_sql") <=> col("via_dsl")))
+      .count()
+    assert(mismatches === 0L)
+  }
+
+  test("graft_cms_buckets matches the aggregator's probe coordinates") {
+    assertParity("graft_cms_buckets(text, 4, 2048)",
+      ColumnBridge.column(graft.expressions.CmsBuckets(
+        ColumnBridge.expression(col("text")), 4, 2048)))
+  }
+
+  test("shape parameters must be literals") {
+    graft.queries.Tables.load(spark, dir, "documents")
+      .createOrReplaceTempView("documents")
+    val e = intercept[Exception] {
+      spark.sql("SELECT graft_word_shingles(text, CAST(n_chars AS INT)) " +
+        "FROM documents").collect()
+    }
+    assert(e.getMessage.contains("literal"))
+  }
+}
