@@ -332,5 +332,36 @@ object SimilarityQueries {
       (s, dir) => graft.operators.Ann.nearDupPairs(
         Tables.load(s, dir, "embeddings"), dim = 64, threshold = 0.4),
       None,
-      bench = true))
+      bench = true),
+
+    // Exact-cosine pair mining over a deterministic cohort (vec_id % 4),
+    // fully DuckDB-oracled — the hard cross-engine evidence for the
+    // SCORING stage the LSH path above runs on its candidates (identical
+    // Det.r4(cosine) expression, identical threshold semantics). The
+    // cohort cap bounds the all-pairs join to validation scale by
+    // construction (same pattern as the correlation cohort cap): at
+    // 100 TB you never run uncapped all-pairs — candidate generation is
+    // the LSH band join — but the capped exact pass stays cheap at any
+    // corpus size and anchors the math the approximate path trusts.
+    "q_embed_neardup_exact" -> QueryDef(
+      (s, dir) => {
+        val e = Tables.load(s, dir, "embeddings")
+          .where(col("vec_id") % 4 === 0)
+        val x = e.select(col("vec_id").as("a"), col("embedding").as("ea"))
+        val y = e.select(col("vec_id").as("b"), col("embedding").as("eb"))
+        x.crossJoin(broadcast(y))
+          .where(col("a") < col("b"))
+          .select(col("a"), col("b"),
+            Det.r4(VectorFunctions.cosine(col("ea"), col("eb"))).as("score"))
+          .where(col("score") >= 0.35)
+      },
+      Some(s"""WITH e AS (SELECT vec_id, embedding FROM embeddings
+          WHERE vec_id % 4 = 0)
+        SELECT a, b, score FROM (
+          SELECT x.vec_id AS a, y.vec_id AS b,
+            floor(${oracleDot("x.embedding", "y.embedding")} /
+              (sqrt(${oracleDot("x.embedding", "x.embedding")}) *
+               sqrt(${oracleDot("y.embedding", "y.embedding")})) * 10000 + 0.5) / 10000 AS score
+          FROM e x JOIN e y ON x.vec_id < y.vec_id) t
+        WHERE score >= 0.35""")))
 }
