@@ -77,11 +77,22 @@ final class Topic[T] private[streaming] (
   def capacity: Option[Int] = synchronized(cap)
   def defaultPolicy: SelectionPolicy = synchronized(defPolicy)
 
-  private[streaming] def reconfigure(newCapacity: Option[Int],
-      newDefaultPolicy: SelectionPolicy): Unit = synchronized {
-    cap = newCapacity
-    defPolicy = newDefaultPolicy
-  }
+  /** Live config swap (reference: migrateStream, stream.go:109-123). Runs
+    * entirely under the topic monitor, so concurrent publishers BLOCK at
+    * publish() until the swap completes — exactly the reference's mutex
+    * barrier. `drain` is the WaitUntilDrained analogue (every event
+    * published before the swap is delivered to the topic's subscribers
+    * before the new config applies); like the reference, a subscriber
+    * callback that publishes back into THIS topic during a migrate would
+    * deadlock the drain — publish from callbacks into other topics only.
+    */
+  private[streaming] def migrate(newCapacity: Option[Int],
+      newDefaultPolicy: SelectionPolicy, drain: () => Unit): Unit =
+    synchronized {
+      drain()
+      cap = newCapacity
+      defPolicy = newDefaultPolicy
+    }
 
   private var inCount = 0L
 
@@ -122,7 +133,8 @@ private object Topic {
   */
 final class Subscription[T](
     private[streaming] val query: StreamingQuery,
-    detach: () => Unit = () => ()) {
+    detach: () => Unit = () => (),
+    private[streaming] val ownerTopic: Option[Topic[_]] = None) {
 
   private var closed = false
 
@@ -328,7 +340,7 @@ final class PubSub(val spark: SparkSession) {
       owner: Option[Topic[T]]): Subscription[T] = owner match {
     case Some(t) =>
       attached(t) += 1
-      new Subscription[T](q, () => detach(t))
+      new Subscription[T](q, () => detach(t), Some(t))
     case None => new Subscription[T](q)
   }
 
@@ -407,6 +419,39 @@ final class PubSub(val spark: SparkSession) {
     subs += s
     s
   }
+
+  /** Hot-migrate a LIVE topic to a new configuration (reference:
+    * migrateStream via AddOrReplaceStream on an existing id,
+    * stream.go:109-123): drain everything published so far to the
+    * topic's owner-scoped subscribers, then swap capacity and default
+    * policy — all under the topic monitor, so concurrent publishers
+    * block (never fail, never lose events) until the swap completes.
+    * Open publisher handles and running subscriptions survive untouched;
+    * the new default policy applies to subscribers that attach after the
+    * migrate (the reference semantics: the carried-over subscriberMap
+    * keeps existing buffers, new subscribers get the new config).
+    */
+  def migrateTopic[T: TypeTag](name: String,
+      capacity: Option[Int] = None,
+      defaultPolicy: SelectionPolicy = SelectNext): Unit = {
+    val t = existingTopic[T](name)
+    // snapshot OUTSIDE the topic monitor (same discipline as close()):
+    // only the drain itself must hold it
+    val owned = synchronized(
+      subs.toList.filter(_.ownerTopic.exists(_ eq t)))
+    t.migrate(capacity, defaultPolicy,
+      () => owned.foreach(_.query.processAllAvailable()))
+  }
+
+  /** Subscribe whole-window batches using the topic's CURRENT default
+    * policy (reference: a subscriber registered without an explicit
+    * buffer gets the stream's DefaultSubscribers config,
+    * subscriber.go:277-289 + config.go:23-31) — after a migrateTopic,
+    * new default subscribers observe the migrated policy.
+    */
+  def subscribeTopicBatch[T: TypeTag](t: Topic[T])(
+      cb: WindowBatch[T] => Unit): Subscription[T] =
+    subscribeBatch[T](t.stream, t.defaultPolicy, Some(t))(cb)
 
   /** One-shot publish without keeping a publisher handle (reference:
     * InstantPublishByTopic, pub_sub.go:215-227).

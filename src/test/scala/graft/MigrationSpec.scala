@@ -1,0 +1,100 @@
+package graft
+
+import java.util.concurrent.{CountDownLatch, TimeUnit}
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.core.Sessions
+import graft.streaming._
+
+/** Hot topic migration (reference: migrateStream, stream.go:109-123):
+  * a live config swap that drains delivery first, blocks concurrent
+  * publishers for its duration (no loss, no error), and leaves existing
+  * publisher handles and subscriptions untouched while new default
+  * subscribers observe the migrated policy.
+  */
+class MigrationSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark: SparkSession =
+    Sessions.tune(SparkSession.builder().master("local[4]"), 4).getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  test("migrate drains pending delivery, applies capacity live, and " +
+      "keeps the original subscription running") {
+    val ps = new PubSub(spark)
+    val t = ps.createTopic[Int]("live-migrate")
+    val seen = mutable.ArrayBuffer.empty[Int]
+    val sub = ps.subscribe(t.stream, owner = Some(t)) { evs =>
+      seen.synchronized { seen ++= evs.map(_.content) }
+    }
+    val pub = ps.registerPublisher[Int]("live-migrate")
+    pub.publishValues(1, 2, 3)
+
+    ps.migrateTopic[Int]("live-migrate",
+      capacity = Some(2), defaultPolicy = CountingWindowPolicy(2, 2))
+
+    // WaitUntilDrained analogue: everything published BEFORE the migrate
+    // was delivered by the time it returned.
+    assert(seen.synchronized(seen.toSet) === Set(1, 2, 3))
+
+    // The new capacity is live on the SAME topic/publisher handles.
+    intercept[BufferLimitExceededException](pub.publishValues(4, 5, 6))
+
+    // Zero downtime: the pre-migrate subscription keeps delivering.
+    pub.publishValues(7, 8)
+    sub.drain()
+    assert(seen.synchronized(seen.toSet) === Set(1, 2, 3, 7, 8))
+
+    // The migrated default policy governs NEW default subscribers.
+    assert(t.defaultPolicy === CountingWindowPolicy(2, 2))
+    val windows = mutable.ArrayBuffer.empty[Seq[Int]]
+    val batchSub = ps.subscribeTopicBatch(t) { w =>
+      windows.synchronized { windows += w.events }
+    }
+    pub.publishValues(10, 11)
+    batchSub.drain()
+    assert(windows.synchronized(windows.exists(_.size == 2)),
+      s"expected a 2-event window from the migrated default policy, " +
+        s"got ${windows.synchronized(windows.toList)}")
+
+    batchSub.close(); sub.close(); pub.close(); ps.close()
+  }
+
+  test("a publish racing a migrate blocks until the swap and loses " +
+      "nothing (ref: publish waits on the stream mutex)") {
+    val ps = new PubSub(spark)
+    val t = ps.createTopic[Int]("race-migrate")
+    val seen = mutable.ArrayBuffer.empty[Int]
+    val sub = ps.subscribe(t.stream, owner = Some(t)) { evs =>
+      seen.synchronized { seen ++= evs.map(_.content) }
+    }
+    val pub = ps.registerPublisher[Int]("race-migrate")
+    pub.publishValues(1 to 50: _*)
+
+    val started = new CountDownLatch(1)
+    val racer = new Thread(() => {
+      started.countDown()
+      (51 to 100).foreach(v => pub.publishValues(v))
+    })
+    racer.start()
+    assert(started.await(5, TimeUnit.SECONDS))
+    ps.migrateTopic[Int]("race-migrate", capacity = None,
+      defaultPolicy = SelectNext)
+    racer.join(30000)
+    assert(!racer.isAlive)
+
+    sub.drain()
+    // exactly-once, no loss: every publish before/during/after the
+    // migrate arrives exactly once
+    val got = seen.synchronized(seen.toList)
+    assert(got.sorted === (1 to 100).toList,
+      s"lost or duplicated events; got ${got.size} values")
+
+    sub.close(); pub.close(); ps.close()
+  }
+}
