@@ -222,6 +222,44 @@ object TextQueries {
         FROM m"""),
       bench = true),
 
+    // Fixed-size token chunking with overlap (context-window packing's
+    // sibling: one training sample per chunk, stride < length so chunks
+    // overlap). Per-row explode of chunk indices + array slices — no
+    // shuffle at all; at 100 TB this is a map-only pass whose output
+    // partitioning follows the input. Chunk starts advance by stride
+    // while they remain inside the document.
+    "q_chunking" -> QueryDef(
+      (s, dir) => {
+        val len = 32
+        val stride = 24
+        val t = TextFunctions.tokens(col("text"))
+        val n = size(t)
+        // floor((n-1)/stride) is the last chunk index; guard n==0 (the
+        // sequence() descending trap on empty docs).
+        val lastIdx =
+          floor((col("n") - 1).cast("double") / stride).cast("int")
+        Tables.load(s, dir, "documents")
+          .select(col("doc_id"), t.as("toks"), n.as("n"))
+          .where(col("n") > 0)
+          .select(col("doc_id"), col("toks"),
+            explode(sequence(lit(0), lastIdx)).as("i"))
+          .select(col("doc_id"), col("i").cast("long").as("chunk_id"),
+            slice(col("toks"), col("i") * stride + 1, lit(len)).as("chunk"))
+          .select(col("doc_id"), col("chunk_id"),
+            size(col("chunk")).cast("long").as("n_chunk_tokens"),
+            element_at(col("chunk"), 1).as("head_token"))
+      },
+      Some(s"""WITH t AS (SELECT doc_id,
+          list_filter(regexp_split_to_array(text, '\\s+'), x -> len(x) > 0) AS toks
+          FROM documents),
+        c AS (SELECT doc_id, toks,
+            unnest(generate_series(0, CAST(floor((len(toks) - 1) / 24.0) AS INTEGER))) AS i
+          FROM t WHERE len(toks) > 0)
+        SELECT doc_id, CAST(i AS BIGINT) AS chunk_id,
+          CAST(len(toks[i * 24 + 1 : i * 24 + 32]) AS BIGINT) AS n_chunk_tokens,
+          toks[i * 24 + 1] AS head_token
+        FROM c""")),
+
     // PII / identifier scrubbing: mask email addresses then long digit
     // runs (account numbers, phone digits) with typed placeholders and
     // count the redactions. Pure per-row regex work inside the scan

@@ -87,4 +87,28 @@ object TypedOps {
     implicit val e: Encoder[EventEnvelope[T]] = enc[T]
     ds.map { (ev: EventEnvelope[T]) => f(ev.content); ev }
   }
+
+  /** Streaming exact dedup by content within a watermark horizon — the
+    * ingest-time face of the batch exact dedup (q_dedup_exact): the
+    * first occurrence of a content value passes (stamp intact), repeats
+    * arriving while the key is inside the horizon are dropped. State is
+    * BOUNDED: dropDuplicatesWithinWatermark evicts a key once the
+    * watermark passes its event time, so the state store holds only the
+    * horizon's working set (hash-partitioned by key; RocksDB-backed via
+    * Sessions.tuneLargeState at scale) — unlike a raw dropDuplicates,
+    * whose key set grows without bound on an infinite stream. A repeat
+    * arriving after eviction is re-emitted; horizon-scoped dedup is the
+    * contract (exactly what ingest pipelines want: suppress the
+    * duplicate burst, bound the memory).
+    */
+  def dedupWithinWatermark[T: TypeTag](delay: String): Op[T, T] = { ds =>
+    implicit val e: Encoder[EventEnvelope[T]] = enc[T]
+    ds.toDF()
+      .withColumn("event_time", org.apache.spark.sql.functions
+        .col("stamp.start_time"))
+      .withWatermark("event_time", delay)
+      .dropDuplicatesWithinWatermark("content")
+      .drop("event_time")
+      .as[EventEnvelope[T]]
+  }
 }

@@ -172,6 +172,30 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     ps.close()
   }
 
+  test("streaming dedup drops repeats across micro-batches and keeps " +
+      "the first occurrence's stamp") {
+    val ps = new PubSub(spark)
+    val t = ps.topic[Int]("dedup-stream")
+    val deduped = TypedOps.dedupWithinWatermark[Int]("10 minutes").apply(t.stream)
+    val buf = mutable.Buffer.empty[EventEnvelope[Int]]
+    val q = deduped.writeStream.outputMode("append")
+      .foreachBatch { (b: Dataset[EventEnvelope[Int]], _: Long) =>
+        buf.synchronized { buf ++= b.collect() }; ()
+      }.start()
+    // in-batch duplicate of 1
+    t.publish(Seq(EventEnvelope.at(ts(0), 1), EventEnvelope.at(ts(1), 2),
+      EventEnvelope.at(ts(2), 1)))
+    q.processAllAvailable()
+    // cross-batch duplicate of 2; 3 is new
+    t.publish(Seq(EventEnvelope.at(ts(3), 2), EventEnvelope.at(ts(4), 3)))
+    q.processAllAvailable()
+    q.stop()
+    assert(buf.map(_.content).sorted == List(1, 2, 3))
+    assert(buf.find(_.content == 1).get.stamp.start_time == ts(0))
+    assert(buf.find(_.content == 2).get.stamp.start_time == ts(1))
+    ps.close()
+  }
+
   test("map keeps the input stamp; flatMap with 0 outputs filters") {
     val ps = new PubSub(spark)
     val t = ps.topic[String]("fm")
