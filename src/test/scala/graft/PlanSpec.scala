@@ -120,6 +120,37 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"global single-partition stage in:\n$plan")
   }
 
+  test("repetition metrics stay combiner-friendly: no per-doc global " +
+      "sort, partial aggregation before every exchange") {
+    val plan = planOf("q_repetition")
+    assert(!plan.contains("SinglePartition"),
+      s"global single-partition stage in:\n$plan")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"unkeyed join crept into the doc-stats join:\n$plan")
+  }
+
+  test("chunking is map-only: no exchange at all") {
+    val plan = planOf("q_chunking")
+    assert(!plan.contains("Exchange"),
+      s"chunking should be a pure per-row explode, found a shuffle:\n$plan")
+  }
+
+  test("PII scrubbing is a single scan stage with pruned columns") {
+    val plan = planOf("q_pii_redact")
+    assert(!plan.contains("Exchange"),
+      s"per-row redaction must not shuffle:\n$plan")
+    val rs = "ReadSchema: [^\\n]*".r.findFirstIn(plan).getOrElse("")
+    assert(!rs.contains("c_acctbal"),
+      s"unpruned scan reads c_acctbal:\n$rs")
+  }
+
+  test("exact embed near-dup broadcasts the capped cohort side") {
+    val plan = planOf("q_embed_neardup_exact")
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+      s"expected the deterministic cohort broadcast in:\n$plan")
+  }
+
   test("pricing summary pushes the date filter into the scan") {
     val plan = planOf("q1_pricing")
     assert("PushedFilters: \\[[^\\]]*l_shipdate".r.findFirstIn(plan).isDefined,
