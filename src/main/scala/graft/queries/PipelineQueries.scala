@@ -213,6 +213,50 @@ object PipelineQueries {
             * 20 * 256) AS n_kept
         FROM documents GROUP BY source""")),
 
+    // Per-source corpus report — the health dashboard every training-data
+    // pipeline ships: volume, token mass, exact-duplicate rate, dominant
+    // language. Two combiner-friendly aggregations (per-source stats;
+    // per-(source,lang) counts argmaxed) joined on the tiny source key —
+    // at 100 TB both shuffles carry one row per group, never documents;
+    // the md5 distinct shuffles 16-byte digests.
+    "q_corpus_report" -> QueryDef(
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        val base = docs.groupBy("source").agg(
+          count(lit(1)).as("n_docs"),
+          sum(graft.functions.TextFunctions.tokenCount(col("text"))
+            .cast("long")).as("n_tokens"),
+          countDistinct(md5(col("text").cast("binary"))).as("n_unique"))
+        val topLang = docs.groupBy("source", "lang")
+          .agg(count(lit(1)).as("c"))
+          .groupBy("source")
+          // (count, lang) struct max = most docs, ties to the greater
+          // lang code — mirrored exactly by the oracle's ORDER BY
+          .agg(max_by(col("lang"), struct(col("c"), col("lang")))
+            .as("top_lang"))
+        base.join(topLang, "source")
+          .select(col("source"), col("n_docs"), col("n_tokens"),
+            col("n_unique"),
+            Det.r4((col("n_docs") - col("n_unique")).cast("double") /
+              col("n_docs")).as("dup_pct"),
+            col("top_lang"))
+      },
+      Some("""WITH base AS (SELECT source, count(*) AS n_docs,
+          CAST(sum(len(list_filter(regexp_split_to_array(text, '\s+'),
+            t -> len(t) > 0))) AS BIGINT) AS n_tokens,
+          count(DISTINCT md5(text)) AS n_unique
+          FROM documents GROUP BY source),
+        lt AS (SELECT source, lang AS top_lang FROM (
+          SELECT source, lang,
+            row_number() OVER (PARTITION BY source
+              ORDER BY count(*) DESC, lang DESC) AS rn
+          FROM documents GROUP BY source, lang) t WHERE rn = 1)
+        SELECT b.source AS source, n_docs, n_tokens, n_unique,
+          floor(CAST(n_docs - n_unique AS DOUBLE) / n_docs * 10000 + 0.5)
+            / 10000 AS dup_pct,
+          top_lang
+        FROM base b JOIN lt ON b.source = lt.source""")),
+
     // Symmetric int8 quantization of embeddings (per-vector absmax
     // scale): 4x storage reduction for ANN candidate stages. Checksum +
     // scale are oracle-compared; quantization arithmetic is the
