@@ -22,11 +22,19 @@ object AnalyticsQueries {
     */
   val SeedUsersConf = "spark.graft.correlation.seedUsers"
 
+  /** Fixed-count cap on the FIXTURE default seed set (every 25th user id,
+    * at most this many). A count, not a fraction: the broadcast seed side
+    * stops growing once the user base passes 25×cap ids, so the "seed
+    * side is tiny and broadcast" claim holds at any corpus size. The
+    * production path supplies explicit ids via [[SeedUsersConf]].
+    */
+  val MaxDefaultSeeds = 32
+
   /** Seed-set series correlation, the linear-cost production path:
     * correlate every user's hourly series against the named seed users
     * only. The seed side is tiny and broadcast — the corpus side never
     * shuffles for the join. `seedIds = None` selects the fixture default
-    * (user_id % 25 == 0).
+    * (every 25th user id, capped at [[MaxDefaultSeeds]] seeds).
     */
   def seriesCorrelationSeeded(events: org.apache.spark.sql.DataFrame,
       seedIds: Option[Seq[Long]]): org.apache.spark.sql.DataFrame = {
@@ -37,7 +45,8 @@ object AnalyticsQueries {
         .as("sv"))
     val seeds = seedIds match {
       case Some(ids) => hourly.where(col("user_id").isin(ids: _*))
-      case None => hourly.where(col("user_id") % 25 === 0)
+      case None => hourly.where(col("user_id") % 25 === 0 &&
+        col("user_id") < 25L * MaxDefaultSeeds)
     }
     val paired = broadcast(seeds).as("a").join(hourly.as("b"),
         col("a.h") === col("b.h") &&
@@ -225,8 +234,9 @@ object AnalyticsQueries {
     // (corr moments partial-agg). SCALE.md documents the cutover.
     // The seed set is a PARAMETER (seriesCorrelationSeeded); the query
     // reads an explicit list from the session conf key `SeedUsersConf`
-    // when set, else falls back to the fixture default (id % 25 == 0,
-    // which the DuckDB oracle mirrors).
+    // when set, else falls back to the fixture default (every 25th id,
+    // capped at MaxDefaultSeeds — a fixed COUNT, so the broadcast stays
+    // tiny at any user-base size; the DuckDB oracle mirrors the cap).
     "q_series_correlation_seeded" -> QueryDef(
       (s, dir) => {
         val confSeeds = s.conf.getOption(SeedUsersConf)
@@ -234,7 +244,7 @@ object AnalyticsQueries {
             .map(_.toLong))
         seriesCorrelationSeeded(Tables.load(s, dir, "events"), confSeeds)
       },
-      Some("""WITH hourly AS (
+      Some(s"""WITH hourly AS (
           SELECT user_id, CAST(floor(epoch(ts)/3600) AS BIGINT) AS h,
             CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sv
           FROM events GROUP BY 1, 2)
@@ -243,7 +253,7 @@ object AnalyticsQueries {
           floor(corr(a.sv, b.sv) * 10000 + 0.5) / 10000 AS r
         FROM hourly a JOIN hourly b
           ON a.h = b.h AND a.user_id <> b.user_id
-        WHERE a.user_id % 25 = 0
+        WHERE a.user_id % 25 = 0 AND a.user_id < ${25L * MaxDefaultSeeds}
         GROUP BY 1, 2 HAVING count(*) >= 5"""),
       bench = true),
 

@@ -23,6 +23,15 @@ object SimilarityQueries {
   private val Ngram = 5
   private val JaccardThreshold = 0.8
 
+  /** Fixed-count caps for the validation cohorts below. Both are COUNTS,
+    * not fractions: the selected set stops growing once the corpus passes
+    * cap×stride ids, so the broadcasts and the all-pairs anchor stay
+    * validation-sized at any corpus scale (a bare `vec_id % k` cohort
+    * would be a fixed fraction and grow O(n) / O(n²)).
+    */
+  private[graft] val MaxExactCohort = 160
+  private[graft] val MaxIvfCentroids = 64
+
   /** Document-frequency cap on shingles entering the candidate self-join.
     * A shingle present in d documents contributes d·(d-1)/2 join rows — a
     * boilerplate shingle (license header, template sentence) in 10⁵ docs
@@ -284,13 +293,19 @@ object SimilarityQueries {
       bench = true),
 
     // IVF ANN — the scale path: corpus coarse-quantized into cells around
-    // a deterministic centroid sample (vec_id % 37 == 0), queries probe
-    // their 3 best cells. Rows-only check (assignment argmax isn't worth
-    // a 100-line oracle); AnnSpec pins recall against brute force.
+    // a deterministic FIXED-COUNT centroid sample (every 37th id, capped
+    // at MaxIvfCentroids cells — the cap makes the centroid broadcast and
+    // the per-vector argmax bounded at any corpus size, unlike a bare
+    // modulus whose centroid count grows with the corpus). The fixture
+    // literal is validation plumbing only: the production contract is
+    // Ann.ivfTopK's caller-supplied centroid frame (offline k-means,
+    // ~sqrt(n) cells). Rows-only check (assignment argmax isn't worth a
+    // 100-line oracle); AnnSpec pins recall against brute force.
     "q_ann_ivf" -> QueryDef(
       (s, dir) => {
         val emb = Tables.load(s, dir, "embeddings")
-        val centroids = emb.where(col("vec_id") % 37 === 0)
+        val centroids = emb.where(col("vec_id") % 37 === 0 &&
+            col("vec_id") < 37L * MaxIvfCentroids)
           .select((col("vec_id") / 37).cast("long").as("cell_id"),
             col("embedding").as("cell_emb"))
         // 64 queries: enough for cell assignment (a one-off, reusable
@@ -334,19 +349,30 @@ object SimilarityQueries {
       None,
       bench = true),
 
-    // Exact-cosine pair mining over a deterministic cohort (vec_id % 4),
-    // fully DuckDB-oracled — the hard cross-engine evidence for the
-    // SCORING stage the LSH path above runs on its candidates (identical
+    // Exact-cosine pair mining over a deterministic FIXED-COUNT cohort
+    // (every 4th id, capped at MaxExactCohort vectors), fully
+    // DuckDB-oracled — the hard cross-engine evidence for the SCORING
+    // stage the LSH path above runs on its candidates (identical
     // Det.r4(cosine) expression, identical threshold semantics). The
-    // cohort cap bounds the all-pairs join to validation scale by
-    // construction (same pattern as the correlation cohort cap): at
-    // 100 TB you never run uncapped all-pairs — candidate generation is
-    // the LSH band join — but the capped exact pass stays cheap at any
-    // corpus size and anchors the math the approximate path trusts.
+    // count cap — not a bare fraction — is what bounds the all-pairs
+    // join by construction: the broadcast side is <= MaxExactCohort rows
+    // and the pair count <= MaxExactCohort²/8 at ANY corpus size (a
+    // modulus alone would grow O(n²) with the corpus). At 100 TB you
+    // never run uncapped all-pairs — candidate generation is the LSH
+    // band join — but this capped exact pass stays cheap everywhere and
+    // anchors the math the approximate path trusts.
+    //
+    // Threshold note: the filter compares the r4-QUANTIZED score, so a
+    // raw cosine landing exactly on a .xxxx5 rounding boundary could in
+    // principle quantize differently across engines and flip membership;
+    // no epsilon on the threshold can remove that (it is a property of
+    // the quantization, not the cut), so the guard is operational —
+    // Verify re-runs at sf0.1 after any data or cohort change.
     "q_embed_neardup_exact" -> QueryDef(
       (s, dir) => {
         val e = Tables.load(s, dir, "embeddings")
-          .where(col("vec_id") % 4 === 0)
+          .where(col("vec_id") % 4 === 0 &&
+            col("vec_id") < 4L * MaxExactCohort)
         val x = e.select(col("vec_id").as("a"), col("embedding").as("ea"))
         val y = e.select(col("vec_id").as("b"), col("embedding").as("eb"))
         x.crossJoin(broadcast(y))
@@ -356,7 +382,7 @@ object SimilarityQueries {
           .where(col("score") >= 0.35)
       },
       Some(s"""WITH e AS (SELECT vec_id, embedding FROM embeddings
-          WHERE vec_id % 4 = 0)
+          WHERE vec_id % 4 = 0 AND vec_id < ${4L * MaxExactCohort})
         SELECT a, b, score FROM (
           SELECT x.vec_id AS a, y.vec_id AS b,
             floor(${oracleDot("x.embedding", "y.embedding")} /

@@ -116,10 +116,14 @@ class AnalyticsSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(seeds.nonEmpty && seeds.subsetOf(Set(3L, 7L)),
         s"configured seed set ignored: $seeds")
     } finally spark.conf.unset(key)
-    // default (no conf): the fixture's % 25 == 0 seed family
+    // default (no conf): the fixture's % 25 == 0 seed family, capped at
+    // a fixed COUNT so the broadcast side is bounded at any user-base size
     val defSeeds = SparkEntry.queries("q_series_correlation_seeded")(spark, dir)
       .select("seed_user").distinct().as[Long].collect()
-    assert(defSeeds.nonEmpty && defSeeds.forall(_ % 25 == 0))
+    val maxSeedId = 25L * graft.queries.AnalyticsQueries.MaxDefaultSeeds
+    assert(defSeeds.nonEmpty && defSeeds.forall(id =>
+      id % 25 == 0 && id < maxSeedId))
+    assert(defSeeds.length <= graft.queries.AnalyticsQueries.MaxDefaultSeeds)
   }
 
   test("streaming session window merges events within the gap") {

@@ -145,10 +145,17 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"unpruned scan reads c_acctbal:\n$rs")
   }
 
-  test("exact embed near-dup broadcasts the capped cohort side") {
+  test("exact embed near-dup broadcasts the capped cohort side " +
+      "and pushes the fixed-count cap into the scan") {
     val plan = planOf("q_embed_neardup_exact")
     assert(plan.contains("BroadcastNestedLoopJoin"),
       s"expected the deterministic cohort broadcast in:\n$plan")
+    // the cap is a COUNT (vec_id < 4*K), so it must reach the scan as a
+    // pushed range predicate — that is what bounds the broadcast side
+    // by construction at any corpus size
+    assert("PushedFilters: \\[[^\\]]*LessThan\\(vec_id".r
+      .findFirstIn(plan).isDefined,
+      s"fixed-count cohort cap not pushed to the scan in:\n$plan")
   }
 
   test("pricing summary pushes the date filter into the scan") {
