@@ -17,11 +17,19 @@ import graft.streaming._
 object StreamBench {
   def main(args: Array[String]): Unit = {
     val n = args.headOption.map(_.toInt).getOrElse(500000)
-    val spark: SparkSession = Sessions.tune(
+    // SPARK_GRAFT_STATE_STORE=rocksdb measures the large-state scale
+    // path (Sessions.tuneLargeState) instead of the in-memory default —
+    // the same pipelines, so the two runs isolate the state-store cost.
+    val rocksdb = sys.env.get("SPARK_GRAFT_STATE_STORE")
+      .exists(_.equalsIgnoreCase("rocksdb"))
+    val builder0 = Sessions.tune(
       SparkSession.builder().master(s"local[${
         Runtime.getRuntime.availableProcessors()}]")
         .config("spark.sql.streaming.checkpointLocation",
-          s"/tmp/graft-sbench-${System.nanoTime()}"), 32).getOrCreate()
+          s"/tmp/graft-sbench-${System.nanoTime()}"), 32)
+    val spark: SparkSession =
+      (if (rocksdb) Sessions.tuneLargeState(builder0) else builder0)
+        .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val ps = new PubSub(spark)
     val base = 1700000000000L
@@ -107,6 +115,7 @@ object StreamBench {
     q3.stop()
 
     println(f"""{"stream_bench":{"n_events":$n,""" +
+      f""""state_store":"${if (rocksdb) "rocksdb" else "memory"}",""" +
       f""""lake_rows":$lakeRows,"lake_sec":$lakeSec%.2f,""" +
       f""""lake_rows_per_sec":${lakeRows / lakeSec}%.0f,""" +
       f""""lake_out_rows":$lakeOut,""" +

@@ -31,6 +31,11 @@ object Sessions {
     * (HDFS-backed) provider holds all keyed state on-heap — fine for tests,
     * fatal for 100 TB keyed counting windows / stream joins. RocksDB spills
     * state to local disk with incremental checkpointing.
+    *
+    * Exercised by RocksDbStateSpec (dedup + keyed gapless under this
+    * provider, outputs identical to the in-memory store) and by
+    * StreamBench under `SPARK_GRAFT_STATE_STORE=rocksdb`; the measured
+    * cost is in SCALE.md §"RocksDB state store".
     */
   def tuneLargeState(b: SparkSession.Builder): SparkSession.Builder =
     b.config("spark.sql.streaming.stateStore.providerClass",
