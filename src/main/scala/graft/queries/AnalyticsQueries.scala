@@ -223,8 +223,10 @@ object AnalyticsQueries {
           floor(corr(a.sv, b.sv) * 10000 + 0.5) / 10000 AS r
         FROM capped a JOIN capped b
           ON a.h = b.h AND a.user_id < b.user_id
-        GROUP BY 1, 2 HAVING count(*) >= 5"""),
-      bench = true),
+        GROUP BY 1, 2 HAVING count(*) >= 5""")),
+      // not a bench headliner (round 7): the capped exploratory form's
+      // scale story is its K²/2-per-hour bound, already told above; the
+      // documented scale path — and the benched one — is the seeded form.
 
     // The 100x path for series correlation: correlate every user against
     // a SEED set only. Cost is linear in corpus x |seeds| instead of
