@@ -23,51 +23,58 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   import GraftExtensions.{intLit, longLit}
 
   override def apply(ext: SparkSessionExtensions): Unit = {
-    def inject(name: String, clazz: Class[_],
+    // arity is validated HERE, not left to cs(i): a SQL call with the
+    // wrong argument count must surface as a clean analysis-time error
+    // naming the function, never an IndexOutOfBoundsException
+    def inject(name: String, clazz: Class[_], arity: Int,
         build: Seq[Expression] => Expression): Unit =
       ext.injectFunction((
         new FunctionIdentifier(name),
         new ExpressionInfo(clazz.getName, name),
-        build))
+        cs => {
+          if (cs.length != arity) throw new IllegalArgumentException(
+            s"$name expects $arity argument(s), got ${cs.length}")
+          build(cs)
+        }))
 
-    inject("graft_dot", classOf[DotProduct],
+    inject("graft_dot", classOf[DotProduct], 2,
       cs => DotProduct(cs(0), cs(1)))
 
     // cosine(a, b) composed from the same codegen'd dot product
-    inject("graft_cosine", classOf[DotProduct], cs => {
+    inject("graft_cosine", classOf[DotProduct], 2, cs => {
       val (a, b) = (cs(0), cs(1))
       Divide(DotProduct(a, b),
         Multiply(Sqrt(DotProduct(a, a)), Sqrt(DotProduct(b, b))))
     })
 
-    inject("graft_simhash64", classOf[SimHashExpr],
+    inject("graft_simhash64", classOf[SimHashExpr], 1,
       cs => SimHashExpr(cs(0)))
 
-    inject("graft_lang_id", classOf[LangIdExpr],
+    inject("graft_lang_id", classOf[LangIdExpr], 1,
       cs => LangIdExpr(cs(0)))
 
-    inject("graft_text_profile", classOf[TextProfileExpr],
+    inject("graft_text_profile", classOf[TextProfileExpr], 1,
       cs => TextProfileExpr(cs(0)))
 
-    inject("graft_fingerprint", classOf[FingerprintExpr],
+    inject("graft_fingerprint", classOf[FingerprintExpr], 1,
       cs => FingerprintExpr(cs(0)))
 
-    inject("graft_word_shingles", classOf[WordShingles],
+    inject("graft_word_shingles", classOf[WordShingles], 2,
       cs => WordShingles(cs(0), intLit(cs(1), "graft_word_shingles", "n")))
 
-    inject("graft_minhash", classOf[MinHashSignature],
+    inject("graft_minhash", classOf[MinHashSignature], 3,
       cs => MinHashSignature(cs(0),
         intLit(cs(1), "graft_minhash", "k"),
         longLit(cs(2), "graft_minhash", "seed")))
 
-    inject("graft_hyperplane_bands", classOf[HyperplaneBands],
+    inject("graft_hyperplane_bands", classOf[HyperplaneBands], 5,
       cs => HyperplaneBands(cs(0),
         intLit(cs(1), "graft_hyperplane_bands", "dim"),
         intLit(cs(2), "graft_hyperplane_bands", "n_bands"),
         intLit(cs(3), "graft_hyperplane_bands", "bits_per_band"),
         longLit(cs(4), "graft_hyperplane_bands", "seed")))
 
-    inject("graft_cms_buckets", classOf[CmsBuckets],
+    inject("graft_cms_buckets", classOf[CmsBuckets], 3,
       cs => CmsBuckets(cs(0),
         intLit(cs(1), "graft_cms_buckets", "depth"),
         intLit(cs(2), "graft_cms_buckets", "width")))

@@ -138,6 +138,12 @@ final class Subscription[T](
 
   private var closed = false
 
+  /** Set by PubSub after registration: removes this subscription from
+    * the registry's live list on close, so migrate drains and teardown
+    * never iterate subscriptions that were already closed.
+    */
+  private[streaming] var unregister: () => Unit = () => ()
+
   /** Block until everything published so far has been delivered —
     * the reference's drain barrier (stream.go:179-189) as
     * processAllAvailable.
@@ -161,7 +167,7 @@ final class Subscription[T](
       val doDetach = synchronized {
         if (closed) false else { closed = true; true }
       }
-      if (doDetach) detach()
+      if (doDetach) { detach(); unregister() }
     }
   }
 }
@@ -325,9 +331,7 @@ final class PubSub(val spark: SparkSession) {
         .foreach(base => w = w.option("checkpointLocation", s"$base/$n"))
     }
     val q = w.start()
-    val s = attachSub(q, owner)
-    subs += s
-    s
+    register(attachSub(q, owner))
   }
 
   /** Track an owner-scoped subscription: it pins the topic while open and
@@ -342,6 +346,16 @@ final class PubSub(val spark: SparkSession) {
       attached(t) += 1
       new Subscription[T](q, () => detach(t), Some(t))
     case None => new Subscription[T](q)
+  }
+
+  /** Register a subscription in the live list and arm its close-time
+    * removal — closed subscriptions must not linger in `subs`, or every
+    * later migrate drain / teardown iterates dead queries.
+    */
+  private def register[T](s: Subscription[T]): Subscription[T] = {
+    subs += s
+    s.unregister = () => synchronized { subs -= s }
+    s
   }
 
   /** Batch subscriber with a selection policy (reference:
@@ -385,9 +399,7 @@ final class PubSub(val spark: SparkSession) {
           .foreach(w => PubSub.guarded(cb(w))); ()
       }
       .start()
-    val s = attachSub(q, owner)
-    subs += s
-    s
+    register(attachSub(q, owner))
   }
 
   /** Multi-input batch subscriber — the reference's
@@ -415,9 +427,7 @@ final class PubSub(val spark: SparkSession) {
           .foreach(w => PubSub.guarded(cb(w))); ()
       }
       .start()
-    val s = attachSub[T](q, None)
-    subs += s
-    s
+    register(attachSub[T](q, None))
   }
 
   /** Hot-migrate a LIVE topic to a new configuration (reference:
@@ -430,6 +440,20 @@ final class PubSub(val spark: SparkSession) {
     * the new default policy applies to subscribers that attach after the
     * migrate (the reference semantics: the carried-over subscriberMap
     * keeps existing buffers, new subscribers get the new config).
+    *
+    * Drain-barrier scope: the barrier covers the topic's owner-scoped
+    * subscriptions OPEN AT CALL TIME. A subscription attached while the
+    * migrate is in flight is not drained by it (it starts against the
+    * post-swap config anyway); one that terminated with an error cannot
+    * observe anything, so it is skipped rather than allowed to rethrow
+    * its failure into the migrate.
+    *
+    * Re-entrancy: the drain runs under the TOPIC MONITOR, so a
+    * subscriber callback that re-enters any topic-monitor API while
+    * draining — publishing to THIS topic, subscribeTopicBatch on it,
+    * a nested migrate — deadlocks, not just the documented same-topic
+    * publish. Callbacks must stay off this topic's control surface;
+    * other topics are safe (per-topic monitors).
     */
   def migrateTopic[T: TypeTag](name: String,
       capacity: Option[Int] = None,
@@ -440,7 +464,18 @@ final class PubSub(val spark: SparkSession) {
     val owned = synchronized(
       subs.toList.filter(_.ownerTopic.exists(_ eq t)))
     t.migrate(capacity, defaultPolicy,
-      () => owned.foreach(_.query.processAllAvailable()))
+      // isActive re-checked per subscription INSIDE the barrier: a
+      // query that already terminated (stopped or failed) has nothing
+      // left to deliver, and processAllAvailable on a failed query
+      // would rethrow its StreamingQueryException mid-migrate, aborting
+      // the config swap for a subscriber that is already dead
+      () => owned.foreach(s =>
+        if (s.query.isActive)
+          try s.query.processAllAvailable()
+          catch {
+            case _: org.apache.spark.sql.streaming.StreamingQueryException =>
+              // the query died WHILE draining — equally unobservable
+          }))
   }
 
   /** Subscribe whole-window batches using the topic's CURRENT default
@@ -471,6 +506,12 @@ final class PubSub(val spark: SparkSession) {
   }
 
   def topicCount: Int = synchronized(topics.size)
+
+  /** Open (not yet closed) subscriptions in the registry — closed ones
+    * are pruned eagerly by Subscription.close, so migrate drains and
+    * teardown only ever touch live queries.
+    */
+  def subscriptionCount: Int = synchronized(subs.size)
 
   def close(): Unit = {
     // snapshot under the lock, stop OUTSIDE it: s.close() blocks on the

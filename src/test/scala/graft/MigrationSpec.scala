@@ -97,4 +97,40 @@ class MigrationSpec extends AnyFunSuite with BeforeAndAfterAll {
 
     sub.close(); pub.close(); ps.close()
   }
+
+  test("closed subscriptions are pruned from the registry and a migrate " +
+      "skips terminated queries instead of aborting") {
+    val ps = new PubSub(spark)
+    val t = ps.createTopic[Int]("prune-migrate")
+    val seen = mutable.ArrayBuffer.empty[Int]
+    val live = ps.subscribe(t.stream, owner = Some(t)) { evs =>
+      seen.synchronized { seen ++= evs.map(_.content) }
+    }
+    val doomed = ps.subscribe(t.stream, owner = Some(t)) { _ => () }
+    assert(ps.subscriptionCount === 2)
+
+    // close() must prune: later drains/teardown never iterate dead subs
+    doomed.close()
+    assert(ps.subscriptionCount === 1)
+
+    // a subscription whose query terminated WITHOUT going through
+    // close() (crash analogue) stays registered — the migrate drain
+    // must skip it via isActive rather than rethrow from
+    // processAllAvailable and abort the config swap
+    val before = spark.streams.active.map(_.id).toSet
+    val stopped = ps.subscribe(t.stream, owner = Some(t)) { _ => () }
+    spark.streams.active.filterNot(q => before(q.id)).foreach(_.stop())
+
+    val pub = ps.registerPublisher[Int]("prune-migrate")
+    pub.publishValues(1, 2, 3)
+    ps.migrateTopic[Int]("prune-migrate",
+      capacity = Some(100), defaultPolicy = SelectNext)
+    // the live subscription was drained by the barrier despite the dead
+    // one sitting next to it in the registry
+    assert(seen.synchronized(seen.toSet) === Set(1, 2, 3))
+
+    stopped.close(); live.close(); pub.close()
+    assert(ps.subscriptionCount === 0)
+    ps.close()
+  }
 }

@@ -109,4 +109,28 @@ class SqlFunctionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
     assert(e.getMessage.contains("literal"))
   }
+
+  test("wrong argument count is a clean arity error naming the function, " +
+      "never an IndexOutOfBoundsException") {
+    graft.queries.Tables.load(spark, dir, "documents")
+      .createOrReplaceTempView("documents")
+    for ((call, fn, arity) <- Seq(
+        ("graft_dot(embedding)", "graft_dot", 2),
+        ("graft_minhash(text)", "graft_minhash", 3),
+        ("graft_simhash64(text, 1)", "graft_simhash64", 1))) {
+      val table = if (call.contains("embedding")) "embeddings" else "documents"
+      if (table == "embeddings")
+        graft.queries.Tables.load(spark, dir, "embeddings")
+          .createOrReplaceTempView("embeddings")
+      val e = intercept[Exception] {
+        spark.sql(s"SELECT $call FROM $table").collect()
+      }
+      assert(!e.isInstanceOf[IndexOutOfBoundsException] &&
+        !Option(e.getCause).exists(_.isInstanceOf[IndexOutOfBoundsException]),
+        s"$fn surfaced an index error: $e")
+      assert(e.getMessage.contains(fn) &&
+        e.getMessage.contains(s"expects $arity argument"),
+        s"$fn arity error unclear: ${e.getMessage}")
+    }
+  }
 }
