@@ -111,4 +111,64 @@ object TypedOps {
       .drop("event_time")
       .as[EventEnvelope[T]]
   }
+
+  /** Streaming APPROXIMATE near-dup suppression — the ingest-time face of
+    * the batch MinHash-LSH path (q_minhash_lsh), so the ingest story
+    * matches the batch story: a document passes iff it claims ALL of its
+    * LSH band buckets first; a later document sharing any band bucket
+    * with one inside the watermark horizon (collision probability
+    * 1-(1-j^r)^b in the jaccard j, the usual banding dial) is dropped.
+    *
+    * Mechanics — two chained stateful stages, both watermark-bounded:
+    *  1. shingle → one-pass native MinHash signature → band hashes,
+    *     exploded to one row per (band, h); `dropDuplicatesWithinWatermark
+    *     (band, h)` keeps each bucket's FIRST claimant, state evicted at
+    *     the watermark (horizon working set, like dedupWithinWatermark —
+    *     RocksDB-backed via Sessions.tuneLargeState at scale).
+    *  2. a small windowed count re-assembles docs: kept iff n_claimed ==
+    *     nBands, emitting the earliest claimant's original envelope.
+    * Band hashes are 64-bit, so a chance (non-similar) bucket collision
+    * within the horizon is ~n/2^64 — the suppression threshold is
+    * governed by the banding parameters, not hash luck.
+    *
+    * Semantics and trades (documented, spec-pinned):
+    *  - Emission is DELAYED: a doc surfaces once the watermark passes its
+    *    granule window (latency ≤ delay + granule). Exact dedup above is
+    *    pass-through; approximate needs the claim count assembled.
+    *  - Across micro-batches, first-arrival deterministically wins. A
+    *    near-dup CLUSTER inside one micro-batch may split its bucket
+    *    claims (dropDuplicates has no intra-batch order) and in the worst
+    *    case suppress every member; ingest flood suppression tolerates
+    *    this, archival dedup should run the batch consolidation pass.
+    *  - Docs with no extractable shingles (< nGram words) share the
+    *    sentinel signature and dedup as one cluster within the horizon.
+    */
+  def nearDupWithinWatermark(delay: String, nGram: Int = 5,
+      nPerms: Int = 64, nBands: Int = 16, seed: Long = 42L,
+      granule: String = "1 second"): Op[String, String] = { ds =>
+    import org.apache.spark.sql.functions._
+    require(nPerms % nBands == 0, s"nPerms=$nPerms not divisible by $nBands")
+    implicit val e: Encoder[EventEnvelope[String]] = enc[String]
+    val banded = ds.toDF()
+      .withColumn("event_time", col("stamp.start_time"))
+      .withWatermark("event_time", delay)
+      .withColumn("doc_key", md5(col("content").cast("binary")))
+      .withColumn("sig", graft.functions.HashFunctions.minhashSignature(
+        array_distinct(
+          graft.functions.TextFunctions.wordShingles(col("content"), nGram)),
+        nPerms, seed))
+      .select(col("stamp"), col("content"), col("event_time"), col("doc_key"),
+        explode(graft.functions.HashFunctions.lshBands(
+          col("sig"), nBands, nPerms / nBands)).as("bh"))
+      .select(col("stamp"), col("content"), col("event_time"), col("doc_key"),
+        col("bh.band").as("band"), col("bh.h").as("h"))
+    banded.dropDuplicatesWithinWatermark("band", "h")
+      .groupBy(window(col("event_time"), granule), col("doc_key"))
+      .agg(count(lit(1)).as("n_claimed"),
+        min_by(struct(col("stamp"), col("content")), col("event_time"))
+          .as("ev"))
+      .where(col("n_claimed") === nBands)
+      .select(col("ev.stamp").as("stamp"), col("ev.content").as("content"))
+      .as[EventEnvelope[String]]
+  }
 }
