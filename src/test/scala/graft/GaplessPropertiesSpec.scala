@@ -164,13 +164,29 @@ class GaplessPropertiesSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"keyed windows fired before all sources advanced: $batches")
     b.publish(Seq(at(22, "y3")))
     q.processAllAvailable()
-    q.stop()
     // min watermark 22s: windows [0,10) and [10,20) close for both keys
+    val phase2 = batches.synchronized(batches.toList).groupBy(_._1)
+      .map { case (k, ws) =>
+        k -> ws.map(_._2).sortBy(_.windowId).map(_.events.sorted) }
+    assert(phase2("x") == Seq(Seq("x1"), Seq.empty))
+    assert(phase2("y") == Seq(Seq("y1", "y2"), Seq.empty))
+    // A races far ahead alone: still NOTHING new may close (B holds the
+    // min watermark at 22s) — per-key sequences, but GLOBAL readiness
+    a.publish(Seq(at(60, "x3")))
+    q.processAllAvailable()
+    assert(batches.synchronized(batches.size) == 4,
+      s"windows closed while one input lagged: ${batches.synchronized(batches.toList)}")
+    // B passes 60s: every bucket end <= 60s closes for BOTH keys — the
+    // trailing gap buckets arrive as EMPTY windows (x2@25s and y3@22s
+    // fill [20,30); [30,60) is three empties per key)
+    b.publish(Seq(at(61, "y4")))
+    q.processAllAvailable()
+    q.stop()
     val byKey = batches.synchronized(batches.toList).groupBy(_._1)
       .map { case (k, ws) =>
         k -> ws.map(_._2).sortBy(_.windowId).map(_.events.sorted) }
-    assert(byKey("x") == Seq(Seq("x1"), Seq.empty))
-    assert(byKey("y") == Seq(Seq("y1", "y2"), Seq.empty))
+    assert(byKey("x") == Seq(Seq("x1"), Nil, Seq("x2"), Nil, Nil, Nil))
+    assert(byKey("y") == Seq(Seq("y1", "y2"), Nil, Seq("y3"), Nil, Nil, Nil))
     ps.close()
   }
 
