@@ -114,5 +114,71 @@ object JoinQueries {
       Some("""SELECT CAST(floor(epoch(ts)/3600)*3600 AS BIGINT) AS ws,
         event_type, count(*) AS n
         FROM events WHERE event_type IN ('click', 'error')
-        GROUP BY 1, 2""")))
+        GROUP BY 1, 2""")),
+
+    // As-of (point-in-time) join: each click enriched with the user's
+    // most recent purchase at-or-before the click — the feature-pipeline
+    // enrichment join. Spark side is the union+running-last form (ONE
+    // key shuffle, no join operator — Joins.asofJoin); the oracle is
+    // DuckDB's native ASOF LEFT JOIN, an independent implementation of
+    // the same semantics. Timestamps compare at microseconds on both
+    // engines (Spark timestamps are µs; the oracle truncates ns -> µs).
+    "q_asof_join" -> QueryDef(
+      (s, dir) => {
+        val ev = Tables.load(s, dir, "events")
+        val clicks = ev.where(col("event_type") === "click")
+          .select(col("event_id").as("click_id"), col("user_id"),
+            col("ts"), col("value").as("click_value"))
+        val purchases = ev.where(col("event_type") === "purchase")
+          .select(col("user_id"), col("ts").as("pts"), col("value"))
+        graft.operators.Joins.asofJoin(
+            clicks, purchases, "user_id", "ts", "pts",
+            carry = Seq("value", "pts"))
+          .select(col("click_id"), col("user_id"),
+            col("ts").cast("long").as("click_s"),
+            col("click_value"),
+            col("asof_value").as("last_purchase_value"),
+            col("asof_pts").cast("long").as("purchase_s"))
+      },
+      Some("""WITH c AS (SELECT event_id, user_id, epoch_ns(ts)//1000 AS us,
+            value FROM events WHERE event_type = 'click'),
+          p AS (SELECT user_id, epoch_ns(ts)//1000 AS us, value
+            FROM events WHERE event_type = 'purchase')
+        SELECT c.event_id AS click_id, c.user_id AS user_id,
+          c.us // 1000000 AS click_s, c.value AS click_value,
+          p.value AS last_purchase_value, p.us // 1000000 AS purchase_s
+        FROM c ASOF LEFT JOIN p
+          ON c.user_id = p.user_id AND c.us >= p.us"""),
+      bench = true),
+
+    // Keyed time-range join: per error event, the same user's clicks in
+    // the preceding hour — bucket-then-verify (Joins.timeRangeJoin), so
+    // the range predicate is a residual on a co-partitioned equi-join,
+    // never a theta join. The oracle is DuckDB's BETWEEN theta join.
+    "q_range_join" -> QueryDef(
+      (s, dir) => {
+        val ev = Tables.load(s, dir, "events")
+        val errors = ev.where(col("event_type") === "error")
+          .select(col("event_id").as("error_id"), col("user_id"), col("ts"))
+        val clicks = ev.where(col("event_type") === "click")
+          .select(col("user_id"), col("ts").as("cts"), col("value"))
+        graft.operators.Joins.timeRangeJoin(
+            errors, clicks, "user_id", "ts", "cts", 3600L)
+          .groupBy("error_id", "user_id")
+          .agg(count(lit(1)).as("n_clicks"),
+            Det.r2(sum(col("value").cast("decimal(18,2)")).cast("double"))
+              .as("sum_click_value"))
+      },
+      Some("""SELECT e.event_id AS error_id, e.user_id AS user_id,
+          count(*) AS n_clicks,
+          floor(CAST(sum(CAST(c.value AS DECIMAL(18,2))) AS DOUBLE) * 100 + 0.5) / 100
+            AS sum_click_value
+        FROM (SELECT event_id, user_id, epoch_ns(ts)//1000 AS us
+            FROM events WHERE event_type = 'error') e
+        JOIN (SELECT user_id, epoch_ns(ts)//1000 AS us, value
+            FROM events WHERE event_type = 'click') c
+          ON e.user_id = c.user_id
+         AND c.us BETWEEN e.us - 3600000000 AND e.us
+        GROUP BY 1, 2"""),
+      bench = true))
 }

@@ -81,6 +81,38 @@ class BatchOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out == Map(1L -> "right-val", 2L -> "lonely"))
   }
 
+  test("asof join: inclusive ties, latest prior wins, NULL when no prior") {
+    def ats(s: Long) = timestamp_micros(col("t") * 1000000L)
+    val left = Seq((1L, 100L, "l1"), (1L, 205L, "l2"), (2L, 50L, "l3"))
+      .toDF("k", "t", "tag").withColumn("ts", ats(0)).drop("t")
+    val right = Seq((1L, 100L, 10.0), (1L, 200L, 20.0), (1L, 300L, 30.0),
+      (3L, 10L, 99.0))
+      .toDF("k", "t", "v").withColumn("pts", ats(0)).drop("t")
+    val out = Joins.asofJoin(left, right, "k", "ts", "pts", carry = Seq("v"))
+      .select("tag", "asof_v").as[(String, Option[Double])].collect().toMap
+    assert(out("l1").contains(10.0), "equal-ts right row must be visible")
+    assert(out("l2").contains(20.0), "latest prior must win; future hidden")
+    assert(out("l3").isEmpty, "no prior right row -> NULL")
+  }
+
+  test("time-range join: boundaries inclusive, bucket-crossing pairs " +
+      "found, every pair exactly once") {
+    def ats = timestamp_micros(col("t") * 1000000L)
+    val left = Seq((1L, 100L, "e1"), (1L, 20L, "e2"))
+      .toDF("k", "t", "tag").withColumn("ts", ats).drop("t")
+    val right = Seq((1L, 90L, "c90"), (1L, 100L, "c100"), (1L, 89L, "c89"),
+      (1L, 15L, "c15"), (1L, 9L, "c9"), (2L, 95L, "otherkey"))
+      .toDF("k", "t", "ctag").withColumn("cts", ats).drop("t")
+    val out = Joins.timeRangeJoin(left, right, "k", "ts", "cts", 10L)
+      .select("tag", "ctag").as[(String, String)].collect()
+    // e1@100, lookback [90,100]: c90 (lower bound inclusive, lands in
+    // the PREVIOUS bucket), c100 (upper inclusive); c89 excluded.
+    // e2@20, [10,20]: c15 only. Key 2 never matches.
+    assert(out.toSet ==
+      Set(("e1", "c90"), ("e1", "c100"), ("e2", "c15")))
+    assert(out.length == 3, s"pair emitted more than once: ${out.toList}")
+  }
+
   test("salted join equals plain join on skewed data") {
     // one hot key (90% of rows) + a long tail
     val probe = ((1 to 900).map(i => (1L, i)) ++

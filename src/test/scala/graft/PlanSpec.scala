@@ -158,6 +158,28 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"fixed-count cohort cap not pushed to the scan in:\n$plan")
   }
 
+  test("asof join plans as one key shuffle + running window — no join " +
+      "operator, no per-row range probe") {
+    val plan = planOf("q_asof_join")
+    val joinOps = ("(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin|" +
+      "BroadcastNestedLoopJoin|CartesianProduct)").r
+    assert(joinOps.findFirstIn(plan).isEmpty,
+      s"asof join degraded to a join operator:\n$plan")
+    assert(plan.contains("Window") &&
+      plan.contains("hashpartitioning(user_id"),
+      s"expected the running-last window over a user_id shuffle in:\n$plan")
+  }
+
+  test("range join plans as a bucketed equi-join (residual range filter, " +
+      "never a theta join)") {
+    val plan = planOf("q_range_join")
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"),
+      s"range predicate planned as a theta join:\n$plan")
+    assert(plan.contains("_bucket"),
+      s"bucket key missing from the join in:\n$plan")
+  }
+
   test("pricing summary pushes the date filter into the scan") {
     val plan = planOf("q1_pricing")
     assert("PushedFilters: \\[[^\\]]*l_shipdate".r.findFirstIn(plan).isDefined,
