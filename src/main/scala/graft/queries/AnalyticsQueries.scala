@@ -96,6 +96,24 @@ object AnalyticsQueries {
           count(lit(1)).as("n")),
       None),
 
+    // Approximate quantiles (Greenwald-Khanna sketch) — completes the
+    // sketch family next to HLL distinct and CMS heavy hitters: at
+    // 100 TB the exact `percentile` holds per-group value multisets,
+    // the GK sketch is constant-memory and mergeable (one partial-agg
+    // pass, same plan shape as any sum). Sketches aren't
+    // engine-portable, so the check is rows-only; AnalyticsSpec bounds
+    // the estimates against the exact q_quantiles figures.
+    "q_approx_quantiles" -> QueryDef(
+      (s, dir) => Tables.load(s, dir, "events")
+        .groupBy("event_type")
+        .agg(percentile_approx(col("value"),
+          array(lit(0.5), lit(0.95), lit(0.99)), lit(10000)).as("qs"))
+        .select(col("event_type"),
+          col("qs").getItem(0).as("p50"),
+          col("qs").getItem(1).as("p95"),
+          col("qs").getItem(2).as("p99")),
+      None),
+
     // Rollup (subtotals + grand total) — one of the grouping-set shapes
     // the reference lacks and Spark gives for free (SURVEY §2.2
     // exhaustiveness note). NULL group keys mark subtotal rows in both

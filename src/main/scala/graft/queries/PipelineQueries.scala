@@ -213,6 +213,64 @@ object PipelineQueries {
             * 20 * 256) AS n_kept
         FROM documents GROUP BY source""")),
 
+    // Temperature-weighted domain mixing (alpha = 0.5): the data-mixture
+    // rebalancing every pretraining pipeline runs — sampling rate per
+    // source proportional to n^alpha / n, i.e. upsample small domains,
+    // downsample dominant ones, targeting half the corpus. Alpha is 0.5
+    // DELIBERATELY: sqrt is IEEE-correctly-rounded on every engine
+    // (a general pow differs in the last ulp between libm
+    // implementations), the sqrt-sum goes through DECIMAL so partial-agg
+    // order cannot change the rounding, and the per-doc keep decision is
+    // integer (md5 byte vs floor(rate*256)) — the whole mixture is
+    // bit-reproducible across engines and partitionings. Plan: two
+    // one-row-per-source aggs + a broadcast join back onto the corpus;
+    // the docs side never shuffles.
+    "q_domain_temperature" -> QueryDef(
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        val counts = docs.groupBy("source")
+          .agg(count(lit(1)).as("n_docs"))
+        val tot = counts.agg(
+          sum(col("n_docs")).cast("double").as("total"),
+          sum(sqrt(col("n_docs").cast("double")).cast("decimal(28,12)"))
+            .cast("double").as("sum_sqrt"))
+        val rates = counts.crossJoin(broadcast(tot))
+          .withColumn("thresh",
+            floor(least(lit(1.0),
+              sqrt(col("n_docs").cast("double")) / col("sum_sqrt") *
+                (col("total") * 0.5) / col("n_docs")) * 256)
+              .cast("long"))
+          .select("source", "thresh")
+        docs
+          .withColumn("hx", md5(col("text").cast("binary")))
+          .withColumn("v",
+            (expr("instr('0123456789abcdef', substring(hx, 1, 1))") - 1) * 16 +
+              (expr("instr('0123456789abcdef', substring(hx, 2, 1))") - 1))
+          .join(broadcast(rates), "source")
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            first(col("thresh")).as("thresh"),
+            count(when(col("v") < col("thresh"), 1)).as("n_kept"))
+      },
+      Some("""WITH counts AS (
+          SELECT source, count(*) AS n_docs FROM documents GROUP BY source),
+        tot AS (SELECT CAST(sum(n_docs) AS DOUBLE) AS total,
+          CAST(sum(CAST(sqrt(CAST(n_docs AS DOUBLE)) AS DECIMAL(28,12)))
+            AS DOUBLE) AS sum_sqrt FROM counts),
+        rates AS (SELECT source,
+          CAST(floor(least(1.0,
+            sqrt(CAST(n_docs AS DOUBLE)) / sum_sqrt * (total * 0.5) / n_docs)
+            * 256) AS BIGINT) AS thresh
+          FROM counts, tot)
+        SELECT d.source AS source, count(*) AS n_docs,
+          any_value(r.thresh) AS thresh,
+          count(*) FILTER (WHERE
+            (instr('0123456789abcdef', substr(md5(d.text), 1, 1)) - 1) * 16
+              + instr('0123456789abcdef', substr(md5(d.text), 2, 1)) - 1
+            < r.thresh) AS n_kept
+        FROM documents d JOIN rates r USING (source)
+        GROUP BY 1""")),
+
     // Per-source corpus report — the health dashboard every training-data
     // pipeline ships: volume, token mass, exact-duplicate rate, dominant
     // language. Two combiner-friendly aggregations (per-source stats;

@@ -106,6 +106,28 @@ class AnalyticsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(overlap >= 15, s"estimate top-20 shares only $overlap with exact")
   }
 
+  test("approx quantiles respect the GK rank-error bound against the " +
+      "exact data") {
+    val dir = "/root/testdata/sf0.01"
+    val approx = SparkEntry.queries("q_approx_quantiles")(spark, dir)
+      .collect().map(r => r.getString(0) ->
+        Seq(r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    val byType = graft.queries.Tables.load(spark, dir, "events")
+      .select(col("event_type"), col("value"))
+      .as[(String, Double)].collect().groupBy(_._1)
+      .map { case (k, vs) => k -> vs.map(_._2).sorted }
+    assert(approx.keySet == byType.keySet)
+    for ((tpe, est) <- approx; (q, v) <- Seq(0.5, 0.95, 0.99).zip(est)) {
+      val sorted = byType(tpe)
+      val n = sorted.length
+      // GK guarantee at accuracy a: the returned value's rank is within
+      // n/a of the target rank (+1 for the discrete rank convention)
+      val rank = sorted.count(_ <= v)
+      assert(math.abs(rank - q * n) <= n / 10000.0 + 1.0,
+        s"$tpe p$q estimate $v has rank $rank, target ${q * n} of $n")
+    }
+  }
+
   test("seeded correlation takes its seed set from configuration") {
     val dir = "/root/testdata/sf0.01"
     val key = graft.queries.AnalyticsQueries.SeedUsersConf
