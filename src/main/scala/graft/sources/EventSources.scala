@@ -43,6 +43,34 @@ object EventSources {
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
       .parquet(path)
 
+  /** Streaming JSON-lines source. Streaming readers need a schema up
+    * front; pass one, or let the helper infer from the files already
+    * present — fine for a fixture, but at lake scale inference is a
+    * full extra scan, so production callers pass the schema.
+    */
+  def jsonStream(spark: SparkSession, path: String,
+      schema: Option[org.apache.spark.sql.types.StructType] = None,
+      maxFilesPerTrigger: Int = 16): DataFrame =
+    spark.readStream
+      .schema(schema.getOrElse(spark.read.json(path).schema))
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .json(path)
+
+  /** Streaming CSV source (same schema contract as [[jsonStream]]). */
+  def csvStream(spark: SparkSession, path: String,
+      schema: Option[org.apache.spark.sql.types.StructType] = None,
+      header: Boolean = true,
+      maxFilesPerTrigger: Int = 16): DataFrame = {
+    val inferred = schema.getOrElse(
+      spark.read.option("header", header).option("inferSchema", true)
+        .csv(path).schema)
+    spark.readStream
+      .schema(inferred)
+      .option("header", header)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .csv(path)
+  }
+
   /** Lift a DataFrame with an event-time column into envelope shape
     * (stamp struct + content columns) — the bridge from lake tables to
     * the event model.

@@ -48,6 +48,39 @@ class SourcesSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.toMap == batch)
   }
 
+  test("streaming json and csv sources: tailed aggregates match batch") {
+    val base = s"/tmp/graft-textsrc-${System.nanoTime()}"
+    val jsonDir = s"$base/json"; val csvDir = s"$base/csv"
+    new java.io.File(jsonDir).mkdirs(); new java.io.File(csvDir).mkdirs()
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$jsonDir/part-0.json"),
+      """{"k":"a","v":1}
+        |{"k":"a","v":2}
+        |{"k":"b","v":5}
+        |""".stripMargin)
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$csvDir/part-0.csv"),
+      "k,v\na,1\na,2\nb,5\n")
+    def drain(src: DataFrame): Map[String, Long] = {
+      val got = mutable.Map.empty[String, Long]
+      val q = src.groupBy("k").agg(sum(col("v").cast("long")).as("s"))
+        .writeStream.outputMode("complete")
+        .foreachBatch { (b: Dataset[org.apache.spark.sql.Row], _: Long) =>
+          got.synchronized {
+            got.clear()
+            b.collect().foreach(r =>
+              got(r.getAs[String]("k")) = r.getAs[Long]("s"))
+          }; ()
+        }.start()
+      q.processAllAvailable(); q.stop()
+      got.synchronized(got.toMap)
+    }
+    assert(drain(EventSources.jsonStream(spark, jsonDir)) ==
+      Map("a" -> 3L, "b" -> 5L))
+    assert(drain(EventSources.csvStream(spark, csvDir)) ==
+      Map("a" -> 3L, "b" -> 5L))
+  }
+
   test("partitioned sink: reads prune partitions (scan shows filters)") {
     val dir = s"/tmp/graft-part-${System.nanoTime()}"
     val df = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
