@@ -163,6 +163,50 @@ object PipelineQueries {
         GROUP BY 1, 2 HAVING count(*) >= 2"""),
       bench = true),
 
+    // Decontamination, bloom-prefiltered scale path: identical result to
+    // q_contamination, different plan contract for when the eval suite
+    // outgrows a broadcast. A k=1 blocked bloom filter expressed with
+    // public codegen'd functions — the DISTINCT xxhash64%2^20 bucket set
+    // of eval shingles (<=4 MB at any eval size: the domain caps it) is
+    // the only broadcast side; train shingles die map-side on bucket
+    // membership before ANY wide exchange, and the exact verification
+    // join is a plain shuffle equi-join sized by the bloom survivors
+    // (FPR = |eval buckets|/2^20), not by the corpus. The oracle is
+    // byte-identical to q_contamination's: prefilter + exact verify must
+    // never change the answer.
+    "q_contamination_bloom" -> QueryDef(
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        def sh(d: org.apache.spark.sql.DataFrame, idAs: String) =
+          d.select(col("doc_id").as(idAs),
+            explode(array_distinct(
+              TextFunctions.wordShingles(col("text"), 3))).as("s"))
+        val ev = sh(docs.where(col("source") === "src19"), "eval_doc")
+        val tr = sh(docs.where(col("source") =!= "src19"), "train_doc")
+        val buckets = ev
+          .select(pmod(xxhash64(col("s")), lit(1048576L)).as("b")).distinct()
+        tr.withColumn("b", pmod(xxhash64(col("s")), lit(1048576L)))
+          .join(broadcast(buckets), "b").drop("b")
+          .join(ev, "s")
+          .groupBy("train_doc", "eval_doc")
+          .agg(count(lit(1)).as("n_shared"))
+          .where(col("n_shared") >= 2)
+      },
+      Some("""WITH docs AS (
+          SELECT doc_id, source, list_distinct(list_transform(
+            generate_series(1, greatest(len(toks) - 2, 0)),
+            i -> list_aggregate(toks[i:i+2], 'string_agg', ' '))) AS sh
+          FROM (SELECT doc_id, source,
+            list_filter(regexp_split_to_array(text, '\s+'),
+              t -> len(t) > 0) AS toks FROM documents)),
+        ev AS (SELECT doc_id AS eval_doc, unnest(sh) AS s FROM docs
+          WHERE source = 'src19'),
+        tr AS (SELECT doc_id AS train_doc, unnest(sh) AS s FROM docs
+          WHERE source <> 'src19')
+        SELECT train_doc, eval_doc, count(*) AS n_shared
+        FROM tr JOIN ev USING (s)
+        GROUP BY 1, 2 HAVING count(*) >= 2""")),
+
     // Deterministic distributed corpus shuffle: the pre-training
     // randomize-and-shard step, with NO RNG and NO global sort. Shard =
     // first md5 hex digit (16-way split); order within shard = md5 then

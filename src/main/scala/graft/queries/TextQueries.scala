@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextFunctions
@@ -300,5 +301,175 @@ object TextQueries {
           list_prepend(CAST(0 AS BIGINT),
             list_transform(generate_series(1, len(text)), i -> ascii(text[i]))),
           (acc, c) -> (CAST(acc AS BIGINT) * 257 + c) % 1000000007) AS fp
-        FROM documents""")))
+        FROM documents""")),
+
+    // BM25 keyword search (Robertson/Sparck-Jones, the +1 idf variant):
+    // top-50 documents for a fixed query-term set. Scale shape: the
+    // query-term filter runs map-side BEFORE the shuffle (>95% of tokens
+    // die in the scan stage), the per-(doc,term) tf agg is combiner-
+    // friendly, and every statistics side (df: |q| rows, N/avgdl: 1 row)
+    // joins back by broadcast — the corpus never shuffles twice. Top-50
+    // plans as TakeOrderedAndProject, not a global sort. Per-term
+    // contributions are floor-quantized to integer 1e-4 units and summed
+    // as longs, so the score is order-of-addition independent and
+    // bit-identical cross-engine.
+    "q_bm25" -> QueryDef(
+      (s, dir) => {
+        val terms = Seq("spark", "query", "window", "fast",
+          "vector", "stream", "merge", "filter")
+        val docs = Tables.load(s, dir, "documents")
+          .select(col("doc_id"), TextFunctions.tokens(col("text")).as("toks"))
+          .select(col("doc_id"), col("toks"), size(col("toks")).as("dl"))
+        val stats = docs.agg(count(lit(1)).as("n_docs"), avg("dl").as("avgdl"))
+        val tf = docs
+          .select(col("doc_id"), col("dl"), explode(col("toks")).as("token"))
+          .where(col("token").isin(terms: _*))
+          .groupBy("doc_id", "dl", "token").agg(count(lit(1)).as("tf"))
+        val dfT = tf.groupBy("token").agg(count(lit(1)).as("df"))
+        tf.join(broadcast(dfT), "token")
+          .crossJoin(broadcast(stats))
+          .withColumn("c", floor(
+            log(lit(1) + (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5)) *
+              (col("tf") * 2.2) /
+              (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl"))) *
+              10000 + 0.5))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_terms"),
+            (sum("c") / 10000.0).as("score"))
+          .orderBy(col("score").desc, col("doc_id")).limit(50)
+      },
+      Some(s"""WITH t AS (SELECT doc_id, $oracleTokens AS toks FROM documents),
+        d AS (SELECT doc_id, len(toks) AS dl, toks FROM t),
+        stats AS (SELECT count(*) AS n_docs, avg(len(toks)) AS avgdl FROM t),
+        tf AS (SELECT doc_id, dl, token, count(*) AS tf
+          FROM (SELECT doc_id, dl, unnest(toks) AS token FROM d)
+          WHERE token IN ('spark', 'query', 'window', 'fast',
+            'vector', 'stream', 'merge', 'filter')
+          GROUP BY 1, 2, 3),
+        dft AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+        c AS (SELECT doc_id, CAST(floor(
+            ln(1 + (n_docs - df + 0.5) / (df + 0.5)) *
+              (tf * 2.2) /
+              (tf + 1.2 * (0.25 + 0.75 * dl / avgdl)) *
+              10000 + 0.5) AS BIGINT) AS c
+          FROM tf JOIN dft USING (token), stats)
+        SELECT doc_id, count(*) AS n_terms, sum(c) / 10000.0 AS score
+        FROM c GROUP BY doc_id
+        ORDER BY score DESC, doc_id LIMIT 50"""),
+      bench = true),
+
+    // Cross-document repeated-span detection (exact substring dedup a la
+    // "Deduplicating Training Data Makes Language Models Better": 8-token
+    // windows shared by >=2 documents, reported as per-doc duplicated-
+    // window coverage). Scale shape: windows are distinct per doc before
+    // the shuffle; the window-frequency side has ONE row per window key
+    // (no skew amplification), and both the frequency agg and the join
+    // hash-partition on the window so the exchange is reused. Docs
+    // shorter than the window emit nothing (documented contract).
+    "q_dup_spans" -> QueryDef(
+      (s, dir) => {
+        val sh = Tables.load(s, dir, "documents")
+          .select(col("doc_id"), explode(array_distinct(
+            TextFunctions.wordShingles(col("text"), 8))).as("w"))
+        val freq = sh.groupBy("w").agg(count(lit(1)).as("nd"))
+        sh.join(freq, "w")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_windows"),
+            sum(when(col("nd") >= 2, 1).otherwise(0)).cast("long").as("n_dup"))
+          .select(col("doc_id"), col("n_windows"), col("n_dup"),
+            Det.r4(col("n_dup").cast("double") / col("n_windows"))
+              .as("dup_frac"))
+      },
+      Some(s"""WITH t AS (SELECT doc_id, list_distinct(list_transform(
+            generate_series(1, greatest(len(toks) - 7, 0)),
+            i -> list_aggregate(toks[i:i+7], 'string_agg', ' '))) AS ws
+          FROM (SELECT doc_id, $oracleTokens AS toks FROM documents)),
+        sh AS (SELECT doc_id, unnest(ws) AS w FROM t),
+        freq AS (SELECT w, count(*) AS nd FROM sh GROUP BY 1)
+        SELECT doc_id, count(*) AS n_windows,
+          CAST(sum(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+          ${Det.sqlR4("CAST(sum(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS DOUBLE) / count(*)")} AS dup_frac
+        FROM sh JOIN freq USING (w) GROUP BY doc_id""")),
+
+    // Inverted-index construction, first posting shard: token -> document
+    // frequency + the first 20 doc ids (ascending). The row_number cap
+    // runs BEFORE collect_list, so no task ever materializes an unbounded
+    // posting (a hot token's full posting list is exactly what kills a
+    // naive collect at 100 TB); df keeps the full count from a separate
+    // combiner-friendly agg over the same token-partitioned exchange. A
+    // production index range-shards each token's posting further; this
+    // query is shard 0 of that layout.
+    "q_postings" -> QueryDef(
+      (s, dir) => {
+        val sh = Tables.load(s, dir, "documents")
+          .select(col("doc_id"), explode(array_distinct(
+            TextFunctions.tokens(col("text")))).as("token"))
+        val dfT = sh.groupBy("token").agg(count(lit(1)).as("df"))
+        val capped = sh
+          .withColumn("rn", row_number().over(
+            Window.partitionBy("token").orderBy("doc_id")))
+          .where(col("rn") <= 20)
+          .groupBy("token")
+          .agg(array_join(transform(sort_array(collect_list(col("doc_id"))),
+            _.cast("string")), ",").as("posting"))
+        dfT.join(capped, "token").where(col("df") >= 5)
+      },
+      Some(s"""WITH sh AS (SELECT doc_id, unnest(list_distinct($oracleTokens)) AS token
+          FROM documents),
+        d AS (SELECT token, count(*) AS df FROM sh GROUP BY 1),
+        c AS (SELECT token, doc_id,
+            row_number() OVER (PARTITION BY token ORDER BY doc_id) AS rn
+          FROM sh),
+        p AS (SELECT token, string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS posting
+          FROM c WHERE rn <= 20 GROUP BY 1)
+        SELECT d.token AS token, df, posting
+        FROM d JOIN p USING (token) WHERE df >= 5""")),
+
+    // Quality-score calibration: per-source percent_rank deciles with
+    // per-cell counts and mean score. The rank window partitions by
+    // source, so every source calibrates in parallel (no global sort);
+    // the mean sums exact integer 1e-4 units (the quality score is
+    // already floor-quantized, so quality*10000+0.5 floors back to the
+    // exact integer) — order-of-addition independent cross-engine.
+    // percent_rank is (rank-1)/(n-1) as a double in both engines, so the
+    // decile boundary arithmetic is the identical IEEE-754 sequence.
+    "q_quality_calibrate" -> QueryDef(
+      (s, dir) => {
+        val pr = percent_rank().over(
+          Window.partitionBy("source").orderBy("qi"))
+        Tables.load(s, dir, "documents")
+          .select(col("doc_id"), col("source"),
+            floor(TextFunctions.qualityScore(col("text")) * 10000 + 0.5)
+              .as("qi"))
+          .withColumn("decile",
+            least(floor(pr * 10), lit(9L)).cast("int"))
+          .groupBy("source", "decile")
+          .agg(count(lit(1)).as("n"),
+            Det.r4(sum("qi") / (count(lit(1)) * 10000.0)).as("mean_quality"))
+      },
+      Some {
+        val stop = Seq("the", "a", "an", "and", "or", "of", "to", "in", "is",
+          "it", "that", "for", "on", "with", "as", "was", "at", "by", "be",
+          "this").map(w => s"'$w'").mkString("[", ", ", "]")
+        s"""WITH t AS (SELECT doc_id, source, text, $oracleTokens AS toks FROM documents),
+        m AS (SELECT doc_id, source,
+          CAST(len(toks) AS BIGINT) AS nt,
+          CAST(len(list_filter(toks, x -> list_contains($stop, lower(x)))) AS BIGINT) AS nstop,
+          CAST(len(text) AS BIGINT) AS nchars,
+          CAST(len(text) - len(regexp_replace(text,
+            '[.,;:!?''"()\\[\\]{}-]', '', 'g')) AS BIGINT) AS npunct
+          FROM t),
+        q AS (SELECT doc_id, source, CAST(floor((
+          least(CAST(nt AS DOUBLE) / 50.0, 1.0) +
+          least((CASE WHEN nt > 0 THEN CAST(nstop AS DOUBLE) / nt ELSE 0.0 END) * 4.0, 1.0) +
+          greatest(1.0 - (CASE WHEN nchars > 0 THEN CAST(npunct AS DOUBLE) / nchars ELSE 0.0 END) * 5.0, 0.0)
+        ) / 3.0 * 10000 + 0.5) AS BIGINT) AS qi FROM m),
+        r AS (SELECT source, qi,
+          CAST(least(floor(percent_rank() OVER
+            (PARTITION BY source ORDER BY qi) * 10), 9) AS INTEGER) AS decile
+          FROM q)
+        SELECT source, decile, count(*) AS n,
+          ${Det.sqlR4("sum(qi) / (count(*) * 10000.0)")} AS mean_quality
+        FROM r GROUP BY 1, 2"""
+      }))
 }
