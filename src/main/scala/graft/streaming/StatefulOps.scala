@@ -42,6 +42,18 @@ final case class GaplessState[T](
     originMs: Long, nextBucket: Long, maxSeenMs: Long,
     buf: Seq[EventEnvelope[T]])
 
+/** One finalized heavy-hitter: window id (epoch-seconds of window
+  * start), 1-based rank (ordered by count desc, then value asc — a total
+  * deterministic order), the value, and its exact in-window count.
+  */
+final case class TopKRow(windowId: Long, rank: Int, value: String, n: Long)
+
+/** State of the streaming top-k counter: exact per-value counts for one
+  * open window. Size is O(distinct values in the window) — see
+  * [[StatefulOps.topKByWindow]] for the cardinality contract.
+  */
+final case class TopKState(counts: Map[String, Long])
+
 /** The genuinely custom stateful operators — the two reference semantics
   * Spark has no built-in for (SURVEY §7.3): counting windows with
   * arbitrary slide, and the streaming first-n Limit.
@@ -453,6 +465,72 @@ object StatefulOps {
       state.update(GaplessState(o, b, maxSeen, pending.drop(keep)))
       out.iterator
     }
+  }
+
+  /** Streaming per-window top-k heavy hitters — the ingest-time face of
+    * the batch `q_window_topk`/`q_top_tokens`: exact counts per value
+    * within tumbling event-time windows, the top k emitted ONCE per
+    * window when the watermark passes its end (final-on-close, never a
+    * retraction stream). Rank order is (count desc, value asc) — total
+    * and deterministic, so replays emit identical rows.
+    *
+    * Scale shape: state is partitioned BY WINDOW GROUP across executors
+    * and holds exact per-value counts — O(distinct values in one window)
+    * per group, evicted in full at emission (EventTimeTimeout). That is
+    * the right trade for token/entity streams whose per-window
+    * cardinality fits an executor; for adversarial cardinality swap the
+    * exact map for the CMS grid (Aggregators.countMin) + a candidate
+    * heap, which bounds state at the sketch size in exchange for
+    * ±εN counts. Events arriving after their window closed (watermark
+    * past end) are dropped — the same late-event contract as the gapless
+    * sequencer.
+    */
+  def topKByWindow(lengthMs: Long, k: Int)(
+      ds: Dataset[EventEnvelope[String]]): Dataset[TopKRow] = {
+    require(lengthMs >= 1000, "sub-second windows unsupported: windowId is epoch-seconds")
+    require(k >= 1, s"k=$k must be >= 1")
+    implicit val encState: Encoder[TopKState] =
+      ExpressionEncoder[TopKState]()
+    implicit val encOut: Encoder[TopKRow] = ExpressionEncoder[TopKRow]()
+    implicit val encKey: Encoder[Long] = Encoders.scalaLong
+    implicit val encWm: Encoder[WatermarkedEnvelope[String]] =
+      ExpressionEncoder[WatermarkedEnvelope[String]]()
+
+    import org.apache.spark.sql.functions.col
+    ds.toDF()
+      .withColumn("event_time", col("stamp.start_time"))
+      .withWatermark("event_time", "0 seconds")
+      .as[WatermarkedEnvelope[String]]
+      .groupByKey(w => Math.floorDiv(w.event_time.getTime, lengthMs) * lengthMs)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout) {
+        (winStart: Long, it: Iterator[WatermarkedEnvelope[String]],
+         state: org.apache.spark.sql.streaming.GroupState[TopKState]) =>
+          val winEnd = winStart + lengthMs
+          if (state.hasTimedOut) {
+            val counts = state.getOption.map(_.counts).getOrElse(Map.empty)
+            state.remove()
+            counts.toSeq
+              .sortBy { case (v, n) => (-n, v) }
+              .take(k).iterator.zipWithIndex
+              .map { case ((v, n), i) =>
+                TopKRow(winStart / 1000L, i + 1, v, n) }
+          } else if (state.getCurrentWatermarkMs() >= winEnd) {
+            // group re-created by a late event after its window emitted:
+            // dropping (not re-counting) keeps emit-once semantics
+            Iterator.empty
+          } else {
+            val counts = mutable.Map.empty[String, Long] ++=
+              state.getOption.map(_.counts).getOrElse(Map.empty)
+            it.foreach { w =>
+              counts.update(w.content, counts.getOrElse(w.content, 0L) + 1L)
+            }
+            state.update(TopKState(counts.toMap))
+            state.setTimeoutTimestamp(
+              math.max(winEnd, state.getCurrentWatermarkMs() + 1))
+            Iterator.empty
+          }
+      }
   }
 
   /** Streaming first-n limit (reference: Limit,

@@ -189,4 +189,50 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!rs.contains("l_comment"),
       s"unpruned scan reads l_comment:\n$rs")
   }
+
+  test("BM25 broadcasts every statistics side and plans top-50 as " +
+      "TakeOrderedAndProject, never a global sort") {
+    val plan = planOf("q_bm25")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"df side not broadcast in:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"corpus-side shuffle join crept in:\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-50 fell back to a global sort in:\n$plan")
+  }
+
+  test("dup-span detection joins on the window key with one row per " +
+      "window on the frequency side — no all-pairs shape") {
+    val plan = planOf("q_dup_spans")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"all-pairs span comparison in:\n$plan")
+  }
+
+  test("bloom-prefiltered contamination broadcasts ONLY the bucket set; " +
+      "the exact verification join is not a broadcast of eval shingles") {
+    val plan = planOf("q_contamination_bloom")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"bucket prefilter not broadcast in:\n$plan")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"non-equi contamination join in:\n$plan")
+  }
+
+  test("postings cap runs before the collect: the rank filter appears " +
+      "below the final aggregate, bounding every posting build") {
+    val plan = planOf("q_postings")
+    assert(plan.contains("row_number"), s"rank cap missing in:\n$plan")
+    // rank + collect share the token partitioning: no extra exchange
+    // between the window and the aggregation
+    assert(!plan.contains("SinglePartition"),
+      s"postings build funneled to one partition:\n$plan")
+  }
+
+  test("quality calibration windows per source, never a single " +
+      "global rank") {
+    val plan = planOf("q_quality_calibrate")
+    assert(!plan.contains("SinglePartition"),
+      s"global-rank funnel in:\n$plan")
+  }
 }
