@@ -125,4 +125,89 @@ object Ann {
           cosineScore(col("q_emb"), col("embedding")).as("score")),
       k)
   }
+
+  /** One Lloyd assignment step in ORACLE-DETERMINISTIC form: nearest
+    * centroid by squared-L2 (the |v|² term dropped — constant per
+    * vector, argmin-invariant), distance r4-quantized BEFORE the argmin
+    * with cluster-id tiebreak, per-(cluster, dim) mean via exact decimal
+    * sums. Returns (cluster_id, dim 1-based, n_members, c_next).
+    *
+    * Scale shape: centroids broadcast (k rows), assignment is one
+    * map-side pass + one partial-aggregated min per vector, the update
+    * is a combiner-friendly (cluster, dim)-keyed agg — the corpus
+    * shuffles once per step, carrying (cluster_id, dim, component).
+    * Expects centroids(cluster_id, cvec); emb(vec_id, embedding).
+    */
+  def kmeansStep(emb: DataFrame, centroids: DataFrame): DataFrame = {
+    val cent = centroids.select(col("cluster_id"), col("cvec"),
+      VectorFunctions.dot(col("cvec"), col("cvec")).as("cn"))
+    emb.crossJoin(broadcast(cent))
+      .select(col("vec_id"), col("embedding"), col("cluster_id"),
+        Det.r4(lit(-2.0) *
+          VectorFunctions.dot(col("embedding"), col("cvec")) + col("cn"))
+          .as("dq"))
+      .groupBy(col("vec_id"), col("embedding"))
+      .agg(min(struct(col("dq"), col("cluster_id"))).as("m"))
+      .select(col("m.cluster_id").as("cluster_id"),
+        posexplode(col("embedding")).as(Seq("pos", "x")))
+      .groupBy(col("cluster_id"), (col("pos") + 1).cast("long").as("dim"))
+      .agg(count(lit(1)).as("n_members"),
+        Det.r4(
+          sum(col("x").cast("double").cast("decimal(28,10)")).cast("double") /
+            count(lit(1))).as("c_next"))
+  }
+
+  /** Offline k-means trainer — the producer of [[ivfTopK]]'s centroid
+    * frame (its scaladoc's "offline k-means" is now in the library, not
+    * an exercise for the caller). Deterministic throughout: init =
+    * the k lowest vec_ids (a fixture-friendly stand-in for k-means++;
+    * callers with better priors pass their own via `init`), assignment
+    * ties break on cluster id, and each iteration's centroids are
+    * collected to the driver — k*dim doubles, the k-means state every
+    * distributed trainer keeps driver-side — and re-broadcast, so the
+    * lineage does not grow with iterations. An empty cluster keeps its
+    * previous centroid (the standard Lloyd degeneracy guard).
+    * Returns centroids(cluster_id, cvec: array<double>).
+    */
+  def kmeansTrain(emb: DataFrame, k: Int, iters: Int,
+      init: Option[DataFrame] = None): DataFrame = {
+    require(k >= 1 && iters >= 0, s"k=$k, iters=$iters must be positive")
+    val spark = emb.sparkSession
+    import scala.jdk.CollectionConverters._
+    val embD = emb.select(col("vec_id"),
+      transform(col("embedding"), _.cast("double")).as("v"))
+    var cent: DataFrame = init.getOrElse(
+      embD.orderBy(col("vec_id")).limit(k)
+        .withColumn("cluster_id",
+          row_number().over(Window.orderBy(col("vec_id"))).cast("long") - 1)
+        .select(col("cluster_id"), col("v").as("cvec")))
+    for (_ <- 0 until iters) {
+      val cn = cent.select(col("cluster_id"), col("cvec"),
+        VectorFunctions.dot(col("cvec"), col("cvec")).as("cn"))
+      val next = embD.crossJoin(broadcast(cn))
+        .select(col("vec_id"), col("v"), col("cluster_id"),
+          (lit(-2.0) * VectorFunctions.dot(col("v"), col("cvec")) +
+            col("cn")).as("d"))
+        .groupBy(col("vec_id"), col("v"))
+        .agg(min(struct(col("d"), col("cluster_id"))).as("m"))
+        .select(col("m.cluster_id").as("cluster_id"),
+          posexplode(col("v")).as(Seq("pos", "x")))
+        .groupBy("cluster_id", "pos")
+        .agg((sum(col("x")) / count(lit(1))).as("cx"))
+        .groupBy("cluster_id")
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("cx")))),
+          s => s.getField("cx")).as("cvec"))
+      // k rows to the driver: keeps lineage O(1) across iterations and
+      // carries empty clusters' previous centroids forward
+      val updated = next.collect()
+        .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+      val prev = cent.collect()
+        .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+      val rows = prev.map { case (cid, v) =>
+        org.apache.spark.sql.Row(cid, updated.getOrElse(cid, v))
+      }.toList.asJava
+      cent = spark.createDataFrame(rows, cent.schema)
+    }
+    cent
+  }
 }

@@ -334,6 +334,46 @@ object SimilarityQueries {
             / count(*) * 10000 + 0.5) / 10000 AS mean_v
           FROM ($inner) t GROUP BY label, pos""")),
 
+    // One Lloyd k-means step (Ann.kmeansStep) over the IVF fixture
+    // centroids — the oracled anchor for the offline trainer
+    // (Ann.kmeansTrain) that produces ivfTopK's centroid frame: nearest
+    // centroid by squared-L2 with the r4-quantized distance and
+    // cluster-id tiebreak, then per-(cluster, dim) means via exact
+    // decimal sums (order-independent, like q_embed_centroid). The
+    // corpus shuffles ONCE, carrying (cluster, dim, component); the
+    // centroid side is a <=MaxIvfCentroids-row broadcast at any corpus
+    // size. KMeansSpec pins the trainer's Lloyd properties (monotone
+    // SSE, determinism, empty-cluster carryover) on top of this anchor.
+    "q_kmeans_step" -> QueryDef(
+      (s, dir) => {
+        val emb = Tables.load(s, dir, "embeddings")
+        val centroids = emb.where(col("vec_id") % 37 === 0 &&
+            col("vec_id") < 37L * MaxIvfCentroids)
+          .select((col("vec_id") / 37).cast("long").as("cluster_id"),
+            col("embedding").as("cvec"))
+        graft.operators.Ann.kmeansStep(emb, centroids)
+      },
+      Some(s"""WITH cent AS (SELECT CAST(vec_id / 37 AS BIGINT) AS cluster_id,
+            embedding AS cvec
+          FROM embeddings WHERE vec_id % 37 = 0 AND vec_id < 37 * 64),
+        cn AS (SELECT cluster_id, cvec,
+            ${oracleDot("cvec", "cvec")} AS cn FROM cent),
+        d AS (SELECT e.vec_id, e.embedding, c.cluster_id,
+            floor((-2.0 * ${oracleDot("e.embedding", "c.cvec")} + c.cn)
+              * 10000 + 0.5) / 10000 AS dq
+          FROM embeddings e, cn c),
+        a AS (SELECT vec_id, embedding,
+            min(struct_pack(dq := dq, cluster_id := cluster_id)) AS m
+          FROM d GROUP BY vec_id, embedding),
+        u AS (SELECT m.cluster_id AS cluster_id,
+            CAST(generate_subscripts(embedding, 1) AS BIGINT) AS dim,
+            unnest(embedding) AS x
+          FROM a)
+        SELECT cluster_id, dim, count(*) AS n_members,
+          floor(CAST(sum(CAST(CAST(x AS DOUBLE) AS DECIMAL(28,10))) AS DOUBLE)
+            / count(*) * 10000 + 0.5) / 10000 AS c_next
+        FROM u GROUP BY 1, 2""")),
+
     // Embedding near-dup via multi-band random-hyperplane LSH (16 bands x
     // 8 bits), then exact cosine verification on candidates
     // (Ann.nearDupPairs; recall semantics pinned by NearDupSpec with
