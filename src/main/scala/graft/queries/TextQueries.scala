@@ -425,6 +425,47 @@ object TextQueries {
         SELECT d.token AS token, df, posting
         FROM d JOIN p USING (token) WHERE df >= 5""")),
 
+    // Unigram-LM negative-log-likelihood scoring (the perplexity-filter
+    // family: score each document by how surprising its tokens are under
+    // a language model — here the corpus' own unigram MLE, the classic
+    // CCNet-style quality dial). Scale shape: per-(doc,token) counts are
+    // one combiner-friendly shuffle; the vocabulary LM (token -> -ln p,
+    // integer-quantized) is a broadcast — at real corpus scale a
+    // million-type vocab is tens of MB, firmly broadcastable — and the
+    // per-doc score is a second keyed agg summing LONGS (count x
+    // quantized nll), so the result is addition-order independent and
+    // bit-identical cross-engine. Docs with zero tokens emit nothing.
+    "q_unigram_nll" -> QueryDef(
+      (s, dir) => {
+        val tf = Tables.load(s, dir, "documents")
+          .select(col("doc_id"),
+            explode(TextFunctions.tokens(col("text"))).as("token"))
+          .groupBy("doc_id", "token").agg(count(lit(1)).as("c"))
+        val vocab = tf.groupBy("token").agg(sum("c").as("n"))
+        val total = vocab.agg(sum("n").as("n_total"))
+        val nll = vocab.crossJoin(broadcast(total))
+          .select(col("token"),
+            floor(-log(col("n") / col("n_total")) * 10000 + 0.5)
+              .as("nll_i4"))
+        tf.join(broadcast(nll), "token")
+          .groupBy("doc_id")
+          .agg(sum(col("c") * col("nll_i4")).as("sn"),
+            sum("c").as("n_tokens"))
+          .select(col("doc_id"), col("n_tokens"),
+            Det.r4(col("sn") / (col("n_tokens") * 10000.0)).as("avg_nll"))
+      },
+      Some(s"""WITH toks AS (SELECT doc_id, unnest($oracleTokens) AS token
+          FROM documents),
+        tf AS (SELECT doc_id, token, count(*) AS c FROM toks GROUP BY 1, 2),
+        vocab AS (SELECT token, CAST(sum(c) AS BIGINT) AS n FROM tf GROUP BY 1),
+        tot AS (SELECT CAST(sum(n) AS BIGINT) AS n_total FROM vocab),
+        nll AS (SELECT token,
+            CAST(floor(-ln(n / n_total) * 10000 + 0.5) AS BIGINT) AS nll_i4
+          FROM vocab, tot)
+        SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+          ${Det.sqlR4("sum(c * nll_i4) / (sum(c) * 10000.0)")} AS avg_nll
+        FROM tf JOIN nll USING (token) GROUP BY doc_id""")),
+
     // Quality-score calibration: per-source percent_rank deciles with
     // per-cell counts and mean score. The rank window partitions by
     // source, so every source calibrates in parallel (no global sort);
