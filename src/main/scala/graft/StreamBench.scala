@@ -114,6 +114,27 @@ object StreamBench {
     val gaplessSec = (System.nanoTime() - g0) / 1e9
     q3.stop()
 
+    // pipeline 4: per-window top-k heavy hitters — 1000 distinct values
+    // over 10 s windows (each window holds ~100 events), final-on-close
+    // emission; measures the window-partitioned exact-count state path
+    val t4 = ps.topic[String]("bench-topk")
+    val topk = StatefulOps.topKByWindow(10000L, 5)(t4.stream)
+    var nTopkRows = 0L
+    val q4 = topk.writeStream.outputMode("append")
+      .foreachBatch { (b: Dataset[TopKRow], _: Long) =>
+        nTopkRows += b.count(); ()
+      }.start()
+    val k0 = System.nanoTime()
+    t4.publish((0 until n).map(i => EventEnvelope.at(
+      new Timestamp(base + i * 100L), (i % 1000).toString)))
+    // one far-future event closes every window so the emission cost is
+    // inside the measured interval
+    t4.publish(Seq(EventEnvelope.at(
+      new Timestamp(base + n * 100L + 3600L * 1000L), "flush")))
+    q4.processAllAvailable()
+    val topkSec = (System.nanoTime() - k0) / 1e9
+    q4.stop()
+
     println(f"""{"stream_bench":{"n_events":$n,""" +
       f""""state_store":"${if (rocksdb) "rocksdb" else "memory"}",""" +
       f""""lake_rows":$lakeRows,"lake_sec":$lakeSec%.2f,""" +
@@ -127,7 +148,10 @@ object StreamBench {
       f""""counting_windows":$nWins,""" +
       f""""gapless_keyed_sec":$gaplessSec%.2f,""" +
       f""""gapless_keyed_events_per_sec":${n / gaplessSec}%.0f,""" +
-      f""""gapless_windows":$nGapWins}}""")
+      f""""gapless_windows":$nGapWins,""" +
+      f""""topk_sec":$topkSec%.2f,""" +
+      f""""topk_events_per_sec":${n / topkSec}%.0f,""" +
+      f""""topk_rows":$nTopkRows}}""")
     ps.close()
     spark.stop()
   }

@@ -181,16 +181,21 @@ object PipelineQueries {
           d.select(col("doc_id").as(idAs),
             explode(array_distinct(
               TextFunctions.wordShingles(col("text"), 3))).as("s"))
+        // cached: the eval shingles feed the bucket build AND the exact
+        // verification join; released after the first action
         val ev = sh(docs.where(col("source") === "src19"), "eval_doc")
+          .persist()
         val tr = sh(docs.where(col("source") =!= "src19"), "train_doc")
         val buckets = ev
           .select(pmod(xxhash64(col("s")), lit(1048576L)).as("b")).distinct()
-        tr.withColumn("b", pmod(xxhash64(col("s")), lit(1048576L)))
+        val result = tr
+          .withColumn("b", pmod(xxhash64(col("s")), lit(1048576L)))
           .join(broadcast(buckets), "b").drop("b")
           .join(ev, "s")
           .groupBy("train_doc", "eval_doc")
           .agg(count(lit(1)).as("n_shared"))
           .where(col("n_shared") >= 2)
+        graft.core.CacheHygiene.unpersistAfterFirstUse(ev, result)
       },
       Some("""WITH docs AS (
           SELECT doc_id, source, list_distinct(list_transform(

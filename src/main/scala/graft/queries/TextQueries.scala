@@ -321,12 +321,17 @@ object TextQueries {
           .select(col("doc_id"), TextFunctions.tokens(col("text")).as("toks"))
           .select(col("doc_id"), col("toks"), size(col("toks")).as("dl"))
         val stats = docs.agg(count(lit(1)).as("n_docs"), avg("dl").as("avgdl"))
+        // cache the filtered tf frame: it feeds BOTH the df stats and the
+        // scoring side — without the cache Catalyst plans two full
+        // tokenize+explode corpus passes (no common-subplan sharing);
+        // released by the listener after the first action
         val tf = docs
           .select(col("doc_id"), col("dl"), explode(col("toks")).as("token"))
           .where(col("token").isin(terms: _*))
           .groupBy("doc_id", "dl", "token").agg(count(lit(1)).as("tf"))
+          .persist()
         val dfT = tf.groupBy("token").agg(count(lit(1)).as("df"))
-        tf.join(broadcast(dfT), "token")
+        val result = tf.join(broadcast(dfT), "token")
           .crossJoin(broadcast(stats))
           .withColumn("c", floor(
             log(lit(1) + (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5)) *
@@ -337,6 +342,7 @@ object TextQueries {
           .agg(count(lit(1)).as("n_terms"),
             (sum("c") / 10000.0).as("score"))
           .orderBy(col("score").desc, col("doc_id")).limit(50)
+        graft.core.CacheHygiene.unpersistAfterFirstUse(tf, result)
       },
       Some(s"""WITH t AS (SELECT doc_id, $oracleTokens AS toks FROM documents),
         d AS (SELECT doc_id, len(toks) AS dl, toks FROM t),
@@ -368,17 +374,23 @@ object TextQueries {
     // shorter than the window emit nothing (documented contract).
     "q_dup_spans" -> QueryDef(
       (s, dir) => {
+        // cache the exploded window frame: it feeds both the frequency
+        // agg and the join probe — uncached, Catalyst plans the
+        // tokenize+shingle+explode corpus pass twice (released after the
+        // first action, the jaccard-query discipline)
         val sh = Tables.load(s, dir, "documents")
           .select(col("doc_id"), explode(array_distinct(
             TextFunctions.wordShingles(col("text"), 8))).as("w"))
+          .persist()
         val freq = sh.groupBy("w").agg(count(lit(1)).as("nd"))
-        sh.join(freq, "w")
+        val result = sh.join(freq, "w")
           .groupBy("doc_id")
           .agg(count(lit(1)).as("n_windows"),
             sum(when(col("nd") >= 2, 1).otherwise(0)).cast("long").as("n_dup"))
           .select(col("doc_id"), col("n_windows"), col("n_dup"),
             Det.r4(col("n_dup").cast("double") / col("n_windows"))
               .as("dup_frac"))
+        graft.core.CacheHygiene.unpersistAfterFirstUse(sh, result)
       },
       Some(s"""WITH t AS (SELECT doc_id, list_distinct(list_transform(
             generate_series(1, greatest(len(toks) - 7, 0)),
@@ -401,9 +413,13 @@ object TextQueries {
     // query is shard 0 of that layout.
     "q_postings" -> QueryDef(
       (s, dir) => {
+        // cached: feeds the df agg and the rank-capped collect (two
+        // different token-partitioned consumers, no subplan sharing
+        // without it); released after the first action
         val sh = Tables.load(s, dir, "documents")
           .select(col("doc_id"), explode(array_distinct(
             TextFunctions.tokens(col("text")))).as("token"))
+          .persist()
         val dfT = sh.groupBy("token").agg(count(lit(1)).as("df"))
         val capped = sh
           .withColumn("rn", row_number().over(
@@ -412,7 +428,8 @@ object TextQueries {
           .groupBy("token")
           .agg(array_join(transform(sort_array(collect_list(col("doc_id"))),
             _.cast("string")), ",").as("posting"))
-        dfT.join(capped, "token").where(col("df") >= 5)
+        val result = dfT.join(capped, "token").where(col("df") >= 5)
+        graft.core.CacheHygiene.unpersistAfterFirstUse(sh, result)
       },
       Some(s"""WITH sh AS (SELECT doc_id, unnest(list_distinct($oracleTokens)) AS token
           FROM documents),
@@ -437,6 +454,16 @@ object TextQueries {
     // bit-identical cross-engine. Docs with zero tokens emit nothing.
     "q_unigram_nll" -> QueryDef(
       (s, dir) => {
+        // The per-(doc,token) counts feed the vocabulary LM AND the
+        // scoring join, but deliberately NOT cached: tf is CORPUS-sized
+        // (one row per distinct doc-token pair), so materializing it
+        // costs a corpus-scale write — measurably slower than the
+        // second scan+explode pass here, and storage pressure at 100 TB
+        // (unlike q_bm25's tf, which the query-term filter makes tiny).
+        // The production contract is coarser anyway: a vocabulary LM is
+        // a reusable OFFLINE artifact (like kmeansTrain centroids) —
+        // compute `nll` once, persist as a table, and the scoring pass
+        // becomes single-scan by construction.
         val tf = Tables.load(s, dir, "documents")
           .select(col("doc_id"),
             explode(TextFunctions.tokens(col("text"))).as("token"))
