@@ -191,6 +191,102 @@ object SimilarityQueries {
         SELECT doc_id FROM documents WHERE doc_id NOT IN (
           SELECT doc_id FROM comp WHERE doc_id <> component_id)""")),
 
+    // END-TO-END corpus build — the whole pretraining materialization as
+    // ONE verified plan: exact dedup (md5 keeper; also catches docs too
+    // short to shingle) -> near-dup consolidation (connected components
+    // over the jaccard pair graph, keep the min-id representative) ->
+    // quality gate (>= 0.6 on the quantized score) -> overlapping token
+    // chunks (32/24), one training sample per row. Every stage is
+    // individually oracled elsewhere (q_dedup_exact, q_dedup_keepers,
+    // q_quality, q_chunking); this query proves the COMPOSITION — the
+    // artifact a user of the engine actually ships — stays byte-exact
+    // against DuckDB running the same four stages. Scale shape is the
+    // union of the stages' shapes: digest-keyed keeper shuffle,
+    // DF-capped shingle equi-join + O(diameter) component rounds,
+    // per-row quality scoring in the scan, map-only chunk explode.
+    "q_corpus_build" -> QueryDef(
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val docs = Tables.load(s, dir, "documents")
+        val exactKeep = docs
+          .withColumn("h", md5(col("text").cast("binary")))
+          .withColumn("rn",
+            row_number().over(Window.partitionBy("h").orderBy("doc_id")))
+          .where(col("rn") === 1)
+          .select(col("doc_id"), col("text"))
+        val drop = graft.operators.Components.connectedComponents(
+          jaccardPairs(s, dir).where(col("j") >= JaccardThreshold)
+            .select(col("a"), col("b")))
+          .where(col("doc_id") =!= col("component_id"))
+        val clean = exactKeep.join(drop, Seq("doc_id"), "left_anti")
+          .where(TextFunctions.qualityScore(col("text")) >= 0.6)
+        val t = TextFunctions.tokens(col("text"))
+        val lastIdx =
+          floor((col("n") - 1).cast("double") / 24).cast("int")
+        clean
+          .select(col("doc_id"), t.as("toks"), size(t).as("n"))
+          .where(col("n") > 0)
+          .select(col("doc_id"), col("toks"),
+            explode(sequence(lit(0), lastIdx)).as("i"))
+          .select(col("doc_id"), col("i").cast("long").as("chunk_id"),
+            slice(col("toks"), col("i") * 24 + 1, lit(32)).as("chunk"))
+          .select(col("doc_id"), col("chunk_id"),
+            size(col("chunk")).cast("long").as("n_chunk_tokens"),
+            element_at(col("chunk"), 1).as("head_token"))
+      },
+      Some {
+        val stop = Seq("the", "a", "an", "and", "or", "of", "to", "in", "is",
+          "it", "that", "for", "on", "with", "as", "was", "at", "by", "be",
+          "this").map(w => s"'$w'").mkString("[", ", ", "]")
+        s"""WITH RECURSIVE pairs AS (${jaccardOracle(JaccardThreshold)}),
+        edges AS (SELECT a, b FROM pairs UNION SELECT b AS a, a AS b FROM pairs),
+        reach(doc_id, lab) AS (
+          SELECT a, a FROM edges
+          UNION
+          SELECT e.a, r.lab FROM edges e JOIN reach r ON e.b = r.doc_id),
+        dropids AS (
+          SELECT doc_id FROM (
+            SELECT doc_id, min(lab) AS component_id FROM reach GROUP BY doc_id)
+          WHERE doc_id <> component_id),
+        exact AS (
+          SELECT doc_id, text FROM (
+            SELECT doc_id, text, row_number() OVER
+              (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+            FROM documents) WHERE rn = 1),
+        qm AS (SELECT doc_id,
+          CAST(len(tk) AS BIGINT) AS nt,
+          CAST(len(list_filter(tk, x -> list_contains($stop, lower(x)))) AS BIGINT) AS nstop,
+          CAST(len(text) AS BIGINT) AS nchars,
+          CAST(len(text) - len(regexp_replace(text,
+            '[.,;:!?''"()\\[\\]{}-]', '', 'g')) AS BIGINT) AS npunct
+          FROM (SELECT doc_id, text,
+            list_filter(regexp_split_to_array(text, '\\s+'),
+              x -> len(x) > 0) AS tk FROM exact) tq),
+        qual AS (SELECT doc_id, floor((
+          least(CAST(nt AS DOUBLE) / 50.0, 1.0) +
+          least((CASE WHEN nt > 0 THEN CAST(nstop AS DOUBLE) / nt ELSE 0.0 END) * 4.0, 1.0) +
+          greatest(1.0 - (CASE WHEN nchars > 0 THEN CAST(npunct AS DOUBLE) / nchars ELSE 0.0 END) * 5.0, 0.0)
+        ) / 3.0 * 10000 + 0.5) / 10000 AS quality FROM qm),
+        clean AS (
+          SELECT e.doc_id, e.text FROM exact e
+          JOIN qual q ON e.doc_id = q.doc_id
+          WHERE e.doc_id NOT IN (SELECT doc_id FROM dropids)
+            AND q.quality >= 0.6),
+        ct AS (SELECT doc_id,
+            list_filter(regexp_split_to_array(text, '\\s+'),
+              x -> len(x) > 0) AS toks
+          FROM clean),
+        cc AS (SELECT doc_id, toks,
+            unnest(generate_series(0,
+              CAST(floor((len(toks) - 1) / 24.0) AS INTEGER))) AS i
+          FROM ct WHERE len(toks) > 0)
+        SELECT doc_id, CAST(i AS BIGINT) AS chunk_id,
+          CAST(len(toks[i * 24 + 1 : i * 24 + 32]) AS BIGINT) AS n_chunk_tokens,
+          toks[i * 24 + 1] AS head_token
+        FROM cc"""
+      },
+      bench = true),
+
     // MinHash + LSH banding (64 perms, 16 bands x 4 rows), candidates
     // verified with exact Jaccard. Seeded affine hash family — output is
     // deterministic, but xxhash64 is not reproducible in DuckDB, so this
