@@ -235,4 +235,14 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!plan.contains("SinglePartition"),
       s"global-rank funnel in:\n$plan")
   }
+
+  test("the end-to-end corpus build composes without an all-pairs join " +
+      "or a global sort") {
+    val plan = planOf("q_corpus_build")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"all-pairs shape in the corpus build:\n$plan")
+    assert(!plan.contains("GlobalLimit") || !plan.contains("Sort "),
+      s"unexpected global sort in:\n$plan")
+  }
 }

@@ -85,6 +85,37 @@ class TopKStreamSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"late event changed or duplicated a closed window: $rows")
   }
 
+  test("restart from checkpoint recovers open-window counts — no loss, " +
+      "no double-count") {
+    val ps = new PubSub(spark)
+    val t = ps.topic[String](s"topk-restart-${System.nanoTime()}")
+    val out = StatefulOps.topKByWindow(10000L, 2)(t.stream)
+    val ckpt = s"/tmp/graft-topk-ckpt-${System.nanoTime()}"
+    val buf = mutable.Buffer.empty[TopKRow]
+    def start() = out.writeStream.outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (b: Dataset[TopKRow], _: Long) =>
+        buf.synchronized { buf ++= b.collect() }; ()
+      }.start()
+
+    val q1 = start()
+    t.publish(Seq(EventEnvelope.at(ts(0), "a"), EventEnvelope.at(ts(1), "a"),
+      EventEnvelope.at(ts(2), "b")))
+    q1.processAllAvailable()
+    q1.stop() // window [0,10) still open: counts live only in state
+
+    val q2 = start()
+    t.publish(Seq(EventEnvelope.at(ts(3), "a"), EventEnvelope.at(ts(4), "c"),
+      EventEnvelope.at(ts(30), "flush")))
+    q2.processAllAvailable()
+    q2.stop()
+    ps.close()
+
+    val win0 = buf.filter(_.windowId == base / 1000L)
+    assert(win0.map(r => (r.rank, r.value, r.n)) == Seq((1, "a", 3L), (2, "b", 1L)),
+      s"state not recovered across restart: $buf")
+  }
+
   test("windows fire independently: two windows, separate top-k each") {
     val rows = run(Seq(
       Seq(EventEnvelope.at(ts(0), "a"), EventEnvelope.at(ts(12), "b"),
