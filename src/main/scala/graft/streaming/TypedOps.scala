@@ -140,8 +140,11 @@ object TypedOps {
     *    claims (dropDuplicates has no intra-batch order) and in the worst
     *    case suppress every member; ingest flood suppression tolerates
     *    this, archival dedup should run the batch consolidation pass.
-    *  - Docs with no extractable shingles (< nGram words) share the
-    *    sentinel signature and dedup as one cluster within the horizon.
+    *  - Docs with no extractable shingles (< nGram words) use their FULL
+    *    content as a single shingle: identical short docs collide in
+    *    every band (exact dedup within the horizon), distinct short docs
+    *    share nothing. (An earlier sentinel-signature design clustered
+    *    ALL short docs together — IngestSpec pins the fix.)
     */
   def nearDupWithinWatermark(delay: String, nGram: Int = 5,
       nPerms: Int = 64, nBands: Int = 16, seed: Long = 42L,
@@ -154,8 +157,11 @@ object TypedOps {
       .withWatermark("event_time", delay)
       .withColumn("doc_key", md5(col("content").cast("binary")))
       .withColumn("sig", graft.functions.HashFunctions.minhashSignature(
-        array_distinct(
-          graft.functions.TextFunctions.wordShingles(col("content"), nGram)),
+        {
+          val shRaw = array_distinct(
+            graft.functions.TextFunctions.wordShingles(col("content"), nGram))
+          when(size(shRaw) === 0, array(col("content"))).otherwise(shRaw)
+        },
         nPerms, seed))
       .select(col("stamp"), col("content"), col("event_time"), col("doc_key"),
         explode(graft.functions.HashFunctions.lshBands(
@@ -170,5 +176,30 @@ object TypedOps {
       .where(col("n_claimed") === nBands)
       .select(col("ev.stamp").as("stamp"), col("ev.content").as("content"))
       .as[EventEnvelope[String]]
+  }
+
+  /** Streaming corpus ingest — the ingest-plane face of the batch corpus
+    * build (q_corpus_build): per-event quality gate, then near-dup band
+    * suppression within the watermark horizon (which subsumes exact
+    * dedup: identical docs — including short ones, via the full-content
+    * shingle fallback above — collide in every band). Stage order
+    * deliberately differs from batch: the stateless quality gate runs
+    * FIRST so the suppression state stores only documents that can enter
+    * the corpus (the streaming analogue of pushing a filter below a
+    * stateful operator); the documented consequence is that a
+    * low-quality first arrival does not claim state, so a later
+    * high-quality duplicate passes. A single watermarked pipeline — no
+    * multi-branch union whose min-watermark could stall one branch on
+    * the other's silence.
+    */
+  def corpusIngest(delay: String, minQuality: Double = 0.4,
+      nGram: Int = 5): Op[String, String] = { ds =>
+    import org.apache.spark.sql.functions._
+    implicit val e: Encoder[EventEnvelope[String]] = enc[String]
+    val gated = ds.toDF()
+      .where(graft.functions.TextFunctions.qualityScore(col("content"))
+        >= minQuality)
+      .as[EventEnvelope[String]]
+    nearDupWithinWatermark(delay, nGram).apply(gated)
   }
 }
