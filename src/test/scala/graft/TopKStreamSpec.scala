@@ -85,6 +85,30 @@ class TopKStreamSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"late event changed or duplicated a closed window: $rows")
   }
 
+  test("random streams: emitted top-k equals the batch model per window") {
+    val rng = new scala.util.Random(7)
+    val values = Seq("a", "b", "c", "d", "e", "f")
+    var t = base
+    val events = (0 until 300).map { _ =>
+      t += rng.nextInt(3000) // ascending: no event is ever late
+      EventEnvelope.at(new Timestamp(t), values(rng.nextInt(values.size)))
+    }
+    val flush = EventEnvelope.at(new Timestamp(t + 3600L * 1000L), "flush")
+    val rows = run(events.grouped(37).toSeq :+ Seq(flush), 10000L, 3)
+      .filterNot(_.value == "flush")
+
+    val expected = events
+      .groupBy(e => Math.floorDiv(e.stamp.start_time.getTime, 10000L) * 10000L)
+      .toSeq.flatMap { case (ws, evs) =>
+        evs.groupBy(_.content).map { case (v, es) => (v, es.size.toLong) }
+          .toSeq.sortBy { case (v, n) => (-n, v) }.take(3).zipWithIndex
+          .map { case ((v, n), i) => TopKRow(ws / 1000L, i + 1, v, n) }
+      }.toSet
+    assert(rows.toSet == expected,
+      s"streamed top-k diverged from the batch model:\n" +
+        s"missing=${expected -- rows.toSet}\nextra=${rows.toSet -- expected}")
+  }
+
   test("restart from checkpoint recovers open-window counts — no loss, " +
       "no double-count") {
     val ps = new PubSub(spark)
