@@ -442,6 +442,90 @@ object TextQueries {
         SELECT d.token AS token, df, posting
         FROM d JOIN p USING (token) WHERE df >= 5""")),
 
+    // Content-defined chunking (CDC) dedup: chunk boundaries fall where
+    // the rolling prefix hash of the token stream hits h % 16 == 0 — so
+    // boundaries are CONTENT-anchored and survive insertions/deletions
+    // (the property fixed-stride chunking lacks: one shifted token
+    // re-aligns every downstream chunk). Chunks shared by >= 2 docs are
+    // the dup signal, as in storage CDC systems. One O(n) per-row
+    // aggregate computes the boundary set (token fingerprints reuse the
+    // oracled q_fingerprint polynomial, so the whole boundary function
+    // is cross-engine exact); the chunk frame is cached (feeds the
+    // frequency agg + the join) and released after the first action.
+    // The HOF lambdas get no codegen — the per-row cost is the token
+    // count, amortized against the shuffle they feed.
+    "q_cdc_chunks" -> QueryDef(
+      (s, dir) => {
+        val P = 1000000007L
+        val toksC = TextFunctions.tokens(col("text"))
+        val docs = Tables.load(s, dir, "documents")
+          .select(col("doc_id"), toksC.as("toks"))
+          .where(size(col("toks")) > 0)
+        val bounds = aggregate(
+          transform(col("toks"), t => TextFunctions.fingerprint(t)),
+          struct(lit(0L).as("h"), lit(0).as("i"),
+            array(lit(0)).as("b")),
+          (acc, f) => {
+            val h2 = (acc.getField("h") * 257 + f) % P
+            val i2 = acc.getField("i") + 1
+            struct(h2.as("h"), i2.as("i"),
+              when(h2 % 16 === 0,
+                concat(acc.getField("b"), array(i2)))
+                .otherwise(acc.getField("b")).as("b"))
+          },
+          acc => when(
+            element_at(acc.getField("b"), -1) === acc.getField("i"),
+            acc.getField("b"))
+            .otherwise(concat(acc.getField("b"),
+              array(acc.getField("i")))))
+        val ch = docs
+          .withColumn("bounds", bounds)
+          .select(col("doc_id"), col("toks"), explode(zip_with(
+            slice(col("bounds"), lit(1), size(col("bounds")) - 1),
+            slice(col("bounds"), lit(2), size(col("bounds")) - 1),
+            (a, b) => struct(a.as("s"), b.as("e")))).as("c"))
+          .select(col("doc_id"),
+            md5(array_join(slice(col("toks"), col("c.s") + 1,
+              col("c.e") - col("c.s")), " ").cast("binary")).as("chunk_md5"))
+          .persist()
+        val freq = ch.distinct()
+          .groupBy("chunk_md5").agg(count(lit(1)).as("nd"))
+        val result = ch.join(freq, "chunk_md5")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_chunks"),
+            sum(when(col("nd") >= 2, 1).otherwise(0)).cast("long")
+              .as("n_dup_chunks"))
+        graft.core.CacheHygiene.unpersistAfterFirstUse(ch, result)
+      },
+      Some(s"""WITH t AS (SELECT doc_id, $oracleTokens AS toks FROM documents
+          WHERE len($oracleTokens) > 0),
+        f AS (SELECT doc_id, toks, list_transform(toks, w ->
+            list_reduce(list_prepend(CAST(0 AS BIGINT),
+              list_transform(generate_series(1, len(w)), i -> ascii(w[i]))),
+              (acc, c) -> (CAST(acc AS BIGINT) * 257 + c) % 1000000007)) AS fps
+          FROM t),
+        pref AS (SELECT doc_id, i,
+            list_reduce(list_prepend(CAST(0 AS BIGINT), fps[1:i]),
+              (a, x) -> (CAST(a AS BIGINT) * 257 + x) % 1000000007) AS h
+          FROM (SELECT doc_id, fps,
+            unnest(generate_series(1, len(fps))) AS i FROM f)),
+        b AS (SELECT doc_id, 0 AS p FROM t
+          UNION
+          SELECT doc_id, i FROM pref WHERE h % 16 = 0
+          UNION
+          SELECT doc_id, len(toks) FROM t),
+        seg AS (SELECT doc_id, p AS s,
+            lead(p) OVER (PARTITION BY doc_id ORDER BY p) AS e FROM b),
+        ch AS (SELECT seg.doc_id AS doc_id,
+            list_aggregate(toks[s + 1:e], 'string_agg', ' ') AS chunk
+          FROM seg JOIN t ON seg.doc_id = t.doc_id WHERE e IS NOT NULL),
+        freq AS (SELECT chunk, count(*) AS nd FROM
+          (SELECT DISTINCT doc_id, chunk FROM ch) GROUP BY 1)
+        SELECT doc_id, count(*) AS n_chunks,
+          CAST(sum(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_chunks
+        FROM ch JOIN freq USING (chunk) GROUP BY 1"""),
+      bench = false),
+
     // Unigram-LM negative-log-likelihood scoring (the perplexity-filter
     // family: score each document by how surprising its tokens are under
     // a language model — here the corpus' own unigram MLE, the classic
