@@ -184,6 +184,61 @@ object AnalyticsQueries {
         WHERE gap_s IS NOT NULL
         GROUP BY user_id""")),
 
+    // Per-user EWMA with alert counts — the sequential recurrence every
+    // monitoring pipeline wants (ewma_i = 0.5*ewma_{i-1} + 0.5*x_i,
+    // alert when x > 1.5*ewma_before). alpha = 0.5 and factor 1.5 are
+    // exact binary doubles, so the whole fold is the identical IEEE-754
+    // sequence in both engines — bit-exact without quantizing the
+    // recurrence itself (only the reported final value rounds). A
+    // recurrence is inherently ordered, so the scale contract is
+    // per-KEY sequentiality: each user's series folds inside one
+    // aggregate call after an ordered collect — state bounded by the
+    // per-user event count, users parallel across executors. (An
+    // unbounded single series wants the streaming plane, not a batch
+    // collect.) The fold starts FROM THE FIRST ELEMENT (DuckDB's
+    // list_reduce contract), mirrored in Spark by slicing the tail and
+    // seeding the accumulator with vs[1].
+    "q_ewma" -> QueryDef(
+      (s, dir) => {
+        val merge = (acc: org.apache.spark.sql.Column,
+            x: org.apache.spark.sql.Column) =>
+          struct(
+            (lit(0.5) * acc.getField("ewma") + lit(0.5) * x).as("ewma"),
+            (acc.getField("alerts") +
+              when(x > lit(1.5) * acc.getField("ewma"), 1).otherwise(0))
+              .as("alerts"))
+        Tables.load(s, dir, "events")
+          .groupBy("user_id")
+          .agg(count(lit(1)).as("n_events"),
+            transform(array_sort(collect_list(
+              struct(col("ts"), col("event_id"), col("value")))),
+              e => e.getField("value")).as("vs"))
+          .withColumn("st", aggregate(
+            slice(col("vs"), lit(2), size(col("vs")) - 1),
+            struct(element_at(col("vs"), 1).as("ewma"),
+              lit(0).as("alerts")),
+            merge))
+          .select(col("user_id"), col("n_events"),
+            Det.r4(col("st.ewma")).as("final_ewma"),
+            col("st.alerts").cast("long").as("n_alerts"))
+      },
+      // Oracle note: DuckDB 1.0's list_reduce SILENTLY mis-accumulates
+      // STRUCT accumulators (one field folds, the other freezes after
+      // its first change — found by tracing prefix folds), so the
+      // oracle uses scalar-accumulator folds only: the alert test
+      // recomputes the prefix EWMA per position (O(n²) per user, fine
+      // at oracle scale, bit-identical left fold).
+      Some(s"""WITH s AS (SELECT user_id,
+          list(value ORDER BY ts, event_id) AS vs,
+          count(*) AS n_events
+        FROM events GROUP BY 1)
+        SELECT user_id, n_events,
+          ${Det.sqlR4("list_reduce(vs, (a, x) -> 0.5 * a + 0.5 * x)")} AS final_ewma,
+          CAST(len(list_filter(generate_series(2, len(vs)),
+            i -> vs[i] > 1.5 * list_reduce(vs[1:i-1],
+              (a, x) -> 0.5 * a + 0.5 * x))) AS BIGINT) AS n_alerts
+        FROM s""")),
+
     // Time-series similarity search: Pearson correlation between users'
     // hourly activity series (aligned on hour buckets; per-hour sums made
     // exact via DECIMAL so both engines correlate identical series). The
