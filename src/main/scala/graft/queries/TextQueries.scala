@@ -456,38 +456,8 @@ object TextQueries {
     // count, amortized against the shuffle they feed.
     "q_cdc_chunks" -> QueryDef(
       (s, dir) => {
-        val P = 1000000007L
-        val toksC = TextFunctions.tokens(col("text"))
-        val docs = Tables.load(s, dir, "documents")
-          .select(col("doc_id"), toksC.as("toks"))
-          .where(size(col("toks")) > 0)
-        val bounds = aggregate(
-          transform(col("toks"), t => TextFunctions.fingerprint(t)),
-          struct(lit(0L).as("h"), lit(0).as("i"),
-            array(lit(0)).as("b")),
-          (acc, f) => {
-            val h2 = (acc.getField("h") * 257 + f) % P
-            val i2 = acc.getField("i") + 1
-            struct(h2.as("h"), i2.as("i"),
-              when(h2 % 16 === 0,
-                concat(acc.getField("b"), array(i2)))
-                .otherwise(acc.getField("b")).as("b"))
-          },
-          acc => when(
-            element_at(acc.getField("b"), -1) === acc.getField("i"),
-            acc.getField("b"))
-            .otherwise(concat(acc.getField("b"),
-              array(acc.getField("i")))))
-        val ch = docs
-          .withColumn("bounds", bounds)
-          .select(col("doc_id"), col("toks"), explode(zip_with(
-            slice(col("bounds"), lit(1), size(col("bounds")) - 1),
-            slice(col("bounds"), lit(2), size(col("bounds")) - 1),
-            (a, b) => struct(a.as("s"), b.as("e")))).as("c"))
-          .select(col("doc_id"),
-            md5(array_join(slice(col("toks"), col("c.s") + 1,
-              col("c.e") - col("c.s")), " ").cast("binary")).as("chunk_md5"))
-          .persist()
+        val ch = graft.operators.Cdc.chunks(
+          Tables.load(s, dir, "documents"), col("text")).persist()
         val freq = ch.distinct()
           .groupBy("chunk_md5").agg(count(lit(1)).as("nd"))
         val result = ch.join(freq, "chunk_md5")
