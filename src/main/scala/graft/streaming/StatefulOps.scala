@@ -48,12 +48,6 @@ final case class GaplessState[T](
   */
 final case class TopKRow(windowId: Long, rank: Int, value: String, n: Long)
 
-/** State of the streaming top-k counter: exact per-value counts for one
-  * open window. Size is O(distinct values in the window) — see
-  * [[StatefulOps.topKByWindow]] for the cardinality contract.
-  */
-final case class TopKState(counts: Map[String, Long])
-
 /** The genuinely custom stateful operators — the two reference semantics
   * Spark has no built-in for (SURVEY §7.3): counting windows with
   * arbitrary slide, and the streaming first-n Limit.
@@ -474,62 +468,48 @@ object StatefulOps {
     * retraction stream). Rank order is (count desc, value asc) — total
     * and deterministic, so replays emit identical rows.
     *
-    * Scale shape: state is partitioned BY WINDOW GROUP across executors
-    * and holds exact per-value counts — O(distinct values in one window)
-    * per group, evicted in full at emission (EventTimeTimeout). That is
-    * the right trade for token/entity streams whose per-window
-    * cardinality fits an executor; for adversarial cardinality swap the
-    * exact map for the CMS grid (Aggregators.countMin) + a candidate
-    * heap, which bounds state at the sketch size in exchange for
-    * ±εN counts. Events arriving after their window closed (watermark
-    * past end) are dropped — the same late-event contract as the gapless
-    * sequencer.
+    * Scale shape — two chained stages (Spark 4's multi-stateful-operator
+    * support, proven by the spec suite):
+    *  1. a standard watermarked window+value COUNT aggregation: raw
+    *     events are absorbed by map-side partial aggregation across ALL
+    *     executors — no single task ever sees a whole window's event
+    *     volume (the trap of ranking inside one stateful operator keyed
+    *     by window); state is the per-(window, value) count the SQL
+    *     engine already manages, emitted exactly once at window close.
+    *  2. a STATELESS ranker over the finalized counts: a closed window's
+    *     rows all emit in the same micro-batch, so the per-window group
+    *     ranks O(distinct values) pre-aggregated rows, never events.
+    * Late events are dropped by stage 1's watermark — the same contract
+    * as the gapless sequencer. For adversarial per-window cardinality
+    * the documented swap is the CMS grid + candidate heap in stage 1.
     */
   def topKByWindow(lengthMs: Long, k: Int)(
       ds: Dataset[EventEnvelope[String]]): Dataset[TopKRow] = {
     require(lengthMs >= 1000, "sub-second windows unsupported: windowId is epoch-seconds")
     require(k >= 1, s"k=$k must be >= 1")
-    implicit val encState: Encoder[TopKState] =
-      ExpressionEncoder[TopKState]()
     implicit val encOut: Encoder[TopKRow] = ExpressionEncoder[TopKRow]()
     implicit val encKey: Encoder[Long] = Encoders.scalaLong
-    implicit val encWm: Encoder[WatermarkedEnvelope[String]] =
-      ExpressionEncoder[WatermarkedEnvelope[String]]()
+    implicit val encRow: Encoder[(Long, String, Long)] =
+      Encoders.tuple(Encoders.scalaLong, Encoders.STRING, Encoders.scalaLong)
 
-    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.functions._
     ds.toDF()
       .withColumn("event_time", col("stamp.start_time"))
       .withWatermark("event_time", "0 seconds")
-      .as[WatermarkedEnvelope[String]]
-      .groupByKey(w => Math.floorDiv(w.event_time.getTime, lengthMs) * lengthMs)
+      .groupBy(window(col("event_time"), s"$lengthMs milliseconds"),
+        col("content"))
+      .count()
+      .select(col("window.start").cast("long").as("win"),
+        col("content"), col("count"))
+      .as[(Long, String, Long)]
+      .groupByKey(_._1)
       .flatMapGroupsWithState(OutputMode.Append,
-        GroupStateTimeout.EventTimeTimeout) {
-        (winStart: Long, it: Iterator[WatermarkedEnvelope[String]],
-         state: org.apache.spark.sql.streaming.GroupState[TopKState]) =>
-          val winEnd = winStart + lengthMs
-          if (state.hasTimedOut) {
-            val counts = state.getOption.map(_.counts).getOrElse(Map.empty)
-            state.remove()
-            counts.toSeq
-              .sortBy { case (v, n) => (-n, v) }
-              .take(k).iterator.zipWithIndex
-              .map { case ((v, n), i) =>
-                TopKRow(winStart / 1000L, i + 1, v, n) }
-          } else if (state.getCurrentWatermarkMs() >= winEnd) {
-            // group re-created by a late event after its window emitted:
-            // dropping (not re-counting) keeps emit-once semantics
-            Iterator.empty
-          } else {
-            val counts = mutable.Map.empty[String, Long] ++=
-              state.getOption.map(_.counts).getOrElse(Map.empty)
-            it.foreach { w =>
-              counts.update(w.content, counts.getOrElse(w.content, 0L) + 1L)
-            }
-            state.update(TopKState(counts.toMap))
-            state.setTimeoutTimestamp(
-              math.max(winEnd, state.getCurrentWatermarkMs() + 1))
-            Iterator.empty
-          }
+        GroupStateTimeout.NoTimeout) {
+        (win: Long, it: Iterator[(Long, String, Long)],
+         _: org.apache.spark.sql.streaming.GroupState[Long]) =>
+          it.toSeq.sortBy { case (_, v, n) => (-n, v) }
+            .take(k).iterator.zipWithIndex
+            .map { case ((_, v, n), i) => TopKRow(win, i + 1, v, n) }
       }
   }
 
