@@ -547,6 +547,52 @@ object TextQueries {
           ${Det.sqlR4("sum(c * nll_i4) / (sum(c) * 10000.0)")} AS avg_nll
         FROM tf JOIN nll USING (token) GROUP BY doc_id""")),
 
+    // Bigram-LM surprisal — the stronger perplexity proxy (conditional
+    // P(t_i | t_{i-1}) = corpus bigram count / head count): mean
+    // per-bigram negative log-likelihood per document, integer-quantized
+    // like the unigram form so the sums are addition-order independent.
+    // Scale shape: per-(doc, bigram) counts are one combiner-friendly
+    // shuffle; the LM table joins by SHUFFLE equi-join, NOT broadcast —
+    // a web-scale bigram vocabulary is orders beyond broadcastable (the
+    // deliberate contrast with q_unigram_nll's broadcast vocab), and the
+    // production contract is the same offline-LM artifact note. Docs
+    // with < 2 tokens emit nothing.
+    "q_bigram_nll" -> QueryDef(
+      (s, dir) => {
+        val tf2 = Tables.load(s, dir, "documents")
+          .select(col("doc_id"),
+            explode(TextFunctions.wordShingles(col("text"), 2)).as("bg"))
+          .groupBy("doc_id", "bg").agg(count(lit(1)).as("c"))
+        val cb = tf2.groupBy("bg").agg(sum("c").as("nb"))
+          .withColumn("h", element_at(split(col("bg"), " "), 1))
+        val ch = cb.groupBy("h").agg(sum("nb").as("nh"))
+        val nll = cb.join(ch, "h")
+          .select(col("bg"),
+            floor(-log(col("nb") / col("nh")) * 10000 + 0.5).as("nll_i4"))
+        tf2.join(nll, "bg")
+          .groupBy("doc_id")
+          .agg(sum(col("c") * col("nll_i4")).as("sn"),
+            sum("c").as("n_bigrams"))
+          .select(col("doc_id"), col("n_bigrams"),
+            Det.r4(col("sn") / (col("n_bigrams") * 10000.0)).as("avg_nll"))
+      },
+      Some(s"""WITH t AS (SELECT doc_id, $oracleTokens AS toks FROM documents),
+        bi AS (SELECT doc_id, unnest(list_transform(
+            generate_series(1, greatest(len(toks) - 1, 0)),
+            i -> list_aggregate(toks[i:i+1], 'string_agg', ' '))) AS bg
+          FROM t),
+        tf2 AS (SELECT doc_id, bg, count(*) AS c FROM bi GROUP BY 1, 2),
+        cb AS (SELECT bg, CAST(sum(c) AS BIGINT) AS nb,
+            string_split(bg, ' ')[1] AS h
+          FROM tf2 GROUP BY 1),
+        ch AS (SELECT h, CAST(sum(nb) AS BIGINT) AS nh FROM cb GROUP BY 1),
+        nll AS (SELECT bg,
+            CAST(floor(-ln(nb / nh) * 10000 + 0.5) AS BIGINT) AS nll_i4
+          FROM cb JOIN ch USING (h))
+        SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams,
+          ${Det.sqlR4("sum(c * nll_i4) / (sum(c) * 10000.0)")} AS avg_nll
+        FROM tf2 JOIN nll USING (bg) GROUP BY doc_id""")),
+
     // Quality-score calibration: per-source percent_rank deciles with
     // per-cell counts and mean score. The rank window partitions by
     // source, so every source calibrates in parallel (no global sort);
