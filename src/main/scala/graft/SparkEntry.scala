@@ -19,6 +19,7 @@ object SparkEntry {
       WindowQueries.defs ++
       JoinQueries.defs ++
       TextQueries.defs ++
+      TokenizerQueries.defs ++
       SimilarityQueries.defs ++
       MultimodalQueries.defs ++
       AnalyticsQueries.defs ++

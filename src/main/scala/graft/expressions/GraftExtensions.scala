@@ -20,7 +20,7 @@ import org.apache.spark.sql.catalyst.expressions.{Divide, Expression, Expression
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
-  import GraftExtensions.{intLit, longLit}
+  import GraftExtensions.{intLit, longLit, strLit}
 
   override def apply(ext: SparkSessionExtensions): Unit = {
     // arity is validated HERE, not left to cs(i): a SQL call with the
@@ -78,6 +78,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       cs => CmsBuckets(cs(0),
         intLit(cs(1), "graft_cms_buckets", "depth"),
         intLit(cs(2), "graft_cms_buckets", "width")))
+
+    // merge table as a literal: "l r,l r,..." in training order — the
+    // same per-expression constant-state rule as the plane matrices
+    inject("graft_bpe_encode", classOf[BpeEncode], 2,
+      cs => BpeEncode(cs(0), BpeEncode.parseMerges(
+        strLit(cs(1), "graft_bpe_encode", "merges"))))
   }
 }
 
@@ -94,5 +100,12 @@ object GraftExtensions {
   private def longLit(e: Expression, fn: String, arg: String): Long = e match {
     case Literal(v: Long, _) => v
     case other => intLit(other, fn, arg).toLong
+  }
+
+  private def strLit(e: Expression, fn: String, arg: String): String = e match {
+    case Literal(v: org.apache.spark.unsafe.types.UTF8String, _) if v != null =>
+      v.toString
+    case other => throw new IllegalArgumentException(
+      s"$fn: argument '$arg' must be a string literal, got $other")
   }
 }

@@ -31,7 +31,7 @@ object Components {
     * a checkpoint's lineage is truncated, so freed blocks cannot be
     * recomputed.
     */
-  private def freeCheckpoint(df: DataFrame): Unit = {
+  private[operators] def freeCheckpoint(df: DataFrame): Unit = {
     df.queryExecution.analyzed.collectFirst {
       case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
     }.foreach(_.unpersist(blocking = false))

@@ -1,0 +1,114 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Bpe
+
+/** BPE tokenizer queries over the `documents` table — trainer, encoder,
+  * and their oracled anchors (see graft.operators.Bpe for the scale
+  * contract: one corpus pass, vocabulary-sized training rounds, map-only
+  * encode).
+  *
+  * Oracle strategy, same pattern as the LSH family: the iterative merge
+  * loop is not SQL-expressible (each round's argmax feeds the next
+  * round's frame), so the trainer itself is pinned by BpeSpec against an
+  * in-spec reference implementation, while the two stages that ARE
+  * SQL-expressible get hard DuckDB anchors:
+  *   - q_bpe_pairs: the weighted pair-count frame every round aggregates
+  *     (round-0 instance).
+  *   - q_bpe_merge1: one full training round — argmax pair selection AND
+  *     its application — via DuckDB `replace` (left-to-right
+  *     non-overlapping, exactly BpeMergeAdjacent's consumption order).
+  */
+object TokenizerQueries {
+
+  private val oracleWords =
+    """SELECT doc_id, unnest(list_filter(regexp_split_to_array(text, '\s+'),
+         t -> len(t) > 0)) AS word FROM documents"""
+
+  private val oraclePairAgg =
+    s"""wc AS (SELECT word, count(*) AS cnt FROM w GROUP BY 1),
+        p AS (SELECT substr(word, CAST(i AS INTEGER), 1) AS l,
+                     substr(word, CAST(i AS INTEGER) + 1, 1) AS r, cnt
+              FROM wc, unnest(generate_series(1, len(word) - 1)) AS t(i)
+              WHERE len(word) >= 2),
+        agg AS (SELECT l, r, CAST(sum(cnt) AS BIGINT) AS n
+                FROM p GROUP BY 1, 2)"""
+
+  def defs: Map[String, QueryDef] = Map(
+    // Round-0 adjacent-pair counts weighted by word frequency — the
+    // exact frame Bpe.train aggregates before its first argmax.
+    "q_bpe_pairs" -> QueryDef(
+      (s, dir) => Bpe.pairCounts(
+        Bpe.wordCounts(Tables.load(s, dir, "documents"), col("text")))
+        .select(col("l"), col("r"), col("n").cast("long").as("n")),
+      Some(s"""WITH w AS ($oracleWords), $oraclePairAgg
+        SELECT l, r, n FROM agg""")),
+
+    // ONE full training round, cross-engine: pick the argmax pair
+    // (count desc, then lexicographic) and apply it to every word;
+    // report per-document symbol counts before/after. DuckDB applies
+    // the merge with `replace` — for single-char pairs its left-to-right
+    // non-overlapping scan is exactly BpeMergeAdjacent's greedy order
+    // (["a","a","a"] -> 2 symbols either way).
+    "q_bpe_merge1" -> QueryDef(
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        val top = Bpe.train(Bpe.wordCounts(docs, col("text")), nMerges = 1)
+        // empty corpus degenerates to a no-op merge pair that matches
+        // nothing; the oracle's CROSS JOIN best would yield zero rows,
+        // so keep the fixture assumption explicit instead of silent
+        require(top.nonEmpty, "q_bpe_merge1 requires a non-empty corpus")
+        val (l, r) = (top.head.left, top.head.right)
+        val toks = graft.functions.TextFunctions.tokens(col("text"))
+        docs.select(col("doc_id"),
+          size(toks).cast("long").as("n_words"),
+          aggregate(toks, lit(0L), (a, t) => a + length(t)).as("n_syms"),
+          aggregate(toks, lit(0L), (a, t) => a + size(
+            graft.expressions.BpeMergeAdjacent(split(t, ""), l, r)))
+            .as("n_merged"))
+      },
+      Some(s"""WITH w AS ($oracleWords), $oraclePairAgg,
+        best AS (SELECT l, r FROM agg ORDER BY n DESC, l, r LIMIT 1),
+        per AS (SELECT w.doc_id,
+            count(*) AS n_words,
+            sum(len(w.word)) AS n_syms,
+            sum(len(w.word) -
+              (len(w.word) - len(replace(w.word, b.l || b.r, ''))) // 2)
+              AS n_merged
+          FROM w CROSS JOIN best b GROUP BY 1)
+        SELECT d.doc_id,
+          CAST(coalesce(p.n_words, 0) AS BIGINT) AS n_words,
+          CAST(coalesce(p.n_syms, 0) AS BIGINT) AS n_syms,
+          CAST(coalesce(p.n_merged, 0) AS BIGINT) AS n_merged
+        FROM documents d LEFT JOIN per p USING (doc_id)""")),
+
+    // The learned merge table (32 merges on this corpus's vocabulary).
+    // no_oracle: the round-over-round argmax is inherently iterative;
+    // BpeSpec pins the trainer against an in-spec reference
+    // implementation on both a hand-checked fixture and this corpus.
+    "q_bpe_vocab" -> QueryDef(
+      (s, dir) => {
+        val merges = Bpe.train(
+          Bpe.wordCounts(Tables.load(s, dir, "documents"), col("text")), 32)
+        s.createDataFrame(merges.map(m =>
+          (m.rank.toLong, m.left, m.right, m.merged)))
+          .toDF("rank", "left", "right", "merged")
+      },
+      None),
+
+    // End-to-end encode with the trained table: per-document BPE token
+    // counts (map-only scan once training is done). no_oracle (greedy
+    // rank-priority apply isn't SQL-expressible); BpeSpec pins encode
+    // against the reference implementation and the q_bpe_merge1 anchor
+    // pins the single-merge case cross-engine.
+    "q_bpe_encode" -> QueryDef(
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        val merges = Bpe.train(Bpe.wordCounts(docs, col("text")), 32)
+        docs.select(col("doc_id"),
+          size(Bpe.encodeTokens(col("text"), merges)).cast("long")
+            .as("n_bpe_tokens"))
+      },
+      None))
+}

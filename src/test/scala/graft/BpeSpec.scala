@@ -1,0 +1,174 @@
+package graft
+
+import scala.collection.mutable.ArrayBuffer
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.core.Sessions
+import graft.expressions.BpeEncode
+import graft.operators.Bpe
+
+/** Pins the BPE trainer and encoder against an in-spec reference
+  * implementation (the no_oracle justification for q_bpe_vocab /
+  * q_bpe_encode — same pattern as LshRecallSpec for the seeded sketches):
+  * the distributed trainer must equal the naive single-machine trainer
+  * merge-for-merge, and the encode expression must equal the naive
+  * greedy-apply on every corpus word plus adversarial cases.
+  */
+class BpeSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark: SparkSession =
+    Sessions.tune(SparkSession.builder().master("local[4]"), 4).getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  // --- reference implementation (naive, driver-side) -------------------
+
+  private def refTrain(wc: Map[String, Long], k: Int): Seq[(String, String)] = {
+    var syms: Map[Vector[String], Long] =
+      wc.groupBy { case (w, _) => w.map(_.toString).toVector }
+        .map { case (v, m) => v -> m.values.sum }
+    val merges = ArrayBuffer[(String, String)]()
+    var round = 0
+    var done = false
+    while (round < k && !done) {
+      val counts = collection.mutable.Map[(String, String), Long]()
+      syms.foreach { case (v, cnt) =>
+        v.sliding(2).foreach {
+          case Seq(a, b) => counts((a, b)) = counts.getOrElse((a, b), 0L) + cnt
+          case _ =>
+        }
+      }
+      if (counts.isEmpty) done = true
+      else {
+        val (l, r) = counts.toSeq
+          .minBy { case ((a, b), n) => (-n, a, b) }._1
+        merges += ((l, r))
+        syms = syms.groupBy { case (v, _) => mergeOnce(v, l, r) }
+          .map { case (v, m) => v -> m.values.sum }
+      }
+      round += 1
+    }
+    merges.toSeq
+  }
+
+  private def mergeOnce(v: Vector[String], l: String, r: String): Vector[String] = {
+    val out = ArrayBuffer[String]()
+    var i = 0
+    while (i < v.length) {
+      if (i + 1 < v.length && v(i) == l && v(i + 1) == r) { out += l + r; i += 2 }
+      else { out += v(i); i += 1 }
+    }
+    out.toVector
+  }
+
+  private def refEncode(word: String, merges: Seq[(String, String)]): Vector[String] = {
+    val rank = merges.zipWithIndex.toMap
+    var syms = word.map(_.toString).toVector
+    var done = syms.length < 2
+    while (!done) {
+      val present = syms.sliding(2).collect {
+        case Seq(a, b) if rank.contains((a, b)) => rank((a, b))
+      }.toSeq
+      if (present.isEmpty) done = true
+      else {
+        val (l, r) = merges(present.min)
+        syms = mergeOnce(syms, l, r)
+        if (syms.length < 2) done = true
+      }
+    }
+    syms
+  }
+
+  private def wcDf(wc: Map[String, Long]): DataFrame = {
+    import spark.implicits._
+    wc.toSeq.toDF("word", "cnt")
+  }
+
+  // --- trainer ---------------------------------------------------------
+
+  private val sennrich = Map("low" -> 5L, "lower" -> 2L, "newest" -> 6L, "widest" -> 3L)
+
+  test("trainer on the classic fixture: first merges are (e,s) then (es,t), " +
+      "and the whole sequence equals the reference implementation") {
+    val got = Bpe.train(wcDf(sennrich), 8).map(m => (m.left, m.right))
+    assert(got.take(2) == Seq(("e", "s"), ("es", "t")))
+    assert(got == refTrain(sennrich, 8))
+  }
+
+  test("distributed trainer equals the reference on the sf0.001 corpus " +
+      "vocabulary (32 merges)") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val wc = Bpe.wordCounts(docs, col("text"))
+    val local = wc.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val got = Bpe.train(wc, 32).map(m => (m.left, m.right))
+    assert(got == refTrain(local, 32))
+  }
+
+  test("checkpoint cadence does not change the learned merges, and the " +
+      "loop leaves no pinned checkpoint blocks behind") {
+    val a = Bpe.train(wcDf(sennrich), 7, checkpointEvery = 2)
+    val b = Bpe.train(wcDf(sennrich), 7, checkpointEvery = 100)
+    assert(a == b)
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty,
+      "train() must free every checkpoint generation it creates")
+  }
+
+  test("trainer stops early when the vocabulary runs out of pairs") {
+    val tiny = Map("ab" -> 3L, "a" -> 9L)
+    val got = Bpe.train(wcDf(tiny), 10)
+    assert(got.map(m => (m.left, m.right)) == Seq(("a", "b")))
+  }
+
+  // --- encoder ---------------------------------------------------------
+
+  test("encode expression equals the reference greedy apply on every " +
+      "corpus word, and round-trips (concat == word)") {
+    import spark.implicits._
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val wc = Bpe.wordCounts(docs, col("text"))
+    val merges = Bpe.train(wc, 24)
+    val pairs = merges.map(m => (m.left, m.right))
+    val got = wc.select(col("word"),
+      BpeEncode(col("word"), pairs).as("toks"))
+      .as[(String, Seq[String])].collect()
+    assert(got.nonEmpty)
+    got.foreach { case (w, toks) =>
+      assert(toks == refEncode(w, pairs), s"mismatch on '$w'")
+      assert(toks.mkString("") == w, s"round-trip failed on '$w'")
+    }
+  }
+
+  test("encode: rank priority beats positional order, and left==right " +
+      "pairs consume left-to-right") {
+    import spark.implicits._
+    def enc(w: String, ms: Seq[(String, String)]): Seq[String] =
+      Seq(w).toDF("w").select(BpeEncode(col("w"), ms).as("t"))
+        .as[Seq[String]].head()
+    // rank 0 = (b,c): in "abc" the lower-rank pair wins even though
+    // (a,b) appears first positionally
+    assert(enc("abc", Seq(("b", "c"), ("a", "b"))) == Seq("a", "bc"))
+    // greedy left-to-right on aaa: [aa, a], never [a, aa]
+    assert(enc("aaa", Seq(("a", "a"))) == Seq("aa", "a"))
+    // merged symbols participate in later merges
+    assert(enc("abab", Seq(("a", "b"), ("ab", "ab"))) == Seq("abab"))
+    // empty merge table = character split
+    assert(enc("xyz", Seq.empty) == Seq("x", "y", "z"))
+    // encoding never invents symbols: closure of chars + merge outputs
+    val ms = Seq(("a", "b"), ("ab", "c"))
+    val vocab = Set("a", "b", "c", "d", "ab", "abc")
+    assert(enc("abcd", ms).forall(vocab.contains))
+  }
+
+  test("encodeTokens flattens per-word encodings in document order") {
+    import spark.implicits._
+    val merges = Seq(Bpe.Merge(0, "a", "b"))
+    val got = Seq("ab ba ab").toDF("text")
+      .select(Bpe.encodeTokens(col("text"), merges).as("t"))
+      .as[Seq[String]].head()
+    assert(got == Seq("ab", "b", "a", "ab"))
+  }
+}

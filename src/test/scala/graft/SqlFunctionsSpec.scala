@@ -100,6 +100,13 @@ class SqlFunctionsSpec extends AnyFunSuite with BeforeAndAfterAll {
         ColumnBridge.expression(col("text")), 4, 2048)))
   }
 
+  test("graft_bpe_encode == BpeEncode with the parsed merge table") {
+    assertParity("graft_bpe_encode(text, 'a b,ab c,b a')",
+      ColumnBridge.column(graft.expressions.BpeEncode(
+        ColumnBridge.expression(col("text")),
+        Seq(("a", "b"), ("ab", "c"), ("b", "a")))))
+  }
+
   test("shape parameters must be literals") {
     graft.queries.Tables.load(spark, dir, "documents")
       .createOrReplaceTempView("documents")
