@@ -389,5 +389,79 @@ object PipelineQueries {
             / list_max(list_transform(embedding, y -> abs(CAST(y AS DOUBLE))))
             * 127 + 0.5) AS BIGINT))), 0) AS BIGINT) AS q_checksum
         FROM embeddings"""),
-      bench = true))
+      bench = true),
+
+    // DSIR-style importance weighting for data selection (Xie et al.
+    // 2023, "Data Selection for Language Models via Importance
+    // Resampling"): score every document by how much more likely its
+    // hashed-unigram bag is under a TARGET distribution (here: the
+    // 'src0' slice, standing in for the high-quality domain) than under
+    // the SOURCE distribution (everything else). logw(d) = sum over
+    // tokens of [log P_tgt(bucket) - log P_src(bucket)] with add-one
+    // smoothing over B=256 md5-derived buckets.
+    //
+    // Scale shape: both bucket LMs are <= B rows AT ANY CORPUS SIZE (the
+    // hashing is what makes DSIR tractable at web scale) — a broadcast
+    // join against the token stream, so scoring adds zero shuffles
+    // beyond the final doc_id aggregation. Like the unigram LM, the
+    // production contract is an OFFLINE artifact: fit the two LMs once,
+    // persist B rows, and the scoring pass is single-scan. Log-probs
+    // are integer-quantized (i4) before summation so the per-doc sum is
+    // addition-order independent; the md5 bucket and every arithmetic
+    // step are reproduced exactly in the oracle (bucket = first two md5
+    // hex digits, the same hex-digit trick as q_corpus_shuffle).
+    "q_importance_weights" -> QueryDef(
+      (s, dir) => {
+        val B = 256
+        val toks = Tables.load(s, dir, "documents")
+          .select(col("doc_id"), col("source"),
+            explode(TextFunctions.tokens(col("text"))).as("token"))
+          .withColumn("b",
+            conv(substring(md5(col("token").cast("binary")), 1, 2), 16, 10)
+              .cast("long"))
+        val tgt = toks.where(col("source") === "src0")
+          .groupBy("b").agg(count(lit(1)).as("ct"))
+        val src = toks.where(col("source") =!= "src0")
+          .groupBy("b").agg(count(lit(1)).as("cs"))
+        // union+re-aggregate instead of a full-outer join: the two
+        // <=B-row sides fuse without any join operator (a full outer
+        // cannot broadcast-build and would plan a sort-merge join)
+        val counts = tgt.select(col("b"), col("ct"), lit(0L).as("cs"))
+          .unionByName(src.select(col("b"), lit(0L).as("ct"), col("cs")))
+          .groupBy("b").agg(sum("ct").as("ct"), sum("cs").as("cs"))
+        val tot = counts.agg(sum("ct").as("tt"), sum("cs").as("ts"))
+        val lm = counts.crossJoin(broadcast(tot))
+          .select(col("b"),
+            (floor(log((col("ct") + 1) /
+              (col("tt") + lit(B.toDouble))) * 10000 + 0.5) -
+             floor(log((col("cs") + 1) /
+              (col("ts") + lit(B.toDouble))) * 10000 + 0.5)).as("dw_i4"))
+        toks.join(broadcast(lm), "b")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_tokens"), sum("dw_i4").as("sw"))
+          .select(col("doc_id"), col("n_tokens"),
+            Det.r4(col("sw") / 10000.0).as("logw"))
+      },
+      Some(s"""WITH toks AS (SELECT doc_id, source,
+            unnest($oracleTokens) AS token FROM documents),
+        tb AS (SELECT doc_id, source,
+            (instr('0123456789abcdef', substr(md5(token), 1, 1)) - 1) * 16 +
+            (instr('0123456789abcdef', substr(md5(token), 2, 1)) - 1) AS b
+          FROM toks),
+        tgt AS (SELECT b, count(*) AS ct FROM tb
+          WHERE source = 'src0' GROUP BY 1),
+        src AS (SELECT b, count(*) AS cs FROM tb
+          WHERE source <> 'src0' GROUP BY 1),
+        tot AS (SELECT
+            (SELECT CAST(coalesce(sum(ct), 0) AS BIGINT) FROM tgt) AS tt,
+            (SELECT CAST(coalesce(sum(cs), 0) AS BIGINT) FROM src) AS ts),
+        lm AS (SELECT coalesce(tgt.b, src.b) AS b,
+            CAST(floor(ln((coalesce(ct, 0) + 1) / (tt + 256.0))
+              * 10000 + 0.5) AS BIGINT)
+          - CAST(floor(ln((coalesce(cs, 0) + 1) / (ts + 256.0))
+              * 10000 + 0.5) AS BIGINT) AS dw_i4
+          FROM tgt FULL OUTER JOIN src ON tgt.b = src.b, tot)
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+          ${Det.sqlR4("sum(dw_i4) / 10000.0")} AS logw
+        FROM tb JOIN lm USING (b) GROUP BY doc_id""")))
 }

@@ -236,6 +236,15 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"global-rank funnel in:\n$plan")
   }
 
+  test("importance weighting broadcasts the bucket LMs: the token stream " +
+      "reaches the scoring join with zero shuffles") {
+    val plan = planOf("q_importance_weights")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"expected the <=256-row LM broadcast in:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"the corpus-side token stream is being shuffled for the join:\n$plan")
+  }
+
   test("the end-to-end corpus build composes without an all-pairs join " +
       "or a global sort") {
     val plan = planOf("q_corpus_build")
