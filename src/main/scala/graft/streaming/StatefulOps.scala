@@ -48,6 +48,23 @@ final case class GaplessState[T](
   */
 final case class TopKRow(windowId: Long, rank: Int, value: String, n: Long)
 
+/** State of the per-key streaming EWMA: events not yet released by the
+  * watermark as (tsMs, seq, value), the running average, alert total,
+  * and how many events have been folded (0 = the next folded event
+  * initializes the average).
+  */
+final case class EwmaState(
+    pending: Seq[(Long, Long, Double)],
+    ewma: Double, alerts: Long, nProcessed: Long)
+
+/** One fold step of the streaming EWMA, emitted per processed event in
+  * fold order: the event's time/sequence/value, the average AFTER
+  * folding it, whether it fired the burst alert, and the per-key fold
+  * position (1-based).
+  */
+final case class EwmaUpdate(key: String, tsMs: Long, seq: Long,
+    value: Double, ewma: Double, alert: Boolean, n: Long)
+
 /** The genuinely custom stateful operators — the two reference semantics
   * Spark has no built-in for (SURVEY §7.3): counting windows with
   * arbitrary slide, and the streaming first-n Limit.
@@ -510,6 +527,78 @@ object StatefulOps {
           it.toSeq.sortBy { case (_, v, n) => (-n, v) }
             .take(k).iterator.zipWithIndex
             .map { case ((_, v, n), i) => TopKRow(win, i + 1, v, n) }
+      }
+  }
+
+  /** Per-key streaming EWMA with burst alerts — the streaming face of the
+    * batch q_ewma (identical fold: first event initializes the average;
+    * each later event first tests `value > burst * ewma`, then folds
+    * `ewma = alpha * ewma + (1 - alpha) * value`).
+    *
+    * An EWMA is a LEFT FOLD — order-sensitive — so arrival order is not
+    * good enough: arrivals buffer in state and an event folds only once
+    * the watermark passes its time, in (ts, seq) order, exactly the
+    * batch query's sort. That makes the trajectory deterministic for
+    * any event within the lateness horizon; a straggler beyond `delay`
+    * is dropped by the engine's late-row filter before it reaches the
+    * operator (EwmaStreamSpec pins this — the same late-drop contract
+    * as the gapless sequencer). Strictly-past gating
+    * (`ts < watermark`) means an event whose time EQUALS the watermark
+    * stays pending — ties in event time can still receive lower-seq
+    * peers until the watermark strictly passes them.
+    *
+    * Emission rides event-time timeouts like the multi-input sequencer:
+    * after each invocation the group re-arms at its earliest pending
+    * event time, so buffered events fold as soon as the watermark
+    * releases them even if the key goes silent. State is the horizon's
+    * working set per key (pending spans at most [watermark, max seen]),
+    * partitioned across executors — RocksDB-backed via
+    * Sessions.tuneLargeState at scale, like the other keyed state here.
+    */
+  def ewmaByKey(alpha: Double, burst: Double, delay: String)(
+      key: EventEnvelope[(Long, Double)] => String)(
+      ds: Dataset[EventEnvelope[(Long, Double)]]): Dataset[EwmaUpdate] = {
+    require(alpha > 0 && alpha < 1, s"alpha=$alpha must be in (0, 1)")
+    require(burst > 0, s"burst=$burst must be positive")
+    implicit val encState: Encoder[EwmaState] = ExpressionEncoder[EwmaState]()
+    implicit val encOut: Encoder[EwmaUpdate] = ExpressionEncoder[EwmaUpdate]()
+    implicit val encKey: Encoder[String] = Encoders.STRING
+    implicit val encWm: Encoder[WatermarkedEnvelope[(Long, Double)]] =
+      ExpressionEncoder[WatermarkedEnvelope[(Long, Double)]]()
+
+    import org.apache.spark.sql.functions.col
+    ds.toDF()
+      .withColumn("event_time", col("stamp.start_time"))
+      .withWatermark("event_time", delay)
+      .as[WatermarkedEnvelope[(Long, Double)]]
+      .groupByKey(w => key(EventEnvelope(w.stamp, w.content)))
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout) {
+        (k: String, it: Iterator[WatermarkedEnvelope[(Long, Double)]],
+         state: org.apache.spark.sql.streaming.GroupState[EwmaState]) =>
+          val wm = state.getCurrentWatermarkMs()
+          val st = state.getOption.getOrElse(EwmaState(Seq.empty, 0.0, 0L, 0L))
+          val pending = st.pending ++ it.map(w =>
+            (w.stamp.start_time.getTime, w.content._1, w.content._2))
+          val (ready, hold) = pending.partition(_._1 < wm)
+          var ewma = st.ewma
+          var alerts = st.alerts
+          var n = st.nProcessed
+          val out = ready.sortBy { case (ts, seq, _) => (ts, seq) }
+            .map { case (ts, seq, v) =>
+              val alert = n > 0 && v > burst * ewma
+              ewma = if (n == 0) v else alpha * ewma + (1 - alpha) * v
+              if (alert) alerts += 1
+              n += 1
+              EwmaUpdate(k, ts, seq, v, ewma, alert, n)
+            }
+          state.update(EwmaState(hold, ewma, alerts, n))
+          if (hold.nonEmpty) {
+            // earliest pending is > wm by the strict partition above;
+            // fire when the watermark passes it
+            state.setTimeoutTimestamp(math.max(hold.map(_._1).min, wm + 1))
+          }
+          out.iterator
       }
   }
 
