@@ -287,6 +287,65 @@ object SimilarityQueries {
       },
       bench = true),
 
+    // Incremental corpus admission (Incremental.admit): the
+    // daily-increment face of q_corpus_build. The doc_id % 3 split is a
+    // SNAPSHOT fixture (yesterday's corpus vs today's crawl), not a
+    // bounded-cohort claim — both sides are corpus-sized by the
+    // operator's contract, and the cost driver is the delta side's
+    // shingle probes. Greedy first-wins dedup (streaming-ingest
+    // semantics), every decision fully DuckDB-oracled including the
+    // reject-reason priority.
+    "q_corpus_delta" -> QueryDef(
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        graft.operators.Incremental.admit(
+          docs.where(col("doc_id") % 3 =!= 0),
+          docs.where(col("doc_id") % 3 === 0),
+          Ngram, MaxShingleDf, JaccardThreshold)
+      },
+      Some(s"""WITH ex AS (SELECT doc_id, text FROM documents WHERE doc_id % 3 <> 0),
+        dl AS (SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0),
+        exact_exist AS (SELECT DISTINCT d.doc_id FROM dl d
+          JOIN ex e ON md5(d.text) = md5(e.text)),
+        exact_int AS (SELECT doc_id FROM (
+            SELECT doc_id, min(doc_id) OVER (PARTITION BY md5(text)) AS mn
+            FROM dl) t
+          WHERE doc_id <> mn),
+        allx AS (SELECT doc_id, TRUE AS oe, text FROM ex
+          UNION ALL SELECT doc_id, FALSE AS oe, text FROM dl),
+        docs2 AS (SELECT doc_id, oe, list_distinct(list_transform(
+            generate_series(1, greatest(len(toks) - ${Ngram - 1}, 0)),
+            i -> list_aggregate(toks[i:i+${Ngram - 1}], 'string_agg', ' '))) AS sh
+          FROM (SELECT doc_id, oe, list_filter(
+            regexp_split_to_array(text, '\\s+'), t -> len(t) > 0) AS toks
+            FROM allx)),
+        sh0 AS (SELECT doc_id, oe, unnest(sh) AS s FROM docs2),
+        shf AS (SELECT doc_id, oe, s FROM (
+            SELECT doc_id, oe, s, count(*) OVER (PARTITION BY s) AS df
+            FROM sh0) t
+          WHERE df <= $MaxShingleDf),
+        cand AS (SELECT DISTINCT x.doc_id AS d, y.doc_id AS o, y.oe
+          FROM shf x JOIN shf y ON x.s = y.s AND NOT x.oe
+            AND (y.oe OR y.doc_id < x.doc_id)),
+        scored AS (SELECT c.d, c.oe,
+            len(list_intersect(dd.sh, dy.sh)) AS inter,
+            len(dd.sh) AS na, len(dy.sh) AS nb
+          FROM cand c
+          JOIN docs2 dd ON c.d = dd.doc_id
+          JOIN docs2 dy ON c.o = dy.doc_id),
+        near AS (SELECT d, oe FROM scored
+          WHERE floor(CAST(inter AS DOUBLE) / (na + nb - inter)
+            * 10000 + 0.5) / 10000 >= $JaccardThreshold),
+        near_exist AS (SELECT DISTINCT d AS doc_id FROM near WHERE oe),
+        near_int AS (SELECT DISTINCT d AS doc_id FROM near WHERE NOT oe)
+        SELECT doc_id, CASE
+          WHEN doc_id IN (SELECT doc_id FROM exact_exist) THEN 'exact_dup_existing'
+          WHEN doc_id IN (SELECT doc_id FROM exact_int) THEN 'exact_dup_internal'
+          WHEN doc_id IN (SELECT doc_id FROM near_exist) THEN 'near_dup_existing'
+          WHEN doc_id IN (SELECT doc_id FROM near_int) THEN 'near_dup_internal'
+          ELSE 'accepted' END AS decision
+        FROM dl""")),
+
     // MinHash + LSH banding (64 perms, 16 bands x 4 rows), candidates
     // verified with exact Jaccard. Seeded affine hash family — output is
     // deterministic, but xxhash64 is not reproducible in DuckDB, so this
