@@ -83,8 +83,11 @@ object Incremental {
         (size(col("shd")).cast("long") + size(col("sho")).cast("long") -
           col("inter"))))
       .where(col("j") >= minJ)
-    val nearExisting = near.where(col("oe")).select(col("d").as("doc_id")).distinct()
-    val nearInternal = near.where(!col("oe")).select(col("d").as("doc_id")).distinct()
+    // BOTH near flags from one aggregation — two filtered-distinct
+    // branches would each re-execute the whole candidate+verify subtree
+    // (caching shares only `sets`), doubling the expensive stage
+    val nearFlags = near.groupBy(col("d").as("doc_id"))
+      .agg(max(col("oe")).as("f_ne"), max(!col("oe")).as("f_ni"))
 
     def flag(ids: DataFrame, name: String): DataFrame =
       ids.withColumn(name, lit(true))
@@ -92,8 +95,7 @@ object Incremental {
     val result = dl.select("doc_id")
       .join(flag(exactExisting, "f_ee"), Seq("doc_id"), "left")
       .join(flag(exactInternal, "f_ei"), Seq("doc_id"), "left")
-      .join(flag(nearExisting, "f_ne"), Seq("doc_id"), "left")
-      .join(flag(nearInternal, "f_ni"), Seq("doc_id"), "left")
+      .join(nearFlags, Seq("doc_id"), "left")
       .select(col("doc_id"),
         when(col("f_ee"), "exact_dup_existing")
           .when(col("f_ei"), "exact_dup_internal")

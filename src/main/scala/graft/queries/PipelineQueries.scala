@@ -463,5 +463,6 @@ object PipelineQueries {
           FROM tgt FULL OUTER JOIN src ON tgt.b = src.b, tot)
         SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
           ${Det.sqlR4("sum(dw_i4) / 10000.0")} AS logw
-        FROM tb JOIN lm USING (b) GROUP BY doc_id""")))
+        FROM tb JOIN lm USING (b) GROUP BY doc_id"""),
+      bench = true))
 }

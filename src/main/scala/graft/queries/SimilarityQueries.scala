@@ -344,7 +344,8 @@ object SimilarityQueries {
           WHEN doc_id IN (SELECT doc_id FROM near_exist) THEN 'near_dup_existing'
           WHEN doc_id IN (SELECT doc_id FROM near_int) THEN 'near_dup_internal'
           ELSE 'accepted' END AS decision
-        FROM dl""")),
+        FROM dl"""),
+      bench = true),
 
     // MinHash + LSH banding (64 perms, 16 bands x 4 rows), candidates
     // verified with exact Jaccard. Seeded affine hash family — output is

@@ -245,6 +245,20 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"the corpus-side token stream is being shuffled for the join:\n$plan")
   }
 
+  test("incremental admission: no all-pairs join, and the candidate " +
+      "pipeline is not duplicated across the two near flags") {
+    val plan = planOf("q_corpus_delta")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"all-pairs shape in the delta admission:\n$plan")
+    // the DF-cap anti-join appears once per candidate-join side (no
+    // cross-side CSE) — but NOT doubled again per reject flag: both
+    // near flags must come from ONE aggregation over one pipeline
+    val antiJoins = "LeftAnti".r.findAllIn(plan).size
+    assert(antiJoins <= 2,
+      s"candidate pipeline duplicated ($antiJoins anti-joins):\n$plan")
+  }
+
   test("the end-to-end corpus build composes without an all-pairs join " +
       "or a global sort") {
     val plan = planOf("q_corpus_build")
