@@ -413,22 +413,31 @@ object PipelineQueries {
     "q_importance_weights" -> QueryDef(
       (s, dir) => {
         val B = 256
-        val toks = Tables.load(s, dir, "documents")
+        // ONE corpus explode pass; everything downstream re-aggregates
+        // the (doc, bucket) matrix, which is bounded at docs x B rows.
+        // (The naive form — separate target/source aggregations plus a
+        // scoring pass — re-ran the corpus explode three times and went
+        // superlinear at the third scale point; this shape measured
+        // ~4x faster there.) The matrix is corpus-keyed, so like
+        // q_unigram_nll's tf it is deliberately NOT cached — the single
+        // explode feeding two consumers (LM build via re-agg, scoring)
+        // is cheaper than materializing a corpus-scale cache; the LM
+        // side collapses to <=2B rows before its second use.
+        val tb = Tables.load(s, dir, "documents")
           .select(col("doc_id"), col("source"),
             explode(TextFunctions.tokens(col("text"))).as("token"))
-          .withColumn("b",
+          .select(col("doc_id"),
+            (col("source") === "src0").as("is_tgt"),
             conv(substring(md5(col("token").cast("binary")), 1, 2), 16, 10)
-              .cast("long"))
-        val tgt = toks.where(col("source") === "src0")
-          .groupBy("b").agg(count(lit(1)).as("ct"))
-        val src = toks.where(col("source") =!= "src0")
-          .groupBy("b").agg(count(lit(1)).as("cs"))
+              .cast("long").as("b"))
+          .groupBy("doc_id", "is_tgt", "b").agg(count(lit(1)).as("c"))
         // union+re-aggregate instead of a full-outer join: the two
         // <=B-row sides fuse without any join operator (a full outer
         // cannot broadcast-build and would plan a sort-merge join)
-        val counts = tgt.select(col("b"), col("ct"), lit(0L).as("cs"))
-          .unionByName(src.select(col("b"), lit(0L).as("ct"), col("cs")))
-          .groupBy("b").agg(sum("ct").as("ct"), sum("cs").as("cs"))
+        val counts = tb
+          .groupBy("b").agg(
+            sum(when(col("is_tgt"), col("c")).otherwise(0L)).as("ct"),
+            sum(when(!col("is_tgt"), col("c")).otherwise(0L)).as("cs"))
         val tot = counts.agg(sum("ct").as("tt"), sum("cs").as("ts"))
         val lm = counts.crossJoin(broadcast(tot))
           .select(col("b"),
@@ -436,9 +445,9 @@ object PipelineQueries {
               (col("tt") + lit(B.toDouble))) * 10000 + 0.5) -
              floor(log((col("cs") + 1) /
               (col("ts") + lit(B.toDouble))) * 10000 + 0.5)).as("dw_i4"))
-        toks.join(broadcast(lm), "b")
+        tb.join(broadcast(lm), "b")
           .groupBy("doc_id")
-          .agg(count(lit(1)).as("n_tokens"), sum("dw_i4").as("sw"))
+          .agg(sum("c").as("n_tokens"), sum(col("c") * col("dw_i4")).as("sw"))
           .select(col("doc_id"), col("n_tokens"),
             Det.r4(col("sw") / 10000.0).as("logw"))
       },
