@@ -178,6 +178,25 @@ object TypedOps {
       .as[EventEnvelope[String]]
   }
 
+  /** Streaming importance gate — the ingest-plane face of
+    * q_importance_weights: score each document's hashed-unigram bag
+    * under a PRE-FITTED bucket LM (graft.operators.Importance.fit — the
+    * offline artifact) and pass only documents whose log weight clears
+    * the threshold. The LM rides in the plan as a map literal, so this
+    * is a STATELESS per-row filter: no join, no state store, no
+    * watermark requirement — the cheapest possible streaming operator
+    * shape, exactly because the artifact was fitted offline.
+    * ImportanceGateSpec pins gate-vs-batch parity.
+    */
+  def importanceGate(lm: graft.operators.Importance.Lm,
+      minLogw: Double): Op[String, String] = { ds =>
+    implicit val e: Encoder[EventEnvelope[String]] = enc[String]
+    ds.toDF()
+      .where(graft.operators.Importance.logw(
+        org.apache.spark.sql.functions.col("content"), lm) >= minLogw)
+      .as[EventEnvelope[String]]
+  }
+
   /** Streaming corpus ingest — the ingest-plane face of the batch corpus
     * build (q_corpus_build): per-event quality gate, then near-dup band
     * suppression within the watermark horizon (which subsumes exact
