@@ -145,6 +145,19 @@ final class MediaDecoder private () {
   private val bmpReader =
     javax.imageio.ImageIO.getImageReadersByFormatName("bmp").next()
 
+  /** Decode a BMP payload with the partition-shared reader. */
+  def image(r: MediaRecord): java.awt.image.BufferedImage = {
+    val iis = javax.imageio.ImageIO.createImageInputStream(
+      new ByteArrayInputStream(r.bytes))
+    val img =
+      try {
+        bmpReader.setInput(iis)
+        bmpReader.read(0)
+      } finally iis.close()
+    require(img != null, s"undecodable bmp payload for media ${r.media_id}")
+    img
+  }
+
   /** Exact integer stats over decoded units: pixels (gray channel of
     * the decoded image) for bmp media, 16-bit samples for wav.
     */
@@ -215,6 +228,47 @@ object MediaDecoder {
   }
 }
 
+/** Average-hash (aHash) perceptual fingerprint of a decoded image: the
+  * 8x8 grid of block means, each bit = "block mean strictly above the
+  * global mean", emitted as a 64-char '0'/'1' string in block
+  * row-major order. All comparisons are exact integer cross products
+  * (blockSum * totalPixels > totalSum * blockPixels) — no floating
+  * point, so any engine computing from the same pixels gets the same
+  * hash bit-for-bit.
+  */
+private[multimodal] object AHash {
+  def of(mediaId: Long, img: java.awt.image.BufferedImage): (Long, String) = {
+    val (w, h) = (img.getWidth, img.getHeight)
+    require(w >= 8 && h >= 8, s"aHash needs >=8x8, got ${w}x$h for $mediaId")
+    val bs = new Array[Long](64)
+    val bn = new Array[Long](64)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        // getRGB handles BMP scanline padding and bottom-up storage;
+        // at 8x8-block granularity the per-call ColorModel cost is
+        // dwarfed by the decode itself
+        val g = (img.getRGB(x, y) & 0xff).toLong
+        val blk = (y * 8 / h) * 8 + (x * 8 / w)
+        bs(blk) += g
+        bn(blk) += 1
+        x += 1
+      }
+      y += 1
+    }
+    val ts = bs.sum
+    val tn = bn.sum
+    val sb = new java.lang.StringBuilder(64)
+    var b = 0
+    while (b < 64) {
+      sb.append(if (bs(b) * tn > ts * bn(b)) '1' else '0')
+      b += 1
+    }
+    (mediaId, sb.toString)
+  }
+}
+
 object Multimodal {
 
   implicit private val encSpec: Encoder[MediaSpec] =
@@ -267,6 +321,22 @@ object Multimodal {
       val decoder = MediaDecoder.open() // once per partition
       it.map(decoder.stats)
     }
+
+  /** Perceptual fingerprints for the BMP media (image + video kinds):
+    * real JDK decode per partition, then the integer-exact aHash. The
+    * downstream dedup move is the usual one — group or self-join on the
+    * hash (a 64-bit key), never pixels; near-dup at Hamming<=k rides the
+    * same 16-bit pigeonhole banding as q_simhash if ever needed.
+    */
+  def perceptualHash(media: Dataset[MediaRecord]): DataFrame = {
+    implicit val enc: Encoder[(Long, String)] =
+      Encoders.tuple(Encoders.scalaLong, Encoders.STRING)
+    media.mapPartitions { it =>
+      val decoder = MediaDecoder.open()
+      it.filter(_.meta.format == "bmp")
+        .map(r => AHash.of(r.media_id, decoder.image(r)))
+    }.toDF("media_id", "ahash")
+  }
 
   /** Quarantining decode: per-partition codec as in [[decodeStats]], but
     * an undecodable payload yields a flagged row (truncated error text,

@@ -102,5 +102,40 @@ object MultimodalQueries {
         count(*) AS n_total,
         count(*) FILTER (WHERE doc_id % 50 <> 0) AS n_ok,
         count(*) FILTER (WHERE doc_id % 50 = 0) AS n_quarantined
-        FROM documents GROUP BY 1""")))
+        FROM documents GROUP BY 1""")),
+
+    // Perceptual image dedup: aHash over the REAL decode path (encode ->
+    // JDK ImageIO -> 8x8 integer-exact block bits), clustered by hash.
+    // The oracle recomputes the hash from the closed-form pixel function
+    // — so a hash match proves the whole codec round trip AND the
+    // binning/threshold arithmetic, per image. Dedup itself is a window
+    // over the 64-bit key: the shuffle carries (hash, id), never pixels.
+    "q_media_phash" -> QueryDef(
+      (s, dir) => {
+        val hashes = Multimodal.perceptualHash(Multimodal.encodeMedia(
+          Multimodal.mediaTable(Tables.load(s, dir, "documents"))))
+        val w = org.apache.spark.sql.expressions.Window.partitionBy("ahash")
+        hashes.select(col("media_id"), col("ahash"),
+          count(lit(1)).over(w).as("n_same"),
+          min("media_id").over(w).as("rep_id"))
+      },
+      Some("""WITH m AS (SELECT doc_id,
+            16 + (n_chars % 16) * 2 AS w, 16 + (n_chars % 12) * 2 AS h
+          FROM documents WHERE doc_id % 3 <> 1),
+        px AS (SELECT doc_id, w, h, i % w AS x, i // w AS y,
+            (doc_id * 31 + i * 7) % 256 AS g
+          FROM m, unnest(generate_series(0, w * h - 1)) AS t(i)),
+        bk AS (SELECT doc_id, (y * 8 // h) * 8 + (x * 8 // w) AS blk,
+            sum(g) AS bs, count(*) AS bn
+          FROM px GROUP BY 1, 2),
+        tot AS (SELECT doc_id, sum(bs) AS ts, sum(bn) AS tn
+          FROM bk GROUP BY 1),
+        hs AS (SELECT b.doc_id,
+            string_agg(CASE WHEN b.bs * t.tn > t.ts * b.bn
+              THEN '1' ELSE '0' END, '' ORDER BY b.blk) AS ahash
+          FROM bk b JOIN tot t USING (doc_id) GROUP BY b.doc_id)
+        SELECT doc_id AS media_id, ahash,
+          CAST(count(*) OVER (PARTITION BY ahash) AS BIGINT) AS n_same,
+          CAST(min(doc_id) OVER (PARTITION BY ahash) AS BIGINT) AS rep_id
+        FROM hs""")))
 }
