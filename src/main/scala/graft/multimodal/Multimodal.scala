@@ -145,6 +145,21 @@ final class MediaDecoder private () {
   private val bmpReader =
     javax.imageio.ImageIO.getImageReadersByFormatName("bmp").next()
 
+  /** Decode a WAV payload to its 16-bit little-endian samples. */
+  def samples(r: MediaRecord): Array[Short] = {
+    val ais = javax.sound.sampled.AudioSystem
+      .getAudioInputStream(new ByteArrayInputStream(r.bytes))
+    val data = ais.readAllBytes()
+    ais.close()
+    val out = new Array[Short](data.length / 2)
+    var i = 0
+    while (i < out.length) {
+      out(i) = ((data(2 * i) & 0xff) | (data(2 * i + 1) << 8)).toShort
+      i += 1
+    }
+    out
+  }
+
   /** Decode a BMP payload with the partition-shared reader. */
   def image(r: MediaRecord): java.awt.image.BufferedImage = {
     val iis = javax.imageio.ImageIO.createImageInputStream(
@@ -225,6 +240,37 @@ object MediaDecoder {
     // ImageIO must not try to reach a display pipeline on executors.
     System.setProperty("java.awt.headless", "true")
     new MediaDecoder()
+  }
+}
+
+/** Audio energy fingerprint: 64 equal time windows (window of sample i
+  * = i*64/n), each bit = "window mean |amplitude| strictly above the
+  * global mean |amplitude|", same integer-exact cross-product
+  * comparison as AHash. Windows that receive no samples (only when
+  * n < 64) emit no bit — mirrored by the oracle's group-by, which
+  * produces rows only for observed windows.
+  */
+private[multimodal] object AudioHash {
+  def of(mediaId: Long, samples: Array[Short]): (Long, String) = {
+    val n = samples.length
+    val bs = new Array[Long](64)
+    val bn = new Array[Long](64)
+    var i = 0
+    while (i < n) {
+      val w = (i.toLong * 64 / n).toInt
+      bs(w) += math.abs(samples(i).toLong)
+      bn(w) += 1
+      i += 1
+    }
+    val ts = bs.sum
+    val tn = bn.sum
+    val sb = new java.lang.StringBuilder(64)
+    var b = 0
+    while (b < 64) {
+      if (bn(b) > 0) sb.append(if (bs(b) * tn > ts * bn(b)) '1' else '0')
+      b += 1
+    }
+    (mediaId, sb.toString)
   }
 }
 
@@ -335,6 +381,20 @@ object Multimodal {
       val decoder = MediaDecoder.open()
       it.filter(_.meta.format == "bmp")
         .map(r => AHash.of(r.media_id, decoder.image(r)))
+    }.toDF("media_id", "ahash")
+  }
+
+  /** Audio fingerprints for the WAV media: real decode, then the
+    * 64-window integer-exact energy hash — the audio face of
+    * [[perceptualHash]], same dedup move on the same key shape.
+    */
+  def audioHash(media: Dataset[MediaRecord]): DataFrame = {
+    implicit val enc: Encoder[(Long, String)] =
+      Encoders.tuple(Encoders.scalaLong, Encoders.STRING)
+    media.mapPartitions { it =>
+      val decoder = MediaDecoder.open()
+      it.filter(_.meta.format == "wav")
+        .map(r => AudioHash.of(r.media_id, decoder.samples(r)))
     }.toDF("media_id", "ahash")
   }
 

@@ -137,5 +137,36 @@ object MultimodalQueries {
         SELECT doc_id AS media_id, ahash,
           CAST(count(*) OVER (PARTITION BY ahash) AS BIGINT) AS n_same,
           CAST(min(doc_id) OVER (PARTITION BY ahash) AS BIGINT) AS rep_id
+        FROM hs""")),
+
+    // Audio dedup fingerprint — the WAV face of q_media_phash: 64
+    // time-window energy bits over the real AudioSystem decode, same
+    // integer-exact comparisons, oracle reconstructing the samples in
+    // closed form (abs of the signed 16-bit value).
+    "q_media_audiohash" -> QueryDef(
+      (s, dir) => {
+        val hashes = Multimodal.audioHash(Multimodal.encodeMedia(
+          Multimodal.mediaTable(Tables.load(s, dir, "documents"))))
+        val w = org.apache.spark.sql.expressions.Window.partitionBy("ahash")
+        hashes.select(col("media_id"), col("ahash"),
+          count(lit(1)).over(w).as("n_same"),
+          min("media_id").over(w).as("rep_id"))
+      },
+      Some("""WITH m AS (SELECT doc_id, n_chars + 16 AS n
+          FROM documents WHERE doc_id % 3 = 1),
+        sm AS (SELECT doc_id, i * 64 // n AS w,
+            abs((doc_id * 31 + i * 7) % 4096 - 2048) AS a
+          FROM m, unnest(generate_series(0, n - 1)) AS t(i)),
+        bk AS (SELECT doc_id, w, sum(a) AS bs, count(*) AS bn
+          FROM sm GROUP BY 1, 2),
+        tot AS (SELECT doc_id, sum(bs) AS ts, sum(bn) AS tn
+          FROM bk GROUP BY 1),
+        hs AS (SELECT b.doc_id,
+            string_agg(CASE WHEN b.bs * t.tn > t.ts * b.bn
+              THEN '1' ELSE '0' END, '' ORDER BY b.w) AS ahash
+          FROM bk b JOIN tot t USING (doc_id) GROUP BY b.doc_id)
+        SELECT doc_id AS media_id, ahash,
+          CAST(count(*) OVER (PARTITION BY ahash) AS BIGINT) AS n_same,
+          CAST(min(doc_id) OVER (PARTITION BY ahash) AS BIGINT) AS rep_id
         FROM hs""")))
 }
