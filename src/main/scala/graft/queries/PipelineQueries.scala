@@ -163,6 +163,54 @@ object PipelineQueries {
         GROUP BY 1, 2 HAVING count(*) >= 2"""),
       bench = true),
 
+    // Containment decontamination score — the normalized dial on top of
+    // q_contamination's raw shared counts: what FRACTION of an eval
+    // document's shingles a train document contains (the standard
+    // "contaminated if containment >= tau" decision). Same broadcast
+    // eval side; the per-eval-doc set size joins from a <=|eval|-row
+    // broadcast, so the normalization adds no shuffle.
+    "q_contamination_score" -> QueryDef(
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        def sh(d: org.apache.spark.sql.DataFrame, idAs: String) =
+          d.select(col("doc_id").as(idAs),
+            explode(array_distinct(
+              TextFunctions.wordShingles(col("text"), 3))).as("s"))
+        val evalDocs = docs.where(col("source") === "src19")
+        val ev = sh(evalDocs, "eval_doc")
+        val evSizes = evalDocs.select(col("doc_id").as("eval_doc"),
+          size(array_distinct(TextFunctions.wordShingles(col("text"), 3)))
+            .cast("long").as("n_eval"))
+        val tr = sh(docs.where(col("source") =!= "src19"), "train_doc")
+        tr.join(broadcast(ev), "s")
+          .groupBy("train_doc", "eval_doc")
+          .agg(count(lit(1)).as("n_shared"))
+          .join(broadcast(evSizes), "eval_doc")
+          .select(col("train_doc"), col("eval_doc"), col("n_shared"),
+            Det.r4(col("n_shared").cast("double") / col("n_eval"))
+              .as("containment"))
+          .where(col("containment") >= 0.1)
+      },
+      Some(s"""WITH docs AS (
+          SELECT doc_id, source, list_distinct(list_transform(
+            generate_series(1, greatest(len(toks) - 2, 0)),
+            i -> list_aggregate(toks[i:i+2], 'string_agg', ' '))) AS sh
+          FROM (SELECT doc_id, source,
+            list_filter(regexp_split_to_array(text, '\\s+'),
+              t -> len(t) > 0) AS toks FROM documents)),
+        ev AS (SELECT doc_id AS eval_doc, unnest(sh) AS s FROM docs
+          WHERE source = 'src19'),
+        evn AS (SELECT doc_id AS eval_doc, CAST(len(sh) AS BIGINT) AS n_eval
+          FROM docs WHERE source = 'src19'),
+        tr AS (SELECT doc_id AS train_doc, unnest(sh) AS s FROM docs
+          WHERE source <> 'src19'),
+        shared AS (SELECT train_doc, eval_doc, count(*) AS n_shared
+          FROM tr JOIN ev USING (s) GROUP BY 1, 2)
+        SELECT train_doc, eval_doc, n_shared,
+          ${Det.sqlR4("CAST(n_shared AS DOUBLE) / n_eval")} AS containment
+        FROM shared JOIN evn USING (eval_doc)
+        WHERE ${Det.sqlR4("CAST(n_shared AS DOUBLE) / n_eval")} >= 0.1""")),
+
     // Decontamination, bloom-prefiltered scale path: identical result to
     // q_contamination, different plan contract for when the eval suite
     // outgrows a broadcast. A k=1 blocked bloom filter expressed with
