@@ -148,6 +148,37 @@ object SimilarityQueries {
       Some(jaccardOracle(JaccardThreshold)),
       bench = true),
 
+    // Character-level edit-distance verification on the shingle
+    // CANDIDATE pairs (j >= 0.5 keeps the pair set tight): exact
+    // Levenshtein plus the normalized similarity — the char-level
+    // second opinion fuzzy-dedup pipelines run on token-level matches.
+    // Scale contract: levenshtein is O(len_a x len_b) PER PAIR, so it
+    // is strictly a post-candidate verifier (bounded by candidate
+    // count, like the cosine verify on LSH candidates) — never a
+    // corpus-wide scan. Both engines implement the identical
+    // unit-cost DP, so the distance is oracled exactly.
+    "q_edit_distance" -> QueryDef(
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        jaccardPairs(s, dir).where(col("j") >= 0.5)
+          .join(docs.select(col("doc_id").as("a"), col("text").as("ta")), "a")
+          .join(docs.select(col("doc_id").as("b"), col("text").as("tb")), "b")
+          .select(col("a"), col("b"), col("j"),
+            levenshtein(col("ta"), col("tb")).cast("long").as("lev"),
+            Det.r4(lit(1.0) - levenshtein(col("ta"), col("tb")).cast("double") /
+              greatest(length(col("ta")), length(col("tb"))))
+              .as("char_sim"))
+      },
+      Some(s"""WITH pairs AS (${jaccardOracle(0.5)})
+        SELECT a, b, j,
+          CAST(levenshtein(da.text, db.text) AS BIGINT) AS lev,
+          ${Det.sqlR4(
+            "1.0 - CAST(levenshtein(da.text, db.text) AS DOUBLE) / " +
+            "greatest(len(da.text), len(db.text))")} AS char_sim
+        FROM pairs
+        JOIN documents da ON a = da.doc_id
+        JOIN documents db ON b = db.doc_id""")),
+
     // Near-dup CONSOLIDATION: connected components over the exact-pair
     // graph — the step that turns matched pairs into a dedup decision
     // (component_id = min doc id of the duplicate cluster; keep one doc

@@ -1,7 +1,5 @@
 package graft
 
-import scala.collection.mutable.ArrayBuffer
-
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.scalatest.BeforeAndAfterAll
@@ -25,63 +23,12 @@ class BpeSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   override def afterAll(): Unit = spark.stop()
 
-  // --- reference implementation (naive, driver-side) -------------------
+  // reference implementation: BpeModel (shared with BpePropertiesSpec)
+  private def refTrain(wc: Map[String, Long], k: Int): Seq[(String, String)] =
+    BpeModel.train(wc, k)
 
-  private def refTrain(wc: Map[String, Long], k: Int): Seq[(String, String)] = {
-    var syms: Map[Vector[String], Long] =
-      wc.groupBy { case (w, _) => w.map(_.toString).toVector }
-        .map { case (v, m) => v -> m.values.sum }
-    val merges = ArrayBuffer[(String, String)]()
-    var round = 0
-    var done = false
-    while (round < k && !done) {
-      val counts = collection.mutable.Map[(String, String), Long]()
-      syms.foreach { case (v, cnt) =>
-        v.sliding(2).foreach {
-          case Seq(a, b) => counts((a, b)) = counts.getOrElse((a, b), 0L) + cnt
-          case _ =>
-        }
-      }
-      if (counts.isEmpty) done = true
-      else {
-        val (l, r) = counts.toSeq
-          .minBy { case ((a, b), n) => (-n, a, b) }._1
-        merges += ((l, r))
-        syms = syms.groupBy { case (v, _) => mergeOnce(v, l, r) }
-          .map { case (v, m) => v -> m.values.sum }
-      }
-      round += 1
-    }
-    merges.toSeq
-  }
-
-  private def mergeOnce(v: Vector[String], l: String, r: String): Vector[String] = {
-    val out = ArrayBuffer[String]()
-    var i = 0
-    while (i < v.length) {
-      if (i + 1 < v.length && v(i) == l && v(i + 1) == r) { out += l + r; i += 2 }
-      else { out += v(i); i += 1 }
-    }
-    out.toVector
-  }
-
-  private def refEncode(word: String, merges: Seq[(String, String)]): Vector[String] = {
-    val rank = merges.zipWithIndex.toMap
-    var syms = word.map(_.toString).toVector
-    var done = syms.length < 2
-    while (!done) {
-      val present = syms.sliding(2).collect {
-        case Seq(a, b) if rank.contains((a, b)) => rank((a, b))
-      }.toSeq
-      if (present.isEmpty) done = true
-      else {
-        val (l, r) = merges(present.min)
-        syms = mergeOnce(syms, l, r)
-        if (syms.length < 2) done = true
-      }
-    }
-    syms
-  }
+  private def refEncode(word: String, merges: Seq[(String, String)]): Vector[String] =
+    BpeModel.encode(word, merges)
 
   private def wcDf(wc: Map[String, Long]): DataFrame = {
     import spark.implicits._
