@@ -84,6 +84,23 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     inject("graft_bpe_encode", classOf[BpeEncode], 2,
       cs => BpeEncode(cs(0), BpeEncode.parseMerges(
         strLit(cs(1), "graft_bpe_encode", "merges"))))
+
+    // importance scorer with the fitted LM serialized "bucket:dw,..."
+    // plus the unseen-bucket default — the same native node the Scala
+    // artifact path (Importance.logw) uses
+    inject("graft_importance_logw", classOf[ImportanceLogw], 3, cs => {
+      val lmStr = strLit(cs(1), "graft_importance_logw", "lm")
+      val default = longLit(cs(2), "graft_importance_logw", "default")
+      val dw: Map[Long, Long] =
+        if (lmStr.isEmpty) Map.empty
+        else lmStr.split(",", -1).toSeq.map { e =>
+          val kv = e.split(":", -1)
+          require(kv.length == 2,
+            s"graft_importance_logw: lm entry '$e' must be 'bucket:dw'")
+          kv(0).trim.toLong -> kv(1).trim.toLong
+        }.toMap
+      ImportanceLogw(cs(0), dw, default)
+    })
   }
 }
 

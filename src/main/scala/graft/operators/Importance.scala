@@ -60,18 +60,11 @@ object Importance {
 
   /** Per-row log importance weight under a fitted LM: the i4 bucket
     * ratios summed over tokens (integer, order-independent), then r4 —
-    * the same arithmetic as q_importance_weights, but via a map literal
-    * instead of a join. ~256 map entries ride in the plan as constants,
-    * the same per-expression-constant-state rule as the BPE merge table.
+    * the same arithmetic as q_importance_weights, but with the LM as
+    * per-expression constant state instead of a join (one native pass
+    * per row, graft.expressions.ImportanceLogw; also the SQL surface
+    * `graft_importance_logw`).
     */
-  def logw(text: Column, lm: Lm): Column = {
-    val entries = lm.dw.toSeq.sortBy(_._1)
-      .flatMap { case (k, v) => Seq(lit(k), lit(v)) }
-    val lmMap = map(entries: _*)
-    Det.r4(aggregate(
-      TextFunctions.tokens(text),
-      lit(0L),
-      (acc, t) => acc +
-        coalesce(element_at(lmMap, bucket(t)), lit(lm.default))) / 10000.0)
-  }
+  def logw(text: Column, lm: Lm): Column =
+    graft.expressions.ImportanceLogw(text, lm.dw, lm.default)
 }

@@ -107,6 +107,13 @@ class SqlFunctionsSpec extends AnyFunSuite with BeforeAndAfterAll {
         Seq(("a", "b"), ("ab", "c"), ("b", "a")))))
   }
 
+  test("graft_importance_logw == Importance.logw with the parsed LM") {
+    val lm = graft.operators.Importance.Lm(
+      Map(3L -> 120L, 200L -> -45L, 17L -> 9999L), -7L)
+    assertParity("graft_importance_logw(text, '3:120,200:-45,17:9999', -7)",
+      graft.operators.Importance.logw(col("text"), lm))
+  }
+
   test("shape parameters must be literals") {
     graft.queries.Tables.load(spark, dir, "documents")
       .createOrReplaceTempView("documents")
