@@ -197,6 +197,25 @@ object TypedOps {
       .as[EventEnvelope[String]]
   }
 
+  /** Streaming decontamination gate — the ingest-plane face of
+    * q_contamination_bloom: drop any document sharing >= `minShared`
+    * shingle BUCKETS with the pre-fitted eval suite
+    * (graft.operators.Decontamination.fitBuckets). Stateless like the
+    * importance gate — the artifact rides in the plan (InSet probe per
+    * shingle), so there is no join, no state, no watermark; the
+    * documented trade vs the batch path is the bloom FPR without the
+    * exact-verify second stage.
+    */
+  def decontaminationGate(evalBuckets: Set[Long], nGram: Int = 3,
+      minShared: Int = 2): Op[String, String] = { ds =>
+    implicit val e: Encoder[EventEnvelope[String]] = enc[String]
+    ds.toDF()
+      .where(graft.operators.Decontamination.hitCount(
+        org.apache.spark.sql.functions.col("content"), evalBuckets, nGram)
+        < minShared)
+      .as[EventEnvelope[String]]
+  }
+
   /** Streaming corpus ingest — the ingest-plane face of the batch corpus
     * build (q_corpus_build): per-event quality gate, then near-dup band
     * suppression within the watermark horizon (which subsumes exact
