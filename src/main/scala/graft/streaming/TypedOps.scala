@@ -240,4 +240,35 @@ object TypedOps {
       .as[EventEnvelope[String]]
     nearDupWithinWatermark(delay, nGram).apply(gated)
   }
+
+  /** The FULL ingest pipeline in one watermarked call: every stateless
+    * gate (quality, importance under a fitted LM, decontamination
+    * against a fitted eval-bucket set) runs BEFORE the stateful
+    * near-dup suppression, so — as with corpusIngest — the suppression
+    * state stores only documents that can actually enter the corpus.
+    * Gate order among the stateless three is cost-ordered (quality is
+    * the cheapest reject), but any order produces the same set: they
+    * are independent per-row predicates. This is the ingest face of
+    * "corpus build + data selection": q_corpus_build's stages plus
+    * q_importance_weights' cut plus q_contamination_bloom's prefilter,
+    * each in its streaming form.
+    */
+  def corpusIngestSelective(delay: String,
+      lm: graft.operators.Importance.Lm,
+      evalBuckets: Set[Long],
+      minQuality: Double = 0.4,
+      minLogw: Double = 0.0,
+      maxEvalShared: Int = 2,
+      nGram: Int = 5): Op[String, String] = { ds =>
+    import org.apache.spark.sql.functions._
+    implicit val e: Encoder[EventEnvelope[String]] = enc[String]
+    val gated = ds.toDF()
+      .where(graft.functions.TextFunctions.qualityScore(col("content"))
+        >= minQuality)
+      .where(graft.operators.Importance.logw(col("content"), lm) >= minLogw)
+      .where(graft.operators.Decontamination.hitCount(
+        col("content"), evalBuckets) < maxEvalShared)
+      .as[EventEnvelope[String]]
+    nearDupWithinWatermark(delay, nGram).apply(gated)
+  }
 }

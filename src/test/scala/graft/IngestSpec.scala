@@ -88,4 +88,63 @@ class IngestSpec extends AnyFunSuite with BeforeAndAfterAll {
     // envelopes survive the pipeline intact (first claimant's stamp)
     assert(buf.find(_.content == docA).get.stamp.start_time == ts(0))
   }
+
+  test("selective ingest: each gate drops its planted doc — quality, " +
+      "importance, decontamination, then near-dup suppression") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    import graft.operators.{Decontamination, Importance}
+
+    // decon artifact fitted on a tiny "eval suite"; docB shares >= 2
+    // of its 5-gram... (3-gram default) shingles with it
+    val evalText = "distributed query engines shuffling columnar batches"
+    val buckets = Decontamination.fitBuckets(
+      Seq(evalText).toDF("text"), col("text"))
+    // importance LM: neutral default, strongly negative on docANear's
+    // distinguishing token so ONLY that doc scores below the cut
+    val markerBucket = Seq("magpies").toDF("t")
+      .select(Importance.bucket(col("t")).as("b")).as[Long].head()
+    val lm = Importance.Lm(Map(markerBucket -> -100000L), default = 10L)
+
+    // fixture self-check with the BATCH columns: the planted intents
+    // must actually hold, or the streaming assertions are vacuous
+    val batch = Seq(docA, docANear, docB, junk).toDF("text")
+      .select(col("text"),
+        graft.functions.TextFunctions.qualityScore(col("text")).as("q"),
+        Importance.logw(col("text"), lm).as("w"),
+        Decontamination.hitCount(col("text"), buckets).as("h"))
+      .collect().map(r => r.getString(0) ->
+        (r.getDouble(1), r.getDouble(2), r.getInt(3))).toMap
+    assert(batch(junk)._1 < 0.4, "junk fixture no longer fails quality")
+    assert(batch(docANear)._2 < 0.0 && batch(docA)._2 >= 0.0,
+      "importance fixture no longer isolates docANear")
+    assert(batch(docB)._3 >= 2 && batch(docA)._3 < 2,
+      "decon fixture no longer isolates docB")
+
+    val ps = new PubSub(spark)
+    val t = ps.topic[String](s"ingest-sel-${System.nanoTime()}")
+    val kept = TypedOps.corpusIngestSelective("5 seconds", lm, buckets)
+      .apply(t.stream)
+    val buf = mutable.Buffer.empty[String]
+    val q = kept.writeStream.outputMode("append")
+      .foreachBatch { (b: Dataset[EventEnvelope[String]], _: Long) =>
+        buf.synchronized { buf ++= b.collect().map(_.content) }; ()
+      }.start()
+    t.publish(Seq(
+      EventEnvelope.at(ts(0), docA), // passes every gate
+      EventEnvelope.at(ts(1), junk), // quality reject
+      EventEnvelope.at(ts(1), docANear), // importance reject
+      EventEnvelope.at(ts(2), docB), // decontamination reject
+      EventEnvelope.at(ts(3), docA))) // near-dup (exact) suppression
+    q.processAllAvailable()
+    t.publish(Seq(EventEnvelope.at(ts(60),
+      "flush marker document with enough words to pass the quality gate " +
+      "and the shingle threshold for the long branch of the pipeline")))
+    q.processAllAvailable()
+    q.stop(); ps.close()
+
+    assert(buf.count(_ == docA) == 1, s"docA once, got $buf")
+    assert(!buf.contains(junk) && !buf.contains(docANear) &&
+      !buf.contains(docB), s"a planted reject passed: $buf")
+  }
 }
