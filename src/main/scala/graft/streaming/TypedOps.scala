@@ -241,6 +241,44 @@ object TypedOps {
     nearDupWithinWatermark(delay, nGram).apply(gated)
   }
 
+  /** Stream-static enrichment: left-join the event stream against a
+    * STATIC dimension frame on the event content and fold the selected
+    * dimension columns into the envelope's stamp meta (string-cast;
+    * unmatched events pass through with meta untouched — the reference
+    * LeftJoin's unmatched-passthrough, applied to metadata). Dimension
+    * values win on key collision, the stamp-merge later-wins rule.
+    *
+    * This is the third artifact-delivery mode on the ingest plane, for
+    * dimensions too big to ride the plan: literals (importance LM,
+    * decon buckets) < BROADCAST stream-static join (this — Spark
+    * re-broadcasts the dimension per micro-batch, no state) < keyed
+    * stateful join (only when the dimension itself streams). The
+    * caller wraps `dim` in `broadcast()` when it fits; an unbroadcast
+    * dimension shuffle-joins each micro-batch, which is the correct
+    * fallback for a dimension of millions of rows.
+    */
+  def enrichWithStatic(dim: org.apache.spark.sql.DataFrame, dimKey: String,
+      attach: Seq[String]): Op[String, String] = { ds =>
+    import org.apache.spark.sql.functions._
+    require(attach.nonEmpty, "enrichWithStatic needs at least one column")
+    implicit val e: Encoder[EventEnvelope[String]] = enc[String]
+    val d = dim.select((dimKey +: attach).map(org.apache.spark.sql.functions.col): _*)
+    val attached = ds.toDF()
+      .join(d, col("content") === d(dimKey), "left")
+    val metaEntries = attach.flatMap(c =>
+      Seq(lit(c), attached(c).cast("string")))
+    attached
+      .withColumn("stamp", struct(
+        col("stamp.start_time").as("start_time"),
+        col("stamp.end_time").as("end_time"),
+        map_concat(col("stamp.meta"),
+          map_filter(org.apache.spark.sql.functions.map(metaEntries: _*),
+            (_, v) => v.isNotNull))
+          .as("meta")))
+      .select("stamp", "content")
+      .as[EventEnvelope[String]]
+  }
+
   /** The FULL ingest pipeline in one watermarked call: every stateless
     * gate (quality, importance under a fitted LM, decontamination
     * against a fitted eval-bucket set) runs BEFORE the stateful
