@@ -83,6 +83,41 @@ object TokenizerQueries {
           CAST(coalesce(p.n_merged, 0) AS BIGINT) AS n_merged
         FROM documents d LEFT JOIN per p USING (doc_id)""")),
 
+    // Out-of-vocabulary rate under a FIXED-COUNT top-K vocabulary (the
+    // tokenizer-budget planning metric): K=24 here so the cut bites on
+    // the fixture; the vocab is a K-row broadcast AT ANY CORPUS SIZE
+    // (count-desc, token-asc deterministic tiebreak — the q_top_tokens
+    // contract), and the scoring pass is one scan + one broadcast
+    // anti-probe folded into the per-doc aggregation.
+    "q_oov_rate" -> QueryDef(
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        val vocab = Bpe.wordCounts(docs, col("text"))
+          .orderBy(col("cnt").desc, col("word").asc)
+          .limit(24).select("word")
+        val toks = docs.select(col("doc_id"),
+          explode(graft.functions.TextFunctions.tokens(col("text"))).as("word"))
+        toks.join(broadcast(vocab.withColumn("in_v", lit(true))),
+            Seq("word"), "left")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_tokens"),
+            sum(when(col("in_v").isNull, 1L).otherwise(0L)).as("n_oov"))
+          .select(col("doc_id"), col("n_tokens"), col("n_oov"),
+            Det.r4(col("n_oov").cast("double") / col("n_tokens")).as("oov_rate"))
+      },
+      Some(s"""WITH w AS ($oracleWords),
+        vocab AS (SELECT word FROM (
+            SELECT word, count(*) AS cnt FROM w GROUP BY 1)
+          ORDER BY cnt DESC, word LIMIT 24),
+        per AS (SELECT w.doc_id,
+            count(*) AS n_tokens,
+            sum(CASE WHEN v.word IS NULL THEN 1 ELSE 0 END) AS n_oov
+          FROM w LEFT JOIN vocab v USING (word) GROUP BY 1)
+        SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+          CAST(n_oov AS BIGINT) AS n_oov,
+          ${Det.sqlR4("CAST(n_oov AS DOUBLE) / n_tokens")} AS oov_rate
+        FROM per""")),
+
     // The learned merge table (32 merges on this corpus's vocabulary).
     // no_oracle: the round-over-round argmax is inherently iterative;
     // BpeSpec pins the trainer against an in-spec reference
