@@ -133,6 +133,39 @@ class EwmaStreamSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"streaming fold diverged from the batch model:\n$got\nvs\n$expected")
   }
 
+  test("restart from checkpoint recovers the PENDING buffer: buffered " +
+      "events fold after restart, exactly once, in order") {
+    val ps = new PubSub(spark)
+    val t = ps.topic[(Long, Double)](s"ewma-restart-${System.nanoTime()}")
+    val out = StatefulOps.ewmaByKey(0.5, 1.5, "5 seconds")(
+      _.stamp.meta.getOrElse("k", "?"))(t.stream)
+    val ckpt = s"/tmp/graft-ewma-ckpt-${System.nanoTime()}"
+    val buf = mutable.Buffer.empty[EwmaUpdate]
+    def start() = out.writeStream.outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (b: Dataset[EwmaUpdate], _: Long) =>
+        buf.synchronized { buf ++= b.collect() }; ()
+      }.start()
+
+    val q1 = start()
+    // watermark stays behind both events: they live ONLY in state
+    t.publish(Seq(ev("u", 1, 1L, 2.0), ev("u", 2, 2L, 4.0)))
+    q1.processAllAvailable()
+    q1.stop()
+    assert(buf.isEmpty, s"events folded before the watermark passed: $buf")
+
+    val q2 = start()
+    t.publish(Seq(flush(60)))
+    q2.processAllAvailable()
+    q2.stop()
+    ps.close()
+
+    val rows = buf.filter(_.key == "u")
+    assert(rows.map(r => (r.seq, r.ewma, r.n)) ==
+      Seq((1L, 2.0, 1L), (2L, 3.0, 2L)),
+      s"pending buffer lost or double-folded across restart: $buf")
+  }
+
   test("a straggler beyond the horizon is dropped by the engine's " +
       "late-row filter — the fold it missed is untouched") {
     val rows = run(Seq(
