@@ -135,6 +135,42 @@ object StreamBench {
     val topkSec = (System.nanoTime() - k0) / 1e9
     q4.stop()
 
+    // pipeline 5: the full selective corpus ingest — three stateless
+    // gates (quality, importance LM, decontamination buckets) feeding
+    // the MinHash-band suppression. Real fixture documents cycled, so
+    // repeats exercise the suppression state on every event; artifacts
+    // fitted from the fixture the way production fits them offline.
+    // Permissive thresholds keep rows flowing into the stateful stage
+    // (the expensive path) — this measures the full-pipeline worst case,
+    // not gate selectivity.
+    val ingestN = math.max(n / 25, 2000)
+    val fixDocs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val lmFit = graft.operators.Importance.fit(fixDocs,
+      org.apache.spark.sql.functions.col("text"),
+      org.apache.spark.sql.functions.col("source") === "src0")
+    val evalB = graft.operators.Decontamination.fitBuckets(
+      fixDocs.where(org.apache.spark.sql.functions.col("source") === "src19"),
+      org.apache.spark.sql.functions.col("text"))
+    val texts = fixDocs.select("text").collect().map(_.getString(0))
+    val t5 = ps.topic[String]("bench-ingest")
+    val ing = TypedOps.corpusIngestSelective("5 seconds", lmFit, evalB,
+      minQuality = 0.2, minLogw = -1e6, maxEvalShared = 1000000)(t5.stream)
+    var nIngested = 0L
+    val q5 = ing.writeStream.outputMode("append")
+      .foreachBatch { (b: Dataset[EventEnvelope[String]], _: Long) =>
+        nIngested += b.count(); ()
+      }.start()
+    val i0 = System.nanoTime()
+    t5.publish((0 until ingestN).map(i => EventEnvelope.at(
+      new Timestamp(base + i * 100L), texts(i % texts.length))))
+    t5.publish(Seq(EventEnvelope.at(
+      new Timestamp(base + ingestN * 100L + 3600L * 1000L),
+      "flush marker document with enough words to pass the quality gate " +
+        "and the shingle threshold for the long branch of the pipeline")))
+    q5.processAllAvailable()
+    val ingestSec = (System.nanoTime() - i0) / 1e9
+    q5.stop()
+
     println(f"""{"stream_bench":{"n_events":$n,""" +
       f""""state_store":"${if (rocksdb) "rocksdb" else "memory"}",""" +
       f""""lake_rows":$lakeRows,"lake_sec":$lakeSec%.2f,""" +
@@ -151,7 +187,10 @@ object StreamBench {
       f""""gapless_windows":$nGapWins,""" +
       f""""topk_sec":$topkSec%.2f,""" +
       f""""topk_events_per_sec":${n / topkSec}%.0f,""" +
-      f""""topk_rows":$nTopkRows}}""")
+      f""""topk_rows":$nTopkRows,""" +
+      f""""ingest_n":$ingestN,"ingest_sec":$ingestSec%.2f,""" +
+      f""""ingest_docs_per_sec":${ingestN / ingestSec}%.0f,""" +
+      f""""ingest_out":$nIngested}}""")
     ps.close()
     spark.stop()
   }

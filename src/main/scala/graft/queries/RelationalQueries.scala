@@ -27,6 +27,31 @@ object RelationalQueries {
       FROM orders GROUP BY o_orderstatus, o_orderpriority"""
 
   def defs: Map[String, QueryDef] = Map(
+    // Join-key skew audit — the diagnostic a pipeline runs BEFORE a big
+    // keyed join decides between plain shuffle, AQE skew-split, and
+    // manual salting (Joins.saltedJoin): per-key share of the table for
+    // the top keys plus the uniform-share baseline. One
+    // combiner-friendly count + a 20-row TakeOrdered to the driver —
+    // the audit itself is never the bottleneck. A key with share >>
+    // 1/shufflePartitions is the salting trigger.
+    "q_skew_report" -> QueryDef(
+      (s, dir) => {
+        val li = Tables.load(s, dir, "lineitem")
+        val total = li.agg(count(lit(1)).as("t"))
+        li.groupBy(col("l_suppkey").as("key"))
+          .agg(count(lit(1)).as("n"))
+          .orderBy(col("n").desc, col("key").asc)
+          .limit(20)
+          .crossJoin(broadcast(total))
+          .select(col("key"), col("n"),
+            Det.r4(col("n").cast("double") / col("t")).as("share"))
+      },
+      Some(s"""WITH tot AS (SELECT count(*) AS t FROM lineitem)
+        SELECT l_suppkey AS key, count(*) AS n,
+          ${Det.sqlR4("CAST(count(*) AS DOUBLE) / (SELECT t FROM tot)")} AS share
+        FROM lineitem GROUP BY 1
+        ORDER BY n DESC, key ASC LIMIT 20""")),
+
     "q_sql_surface" -> QueryDef(
       (s, dir) => {
         Tables.load(s, dir, "orders").createOrReplaceTempView("orders")
