@@ -260,6 +260,86 @@ object PipelineQueries {
         FROM tr JOIN ev USING (s)
         GROUP BY 1, 2 HAVING count(*) >= 2""")),
 
+    // Population-stability drift monitor between two corpus snapshots
+    // (the doc_id % 3 split stands in for yesterday-vs-today, as in
+    // q_corpus_delta): quality scores binned to a fixed 5-bin grid,
+    // per-bin share in each snapshot, and the PSI term
+    // (p - q) * ln(p/q) with add-half-count smoothing so empty bins
+    // stay finite. PSI > 0.25 is the standard retrain/alert line —
+    // emitting per-bin terms keeps the query's output auditable (the
+    // total is one SUM away). Scale shape: two combiner-friendly
+    // bin counts + a 5-row join; the scan dominates at any size. The
+    // ln is evaluated on identical doubles in both engines and the
+    // result r4-floored — same determinism contract as the LM queries.
+    "q_quality_drift" -> QueryDef(
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+          .withColumn("bin",
+            least(floor(TextFunctions.qualityScore(col("text")) * 5)
+              .cast("long"), lit(4L)))
+        val a = docs.where(col("doc_id") % 3 =!= 0)
+          .groupBy("bin").agg(count(lit(1)).as("na"))
+        val b = docs.where(col("doc_id") % 3 === 0)
+          .groupBy("bin").agg(count(lit(1)).as("nb"))
+        val bins = s.range(0, 5).select(col("id").as("bin"))
+        val ta = a.agg(coalesce(sum("na"), lit(0L)).as("ta"))
+        val tb = b.agg(coalesce(sum("nb"), lit(0L)).as("tb"))
+        val joined = bins
+          .join(a, Seq("bin"), "left").join(b, Seq("bin"), "left")
+          .crossJoin(broadcast(ta.crossJoin(tb)))
+          .select(col("bin"),
+            ((coalesce(col("na"), lit(0L)) + 0.5) /
+              (col("ta") + 2.5)).as("p"),
+            ((coalesce(col("nb"), lit(0L)) + 0.5) /
+              (col("tb") + 2.5)).as("q"))
+        joined.select(col("bin"),
+          Det.r4(col("p")).as("p_share"),
+          Det.r4(col("q")).as("q_share"),
+          Det.r4((col("p") - col("q")) * log(col("p") / col("q")))
+            .as("psi_term"))
+      },
+      Some(s"""WITH sc AS (SELECT doc_id,
+          -- inner floor = the r4 quantization; OUTER floor before the
+          -- BIGINT cast because DuckDB's double->BIGINT cast ROUNDS
+          -- (half-even) where Spark's floor truncates
+          least(CAST(floor(floor((
+            least(CAST(len(list_filter(regexp_split_to_array(text, '\\s+'),
+              x -> len(x) > 0)) AS DOUBLE) / 50.0, 1.0)
+            + least((CASE WHEN len(list_filter(regexp_split_to_array(text, '\\s+'),
+                x -> len(x) > 0)) > 0
+              THEN CAST(len(list_filter(list_transform(
+                  list_filter(regexp_split_to_array(text, '\\s+'),
+                    x -> len(x) > 0), t -> lower(t)),
+                  t -> list_contains(['the','a','an','and','or','of','to',
+                    'in','is','it','that','for','on','with','as','was','at',
+                    'by','be','this'], t))) AS DOUBLE)
+                / len(list_filter(regexp_split_to_array(text, '\\s+'),
+                    x -> len(x) > 0))
+              ELSE 0.0 END) * 4.0, 1.0)
+            + greatest(1.0 - (CASE WHEN len(text) > 0
+              THEN CAST(len(text) - len(regexp_replace(text,
+                '[.,;:!?''"()\\[\\]{}-]', '', 'g')) AS DOUBLE) / len(text)
+              ELSE 0.0 END) * 5.0, 0.0)
+          ) / 3.0 * 10000 + 0.5) / 10000 * 5) AS BIGINT), 4) AS bin
+          FROM documents),
+        a AS (SELECT bin, count(*) AS na FROM sc
+          WHERE doc_id % 3 <> 0 GROUP BY 1),
+        b AS (SELECT bin, count(*) AS nb FROM sc
+          WHERE doc_id % 3 = 0 GROUP BY 1),
+        t AS (SELECT
+          (SELECT CAST(coalesce(sum(na), 0) AS BIGINT) FROM a) AS ta,
+          (SELECT CAST(coalesce(sum(nb), 0) AS BIGINT) FROM b) AS tb),
+        g AS (SELECT unnest(generate_series(0, 4)) AS bin),
+        j AS (SELECT g.bin,
+            (coalesce(na, 0) + 0.5) / (ta + 2.5) AS p,
+            (coalesce(nb, 0) + 0.5) / (tb + 2.5) AS q
+          FROM g LEFT JOIN a ON g.bin = a.bin
+            LEFT JOIN b ON g.bin = b.bin, t)
+        SELECT CAST(bin AS BIGINT) AS bin,
+          ${Det.sqlR4("p")} AS p_share, ${Det.sqlR4("q")} AS q_share,
+          ${Det.sqlR4("(p - q) * ln(p / q)")} AS psi_term
+        FROM j""")),
+
     // Deterministic distributed corpus shuffle: the pre-training
     // randomize-and-shard step, with NO RNG and NO global sort. Shard =
     // first md5 hex digit (16-way split); order within shard = md5 then
