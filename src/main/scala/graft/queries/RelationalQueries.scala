@@ -52,6 +52,46 @@ object RelationalQueries {
         FROM lineitem GROUP BY 1
         ORDER BY n DESC, key ASC LIMIT 20""")),
 
+    // Z-order (Morton) layout audit — the write-side data organization
+    // that makes MULTI-column min/max pruning work: interleave the bits
+    // of two join/filter keys, bucket rows by the code's top bits, and
+    // report each bucket's per-column bounds. The payoff is visible in
+    // the output: every bucket covers a tight RECTANGLE in (orderkey,
+    // partkey) space, so a scan filtered on EITHER column can skip most
+    // buckets on file-level statistics — linear layout by one column
+    // gives tight bounds on that column only. Bit arithmetic is
+    // generated from one Scala loop for BOTH engines (identical terms;
+    // max bit 31 so ANSI-safe), one combiner-friendly aggregation.
+    "q_zorder" -> QueryDef(
+      (s, dir) => {
+        def morton(x: org.apache.spark.sql.Column,
+            y: org.apache.spark.sql.Column) =
+          (0 until 16).map(i =>
+            shiftleft(shiftright(x, i).bitwiseAND(1), 2 * i) +
+              shiftleft(shiftright(y, i).bitwiseAND(1), 2 * i + 1))
+            .reduce(_ + _)
+        Tables.load(s, dir, "lineitem")
+          .select((col("l_orderkey") % 65536).as("ok"),
+            (col("l_partkey") % 65536).as("pk"))
+          .withColumn("zbucket", shiftright(morton(col("ok"), col("pk")), 26))
+          .groupBy("zbucket")
+          .agg(count(lit(1)).as("n"),
+            min("ok").as("min_ok"), max("ok").as("max_ok"),
+            min("pk").as("min_pk"), max("pk").as("max_pk"))
+      },
+      Some {
+        val mortonSql = (0 until 16).map(i =>
+          s"(((ok >> $i) & 1) << ${2 * i}) + (((pk >> $i) & 1) << ${2 * i + 1})")
+          .mkString(" + ")
+        s"""WITH k AS (SELECT l_orderkey % 65536 AS ok,
+            l_partkey % 65536 AS pk FROM lineitem),
+          z AS (SELECT ok, pk, ($mortonSql) >> 26 AS zbucket FROM k)
+          SELECT zbucket, count(*) AS n,
+            min(ok) AS min_ok, max(ok) AS max_ok,
+            min(pk) AS min_pk, max(pk) AS max_pk
+          FROM z GROUP BY 1"""
+      }),
+
     "q_sql_surface" -> QueryDef(
       (s, dir) => {
         Tables.load(s, dir, "orders").createOrReplaceTempView("orders")
