@@ -274,9 +274,7 @@ object PipelineQueries {
     "q_quality_drift" -> QueryDef(
       (s, dir) => {
         val docs = Tables.load(s, dir, "documents")
-          .withColumn("bin",
-            least(floor(TextFunctions.qualityScore(col("text")) * 5)
-              .cast("long"), lit(4L)))
+          .withColumn("bin", graft.operators.Drift.qualityBin(col("text")))
         val a = docs.where(col("doc_id") % 3 =!= 0)
           .groupBy("bin").agg(count(lit(1)).as("na"))
         val b = docs.where(col("doc_id") % 3 === 0)

@@ -54,6 +54,44 @@ object TemporalOps {
       .drop("window")
   }
 
+  /** Per-window quality-drift monitor — the streaming face of
+    * q_quality_drift: each tumbling window's documents are binned on
+    * the fixed quality grid (ONE aggregation: five conditional sums)
+    * and each bin's smoothed share is scored as a PSI term against a
+    * pre-fitted BASELINE share artifact (graft.operators.Drift
+    * .fitBaseline — the same offline-artifact split as the importance
+    * and decontamination gates). Emits one row per (window, bin) at
+    * watermark close; the alert consumer sums psi_term per window
+    * against the conventional 0.25 line. State is the open windows'
+    * 5-counter vectors — constant per window, evicted at close.
+    */
+  def qualityDriftByWindow(length: String, baseline: Seq[Double],
+      allowedLateness: String = "0 seconds")(
+      ds: Dataset[EventEnvelope[String]]): DataFrame = {
+    val B = graft.operators.Drift.Bins
+    require(baseline.length == B && baseline.forall(_ > 0),
+      s"baseline must be $B positive shares (use Drift.fitBaseline)")
+    val bin = graft.operators.Drift.qualityBin(col("content"))
+    val perBin = (0 until B).map(b =>
+      sum(when(bin === b.toLong, 1L).otherwise(0L)).as(s"n$b"))
+    val agged = ds.toDF()
+      .withColumn("event_time", col("stamp.start_time"))
+      .withWatermark("event_time", allowedLateness)
+      .groupBy(window(col("event_time"), length))
+      .agg(count(lit(1)).as("n_docs"), perBin: _*)
+    val binRows = explode(array((0 until B).map { b =>
+      val p = graft.operators.Drift.smoothedShare(col(s"n$b"), col("n_docs"))
+      struct(lit(b.toLong).as("bin"), col(s"n$b").as("n_bin"),
+        graft.queries.Det.r4(p).as("share"),
+        graft.queries.Det.r4(
+          graft.operators.Drift.psiTerm(p, baseline(b))).as("psi_term"))
+    }: _*))
+    agged.select(col("window.start").as("window_start"),
+        col("n_docs"), binRows.as("r"))
+      .select(col("window_start"), col("n_docs"), col("r.bin"),
+        col("r.n_bin"), col("r.share"), col("r.psi_term"))
+  }
+
   /** BatchSum (reference: default_operators.go:18-38). */
   def batchSum[T](length: String, slide: Option[String] = None,
       allowedLateness: String = "0 seconds")(
