@@ -62,7 +62,7 @@ class DriftStreamSpec extends AnyFunSuite with BeforeAndAfterAll {
     val w0 = rowsOf(0)
     val w1 = rowsOf(10)
     assert(w0.size == Drift.Bins && w1.size == Drift.Bins,
-      s"expected $Drift.Bins rows per closed window: ${buf.size}")
+      s"expected ${Drift.Bins} rows per closed window: ${buf.size}")
 
     // batch model of the bin counts for each window's documents
     def batchBins(texts: Seq[String]): Map[Long, Long] =
