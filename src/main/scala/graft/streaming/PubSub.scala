@@ -441,12 +441,16 @@ final class PubSub(val spark: SparkSession) {
     * migrate (the reference semantics: the carried-over subscriberMap
     * keeps existing buffers, new subscribers get the new config).
     *
-    * Drain-barrier scope: the barrier covers the topic's owner-scoped
-    * subscriptions OPEN AT CALL TIME. A subscription attached while the
-    * migrate is in flight is not drained by it (it starts against the
-    * post-swap config anyway); one that terminated with an error cannot
-    * observe anything, so it is skipped rather than allowed to rethrow
-    * its failure into the migrate.
+    * Drain-barrier scope: the owner-scoped subscription list is
+    * snapshotted UNDER THE TOPIC MONITOR, after migrate has acquired it
+    * — so every subscription attached before the barrier went up is
+    * drained, with no escape window between a call-time snapshot and
+    * monitor acquisition. A subscription attached after the barrier is
+    * up starts against the post-swap config anyway (a default
+    * subscriber blocks on `defaultPolicy` until the swap completes); one
+    * that terminated with an error cannot observe anything, so it is
+    * skipped rather than allowed to rethrow its failure into the
+    * migrate.
     *
     * Re-entrancy: the drain runs under the TOPIC MONITOR, so a
     * subscriber callback that re-enters any topic-monitor API while
@@ -459,23 +463,27 @@ final class PubSub(val spark: SparkSession) {
       capacity: Option[Int] = None,
       defaultPolicy: SelectionPolicy = SelectNext): Unit = {
     val t = existingTopic[T](name)
-    // snapshot OUTSIDE the topic monitor (same discipline as close()):
-    // only the drain itself must hold it
-    val owned = synchronized(
-      subs.toList.filter(_.ownerTopic.exists(_ eq t)))
-    t.migrate(capacity, defaultPolicy,
+    t.migrate(capacity, defaultPolicy, () => {
+      // snapshot INSIDE the barrier (the drain thunk runs under the
+      // topic monitor): no subscription can slip between a call-time
+      // snapshot and monitor acquisition. Lock order is topic -> pubsub
+      // here; no path takes pubsub -> topic (publish/stop never hold
+      // the PubSub monitor), so this nesting cannot deadlock.
+      val owned = synchronized(
+        subs.toList.filter(_.ownerTopic.exists(_ eq t)))
       // isActive re-checked per subscription INSIDE the barrier: a
       // query that already terminated (stopped or failed) has nothing
       // left to deliver, and processAllAvailable on a failed query
       // would rethrow its StreamingQueryException mid-migrate, aborting
       // the config swap for a subscriber that is already dead
-      () => owned.foreach(s =>
+      owned.foreach(s =>
         if (s.query.isActive)
           try s.query.processAllAvailable()
           catch {
             case _: org.apache.spark.sql.streaming.StreamingQueryException =>
               // the query died WHILE draining — equally unobservable
-          }))
+          })
+    })
   }
 
   /** Subscribe whole-window batches using the topic's CURRENT default

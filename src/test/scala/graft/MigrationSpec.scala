@@ -133,4 +133,52 @@ class MigrationSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(ps.subscriptionCount === 0)
     ps.close()
   }
+
+  test("a subscription that terminated WITH AN ERROR does not abort a " +
+      "live migrate: the barrier skips it and the swap still applies") {
+    val ps = new PubSub(spark)
+    val t = ps.createTopic[Int]("errored-migrate")
+    val seen = mutable.ArrayBuffer.empty[Int]
+    val live = ps.subscribe(t.stream, owner = Some(t)) { evs =>
+      seen.synchronized { seen ++= evs.map(_.content) }
+    }
+    // an operator chain that dies on a poison value: its query
+    // terminates with a StreamingQueryException — a crash, not a
+    // close() — and stays in the registry
+    import spark.implicits._
+    val poisoned = t.stream.map { e =>
+      if (e.content == 13)
+        throw new RuntimeException("poison event")
+      e
+    }
+    val before = spark.streams.active.map(_.id).toSet
+    val errored = ps.subscribe(poisoned, owner = Some(t)) { _ => () }
+    val erroredId =
+      spark.streams.active.map(_.id).filterNot(before).head
+
+    val pub = ps.registerPublisher[Int]("errored-migrate")
+    pub.publishValues(13)
+    val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+    while (spark.streams.active.exists(_.id == erroredId) &&
+        System.nanoTime() < deadline) Thread.sleep(50)
+    assert(!spark.streams.active.exists(_.id == erroredId),
+      "poisoned query did not terminate with its error")
+
+    pub.publishValues(1, 2, 3)
+    // must not rethrow the dead subscriber's StreamingQueryException:
+    // the barrier drains the live subscription and the config swaps
+    ps.migrateTopic[Int]("errored-migrate",
+      capacity = Some(50), defaultPolicy = CountingWindowPolicy(3, 3))
+    assert(seen.synchronized(seen.toSet) === Set(13, 1, 2, 3))
+    assert(t.defaultPolicy === CountingWindowPolicy(3, 3))
+    intercept[BufferLimitExceededException](
+      pub.publishValues(1 to 51: _*))
+
+    // close() on the errored subscription rethrows its failure (stop()
+    // surfaces the terminal exception) but must still detach/unregister
+    try errored.close() catch { case _: Exception => () }
+    live.close(); pub.close()
+    assert(ps.subscriptionCount === 0)
+    ps.close()
+  }
 }
