@@ -154,7 +154,7 @@ object StreamBench {
     val texts = fixDocs.select("text").collect().map(_.getString(0))
     val t5 = ps.topic[String]("bench-ingest")
     val ing = TypedOps.corpusIngestSelective("5 seconds", lmFit, evalB,
-      minQuality = 0.2, minLogw = -1e6, maxEvalShared = 1000000)(t5.stream)
+      minQuality = 0.2, minLogw = -1e6, minShared = 1000000)(t5.stream)
     var nIngested = 0L
     val q5 = ing.writeStream.outputMode("append")
       .foreachBatch { (b: Dataset[EventEnvelope[String]], _: Long) =>
@@ -170,6 +170,31 @@ object StreamBench {
     q5.processAllAvailable()
     val ingestSec = (System.nanoTime() - i0) / 1e9
     q5.stop()
+
+    // pipeline 5b: the same selective ingest at the cheaper
+    // 32-perm/8-band suppression config — half the signature work (the
+    // measured bottleneck of pipeline 5); LshRecallSpec pins the recall
+    // this trade costs. Same inputs, same artifacts, so the delta
+    // isolates the banding dial.
+    val t6 = ps.topic[String]("bench-ingest32")
+    val ing32 = TypedOps.corpusIngestSelective("5 seconds", lmFit, evalB,
+      minQuality = 0.2, minLogw = -1e6, minShared = 1000000,
+      nPerms = 32, nBands = 8)(t6.stream)
+    var nIngested32 = 0L
+    val q6 = ing32.writeStream.outputMode("append")
+      .foreachBatch { (b: Dataset[EventEnvelope[String]], _: Long) =>
+        nIngested32 += b.count(); ()
+      }.start()
+    val j0 = System.nanoTime()
+    t6.publish((0 until ingestN).map(i => EventEnvelope.at(
+      new Timestamp(base + i * 100L), texts(i % texts.length))))
+    t6.publish(Seq(EventEnvelope.at(
+      new Timestamp(base + ingestN * 100L + 3600L * 1000L),
+      "flush marker document with enough words to pass the quality gate " +
+        "and the shingle threshold for the long branch of the pipeline")))
+    q6.processAllAvailable()
+    val ingest32Sec = (System.nanoTime() - j0) / 1e9
+    q6.stop()
 
     println(f"""{"stream_bench":{"n_events":$n,""" +
       f""""state_store":"${if (rocksdb) "rocksdb" else "memory"}",""" +
@@ -190,7 +215,10 @@ object StreamBench {
       f""""topk_rows":$nTopkRows,""" +
       f""""ingest_n":$ingestN,"ingest_sec":$ingestSec%.2f,""" +
       f""""ingest_docs_per_sec":${ingestN / ingestSec}%.0f,""" +
-      f""""ingest_out":$nIngested}}""")
+      f""""ingest_out":$nIngested,""" +
+      f""""ingest32_sec":$ingest32Sec%.2f,""" +
+      f""""ingest32_docs_per_sec":${ingestN / ingest32Sec}%.0f,""" +
+      f""""ingest32_out":$nIngested32}}""")
     ps.close()
     spark.stop()
   }

@@ -1,0 +1,139 @@
+package graft.core
+
+import org.apache.hadoop.fs.Path
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Bpe, Drift, Importance}
+
+/** Versioned parquet persistence for the engine's OFFLINE ARTIFACTS —
+  * the fitted state every scaladoc calls "the reusable offline
+  * artifact": BPE merge tables, the DSIR importance LM, decontamination
+  * eval-bucket sets, drift baselines, k-means centroid frames. One
+  * generic frame-level save/load plus typed codecs, so an ingest plane
+  * in a fresh session is constructible entirely from loaded artifacts
+  * (ArtifactsSpec pins the round trips and gate construction).
+  *
+  * Layout: `<root>/<name>/v=<version>/` parquet directories. Versions
+  * are immutable (save refuses to overwrite an existing version) and
+  * monotonically discoverable: `load` with no version takes the
+  * highest. Paths go through the Hadoop FileSystem API, so `root` may
+  * be any Spark-reachable filesystem (local for tests, object store at
+  * production scale), and the artifact store is just a table directory
+  * — the same operational surface as every other dataset.
+  */
+object Artifacts {
+
+  val ImportanceLmName = "importance_lm"
+  val BpeMergesName = "bpe_merges"
+  val EvalBucketsName = "decontamination_buckets"
+  val DriftBaselineName = "drift_baseline"
+
+  /** Persist one artifact version. Versions are immutable: writing an
+    * existing (name, version) fails rather than silently replacing the
+    * artifact a running pipeline may be reading.
+    */
+  def save(df: DataFrame, root: String, name: String, version: Int): String = {
+    val path = s"$root/$name/v=$version"
+    df.write.mode("errorifexists").parquet(path)
+    path
+  }
+
+  /** Versions present for an artifact, ascending. */
+  def versions(spark: SparkSession, root: String, name: String): Seq[Int] = {
+    val dir = new Path(s"$root/$name")
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(dir)) Seq.empty
+    else fs.listStatus(dir).toSeq
+      .filter(_.isDirectory)
+      .map(_.getPath.getName)
+      .collect { case s if s.startsWith("v=") => s.drop(2).toInt }
+      .sorted
+  }
+
+  /** Load one artifact version (default: the latest). */
+  def load(spark: SparkSession, root: String, name: String,
+      version: Option[Int] = None): DataFrame = {
+    val v = version.orElse(versions(spark, root, name).lastOption)
+      .getOrElse(throw new NoSuchElementException(
+        s"no versions of artifact '$name' under $root"))
+    spark.read.parquet(s"$root/$name/v=$v")
+  }
+
+  // --- typed codecs --------------------------------------------------
+
+  /** Importance LM <-> (bucket, dw, is_default) rows; the default rides
+    * as one flagged row so the frame is self-contained.
+    */
+  def saveImportanceLm(spark: SparkSession, root: String, version: Int,
+      lm: Importance.Lm): String = {
+    import spark.implicits._
+    val rows = lm.dw.toSeq.map { case (b, d) => (b, d, false) } :+
+      ((-1L, lm.default, true))
+    save(rows.toDF("bucket", "dw", "is_default"), root,
+      ImportanceLmName, version)
+  }
+
+  def loadImportanceLm(spark: SparkSession, root: String,
+      version: Option[Int] = None): Importance.Lm = {
+    val rows = load(spark, root, ImportanceLmName, version)
+      .select("bucket", "dw", "is_default").collect()
+    val default = rows.filter(_.getBoolean(2)).map(_.getLong(1)).toSeq
+    require(default.size == 1,
+      s"importance_lm artifact must carry exactly one default row, " +
+        s"got ${default.size}")
+    Importance.Lm(
+      rows.filterNot(_.getBoolean(2))
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap,
+      default.head)
+  }
+
+  /** BPE merge table <-> (rank, left, right) rows; rank preserves the
+    * training order the encoder's greedy apply depends on.
+    */
+  def saveBpeMerges(spark: SparkSession, root: String, version: Int,
+      merges: Seq[Bpe.Merge]): String = {
+    import spark.implicits._
+    save(merges.map(m => (m.rank, m.left, m.right))
+      .toDF("rank", "left", "right"), root, BpeMergesName, version)
+  }
+
+  def loadBpeMerges(spark: SparkSession, root: String,
+      version: Option[Int] = None): Seq[Bpe.Merge] =
+    load(spark, root, BpeMergesName, version)
+      .orderBy(col("rank"))
+      .select("rank", "left", "right").collect().toSeq
+      .map(r => Bpe.Merge(r.getInt(0), r.getString(1), r.getString(2)))
+
+  /** Decontamination eval-bucket set <-> (bucket) rows. */
+  def saveEvalBuckets(spark: SparkSession, root: String, version: Int,
+      buckets: Set[Long]): String = {
+    import spark.implicits._
+    save(buckets.toSeq.toDF("bucket"), root, EvalBucketsName, version)
+  }
+
+  def loadEvalBuckets(spark: SparkSession, root: String,
+      version: Option[Int] = None): Set[Long] =
+    load(spark, root, EvalBucketsName, version)
+      .select("bucket").collect().map(_.getLong(0)).toSet
+
+  /** Drift baseline shares <-> (bin, share) rows. */
+  def saveDriftBaseline(spark: SparkSession, root: String, version: Int,
+      shares: Seq[Double]): String = {
+    require(shares.size == Drift.Bins,
+      s"drift baseline must carry ${Drift.Bins} shares, got ${shares.size}")
+    import spark.implicits._
+    save(shares.zipWithIndex.map { case (s, b) => (b, s) }
+      .toDF("bin", "share"), root, DriftBaselineName, version)
+  }
+
+  def loadDriftBaseline(spark: SparkSession, root: String,
+      version: Option[Int] = None): Seq[Double] = {
+    val rows = load(spark, root, DriftBaselineName, version)
+      .orderBy(col("bin")).select("bin", "share").collect()
+    require(rows.map(_.getInt(0)).toSeq == (0 until Drift.Bins),
+      s"drift baseline artifact must carry bins 0..${Drift.Bins - 1}")
+    rows.map(_.getDouble(1)).toSeq
+  }
+}

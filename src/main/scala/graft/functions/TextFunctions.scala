@@ -72,7 +72,18 @@ object TextFunctions {
     * presence of stopwords (fluent prose) and penalizes punctuation soup.
     * Deliberately simple and branch-free — a per-row codegen'd expression.
     */
-  def qualityScore(text: Column): Column = {
+  def qualityScore(text: Column): Column =
+    floor(qualityRaw(text) * 10000 + 0.5) / 10000
+
+  /** Integer-quantized quality (floor(raw*10000 + 0.5), LongType) for
+    * MEMBERSHIP CUTS: a gate written `qualityScoreQ(t) >= 6000` compares
+    * exact integers on both engines, with no double comparison at the
+    * cut. qualityScore == qualityScoreQ / 10000 bit-for-bit.
+    */
+  def qualityScoreQ(text: Column): Column =
+    floor(qualityRaw(text) * 10000 + 0.5)
+
+  private def qualityRaw(text: Column): Column = {
     // one text scan via the native profile; the score arithmetic below
     // is the IDENTICAL sequence of double ops as the original composed
     // form, so oracle-compared values are bit-equal
@@ -86,7 +97,7 @@ object TextFunctions {
       p.getField("n_punct").cast("double") / p.getField("n_chars"))
       .otherwise(lit(0.0))
     val punctPenalty = greatest(lit(1.0) - punctRatio * 5.0, lit(0.0))
-    floor((lenScore + stopScore + punctPenalty) / 3.0 * 10000 + 0.5) / 10000
+    (lenScore + stopScore + punctPenalty) / 3.0
   }
 
   // --- BPE-ish token estimate ----------------------------------------

@@ -145,12 +145,32 @@ final class MediaDecoder private () {
   private val bmpReader =
     javax.imageio.ImageIO.getImageReadersByFormatName("bmp").next()
 
-  /** Decode a WAV payload to its 16-bit little-endian samples. */
-  def samples(r: MediaRecord): Array[Short] = {
+  /** Decode a WAV payload to PCM bytes, VALIDATING the container format:
+    * the sample loops below assume 16-bit little-endian signed PCM mono,
+    * and a valid-but-different WAV (8-bit, big-endian, stereo) would
+    * otherwise silently decode to garbage samples and a wrong
+    * fingerprint. Mirrors the require in image(); the quarantine path
+    * turns the throw into a flagged row.
+    */
+  private def pcmBytes(r: MediaRecord): Array[Byte] = {
     val ais = javax.sound.sampled.AudioSystem
       .getAudioInputStream(new ByteArrayInputStream(r.bytes))
-    val data = ais.readAllBytes()
-    ais.close()
+    try {
+      val f = ais.getFormat
+      require(
+        f.getEncoding ==
+          javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED &&
+          f.getSampleSizeInBits == 16 && !f.isBigEndian &&
+          f.getChannels == 1,
+        s"media ${r.media_id}: unsupported wav format ($f) — decoder " +
+          "requires 16-bit little-endian signed PCM mono")
+      ais.readAllBytes()
+    } finally ais.close()
+  }
+
+  /** Decode a WAV payload to its 16-bit little-endian samples. */
+  def samples(r: MediaRecord): Array[Short] = {
+    val data = pcmBytes(r)
     val out = new Array[Short](data.length / 2)
     var i = 0
     while (i < out.length) {
@@ -178,10 +198,7 @@ final class MediaDecoder private () {
     */
   def stats(r: MediaRecord): MediaStats = r.meta.format match {
     case "wav" =>
-      val ais = javax.sound.sampled.AudioSystem
-        .getAudioInputStream(new ByteArrayInputStream(r.bytes))
-      val data = ais.readAllBytes()
-      ais.close()
+      val data = pcmBytes(r)
       val n = data.length / 2
       var i = 0; var sum = 0L
       var min = Long.MaxValue; var max = Long.MinValue
@@ -243,6 +260,21 @@ object MediaDecoder {
   }
 }
 
+/** Exact 128-bit comparison a*b > c*d for NON-NEGATIVE longs — the
+  * fingerprint bit tests below compare blockSum*totalCount against
+  * totalSum*blockCount, whose 64-bit products overflow for ~>45 min of
+  * 48 kHz audio (or gigapixel images); Math.multiplyHigh keeps the
+  * comparison exact at any length instead of silently flipping bits.
+  */
+private[graft] object ExactCmp {
+  def productGreater(a: Long, b: Long, c: Long, d: Long): Boolean = {
+    val hi1 = Math.multiplyHigh(a, b)
+    val hi2 = Math.multiplyHigh(c, d)
+    if (hi1 != hi2) hi1 > hi2
+    else java.lang.Long.compareUnsigned(a * b, c * d) > 0
+  }
+}
+
 /** Audio energy fingerprint: 64 equal time windows (window of sample i
   * = i*64/n), each bit = "window mean |amplitude| strictly above the
   * global mean |amplitude|", same integer-exact cross-product
@@ -267,7 +299,9 @@ private[multimodal] object AudioHash {
     val sb = new java.lang.StringBuilder(64)
     var b = 0
     while (b < 64) {
-      if (bn(b) > 0) sb.append(if (bs(b) * tn > ts * bn(b)) '1' else '0')
+      if (bn(b) > 0)
+        sb.append(
+          if (ExactCmp.productGreater(bs(b), tn, ts, bn(b))) '1' else '0')
       b += 1
     }
     (mediaId, sb.toString)
@@ -308,7 +342,8 @@ private[multimodal] object AHash {
     val sb = new java.lang.StringBuilder(64)
     var b = 0
     while (b < 64) {
-      sb.append(if (bs(b) * tn > ts * bn(b)) '1' else '0')
+      sb.append(
+        if (ExactCmp.productGreater(bs(b), tn, ts, bn(b))) '1' else '0')
       b += 1
     }
     (mediaId, sb.toString)

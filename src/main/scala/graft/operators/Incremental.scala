@@ -79,10 +79,12 @@ object Incremental {
       .join(sets.select(col("doc_id").as("o"), col("sh").as("sho")), "o")
       .withColumn("inter",
         size(array_intersect(col("shd"), col("sho"))).cast("long"))
-      .withColumn("j", Det.r4(col("inter").cast("double") /
+      // INTEGER-quantized jaccard cut (Det.r4q vs round(minJ*10000)):
+      // exact integer comparison on both engines, no double at the cut
+      .withColumn("jq", Det.r4q(col("inter").cast("double") /
         (size(col("shd")).cast("long") + size(col("sho")).cast("long") -
           col("inter"))))
-      .where(col("j") >= minJ)
+      .where(col("jq") >= math.round(minJ * 10000))
     // BOTH near flags from one aggregation — two filtered-distinct
     // branches would each re-execute the whole candidate+verify subtree
     // (caching shares only `sets`), doubling the expensive stage

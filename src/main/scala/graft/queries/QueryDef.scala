@@ -34,8 +34,27 @@ object Det {
   def r2(c: Column): Column = floor(c * 100 + 0.5) / 100
   def r4(c: Column): Column = floor(c * 10000 + 0.5) / 10000
 
+  /** Integer quantization for MEMBERSHIP CUTS: floor(x*10000 + 0.5) as a
+    * long. A threshold filter written `r4q(x) >= round(t*10000)` compares
+    * exact integers on both engines, so the cut itself has no
+    * representable-boundary case (`r4(x) >= t` compares two doubles —
+    * structurally safe only when t*10000 is exactly representable AND
+    * both engines quantize identically, which holds but is worth not
+    * relying on). r4(x) == r4q(x)/10000 bit-for-bit: Spark's floor
+    * already returns LongType, so r4's division IS long/int -> double.
+    */
+  def r4q(c: Column): Column = floor(c * 10000 + 0.5)
+
   def sqlR2(expr: String): String = s"floor(($expr) * 100 + 0.5) / 100"
   def sqlR4(expr: String): String = s"floor(($expr) * 10000 + 0.5) / 10000"
+
+  /** Oracle-side integer quantization: DuckDB's floor returns DOUBLE, but
+    * its value is an exact integer, so the BIGINT cast is lossless (the
+    * half-even rounding CAST applies to non-integral doubles never
+    * fires).
+    */
+  def sqlR4q(expr: String): String =
+    s"CAST(floor(($expr) * 10000 + 0.5) AS BIGINT)"
 }
 
 object Tables {

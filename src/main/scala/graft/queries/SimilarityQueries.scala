@@ -22,6 +22,12 @@ object SimilarityQueries {
 
   private val Ngram = 5
   private val JaccardThreshold = 0.8
+  // membership cuts compare INTEGER-quantized scores (Det.r4q) against
+  // these integer thresholds — no double comparison at any cut
+  private val JaccardThresholdQ = math.round(JaccardThreshold * 10000)
+  private val CandidateJQ = 5000L // q_edit_distance's candidate cut (0.5)
+  private val CosineThresholdQ = 3500L // q_embed_neardup_exact (0.35)
+  private val QualityGateQ = 6000L // q_corpus_build's quality gate (0.6)
 
   /** Fixed-count caps for the validation cohorts below. Both are COUNTS,
     * not fractions: the selected set stops growing once the corpus passes
@@ -80,13 +86,20 @@ object SimilarityQueries {
         size(array_intersect(col("sha"), col("shb"))).cast("long"))
       .withColumn("na", size(col("sha")).cast("long"))
       .withColumn("nb", size(col("shb")).cast("long"))
-      .withColumn("j", Det.r4(col("inter").cast("double") /
+      // jq is the INTEGER-quantized jaccard for membership cuts; j (the
+      // emitted score) is jq/10000 — the identical double Det.r4 yields
+      .withColumn("jq", Det.r4q(col("inter").cast("double") /
         (col("na") + col("nb") - col("inter"))))
+      .withColumn("j", col("jq") / 10000)
       .drop("sha", "shb")
     graft.core.CacheHygiene.unpersistAfterFirstUse(sets, result)
   }
 
-  private def jaccardOracle(minJ: Double): String =
+  /** minJQ is the INTEGER threshold (minJ * 10000): the WHERE below
+    * compares the BIGINT-quantized jaccard, mirroring the Spark side's
+    * jq cut — integers on both engines, no double comparison.
+    */
+  private def jaccardOracle(minJQ: Long): String =
     s"""WITH docs AS (
       SELECT doc_id, list_distinct(list_transform(
         generate_series(1, greatest(len(toks) - ${Ngram - 1}, 0)),
@@ -110,7 +123,48 @@ object SimilarityQueries {
     SELECT a, b, inter, na, nb,
       floor(CAST(inter AS DOUBLE) / (na + nb - inter) * 10000 + 0.5) / 10000 AS j
     FROM scored
-    WHERE floor(CAST(inter AS DOUBLE) / (na + nb - inter) * 10000 + 0.5) / 10000 >= $minJ"""
+    WHERE ${Det.sqlR4q("CAST(inter AS DOUBLE) / (na + nb - inter)")} >= $minJQ"""
+
+  /** MinHash-LSH near-dup pairs at a configurable banding (nPerms total
+    * hashes over nBands bands of nPerms/nBands rows), candidates
+    * verified with exact Jaccard at the same integer-quantized cut as
+    * the exact path. Exposed (package-private) so LshRecallSpec can
+    * measure recall of alternative bandings — notably the 32/8 ingest
+    * config — against the exact path with the identical plan.
+    */
+  private[graft] def minhashLshPairs(s: SparkSession, dir: String,
+      nPerms: Int, nBands: Int): DataFrame = {
+    require(nPerms % nBands == 0, s"nPerms=$nPerms not divisible by $nBands")
+    val sets = shingleSets(s, dir).cache()
+    // Materialize the BANDED projection (not the signature): one
+    // cached stage covers both self-join sides, which would
+    // otherwise each recompute scan -> shingles -> k-hash signature
+    // (native expressions evaluate per reference, no cross-plan
+    // CSE). At cluster scale this stage would be a checkpoint /
+    // parquet write instead of a cache.
+    val sigs = sets.select(col("doc_id"),
+      HashFunctions.minhashSignature(col("sh"), nPerms).as("sig"))
+    val banded = sigs.select(col("doc_id"),
+      explode(HashFunctions.lshBands(col("sig"), nBands, nPerms / nBands))
+        .as("bh"))
+      .select(col("doc_id"), col("bh.band"), col("bh.h"))
+      .cache()
+    val cands = banded.as("x").join(banded.as("y"),
+        col("x.band") === col("y.band") && col("x.h") === col("y.h") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+      .distinct()
+    val result = cands
+      .join(sets.select(col("doc_id").as("a"), col("sh").as("sha")), "a")
+      .join(sets.select(col("doc_id").as("b"), col("sh").as("shb")), "b")
+      .withColumn("jq", Det.r4q(HashFunctions.jaccard(col("sha"), col("shb"))))
+      .where(col("jq") >= JaccardThresholdQ)
+      .select(col("a"), col("b"), (col("jq") / 10000).as("j"))
+    // both pinned stages release on the first action — repeated
+    // library use must not accumulate executor storage
+    graft.core.CacheHygiene.unpersistAfterFirstUse(sets,
+      graft.core.CacheHygiene.unpersistAfterFirstUse(banded, result))
+  }
 
   /** DuckDB double dot product with the same left-to-right fold order as
     * VectorFunctions.dot.
@@ -140,12 +194,14 @@ object SimilarityQueries {
 
     // Exact n-gram Jaccard near-dup pairs via shared-shingle candidate
     // join — fully oracle-checked (integer intersection/union counts, so
-    // the jaccard double is bit-identical on both engines).
+    // the jaccard double is bit-identical on both engines; the threshold
+    // cut compares the INTEGER-quantized jq on both, so the cut itself
+    // has no representable-boundary case).
     "q_ngram_jaccard" -> QueryDef(
       (s, dir) => jaccardPairs(s, dir)
-        .where(col("j") >= JaccardThreshold)
+        .where(col("jq") >= JaccardThresholdQ)
         .select("a", "b", "inter", "na", "nb", "j"),
-      Some(jaccardOracle(JaccardThreshold)),
+      Some(jaccardOracle(JaccardThresholdQ)),
       bench = true),
 
     // Character-level edit-distance verification on the shingle
@@ -160,7 +216,7 @@ object SimilarityQueries {
     "q_edit_distance" -> QueryDef(
       (s, dir) => {
         val docs = Tables.load(s, dir, "documents")
-        jaccardPairs(s, dir).where(col("j") >= 0.5)
+        jaccardPairs(s, dir).where(col("jq") >= CandidateJQ)
           .join(docs.select(col("doc_id").as("a"), col("text").as("ta")), "a")
           .join(docs.select(col("doc_id").as("b"), col("text").as("tb")), "b")
           .select(col("a"), col("b"), col("j"),
@@ -169,7 +225,7 @@ object SimilarityQueries {
               greatest(length(col("ta")), length(col("tb"))))
               .as("char_sim"))
       },
-      Some(s"""WITH pairs AS (${jaccardOracle(0.5)})
+      Some(s"""WITH pairs AS (${jaccardOracle(CandidateJQ)})
         SELECT a, b, j,
           CAST(levenshtein(da.text, db.text) AS BIGINT) AS lev,
           ${Det.sqlR4(
@@ -187,9 +243,9 @@ object SimilarityQueries {
     // recursive CTE computing the same min-reachable-id fixpoint.
     "q_neardup_components" -> QueryDef(
       (s, dir) => graft.operators.Components.connectedComponents(
-        jaccardPairs(s, dir).where(col("j") >= JaccardThreshold)
+        jaccardPairs(s, dir).where(col("jq") >= JaccardThresholdQ)
           .select(col("a"), col("b"))),
-      Some(s"""WITH RECURSIVE pairs AS (${jaccardOracle(JaccardThreshold)}),
+      Some(s"""WITH RECURSIVE pairs AS (${jaccardOracle(JaccardThresholdQ)}),
         edges AS (SELECT a, b FROM pairs UNION SELECT b AS a, a AS b FROM pairs),
         reach(doc_id, lab) AS (
           SELECT a, a FROM edges
@@ -204,14 +260,14 @@ object SimilarityQueries {
     "q_dedup_keepers" -> QueryDef(
       (s, dir) => {
         val drop = graft.operators.Components.connectedComponents(
-          jaccardPairs(s, dir).where(col("j") >= JaccardThreshold)
+          jaccardPairs(s, dir).where(col("jq") >= JaccardThresholdQ)
             .select(col("a"), col("b")))
           .where(col("doc_id") =!= col("component_id"))
         Tables.load(s, dir, "documents")
           .join(drop, Seq("doc_id"), "left_anti")
           .select(col("doc_id"))
       },
-      Some(s"""WITH RECURSIVE pairs AS (${jaccardOracle(JaccardThreshold)}),
+      Some(s"""WITH RECURSIVE pairs AS (${jaccardOracle(JaccardThresholdQ)}),
         edges AS (SELECT a, b FROM pairs UNION SELECT b AS a, a AS b FROM pairs),
         reach(doc_id, lab) AS (
           SELECT a, a FROM edges
@@ -246,11 +302,11 @@ object SimilarityQueries {
           .where(col("rn") === 1)
           .select(col("doc_id"), col("text"))
         val drop = graft.operators.Components.connectedComponents(
-          jaccardPairs(s, dir).where(col("j") >= JaccardThreshold)
+          jaccardPairs(s, dir).where(col("jq") >= JaccardThresholdQ)
             .select(col("a"), col("b")))
           .where(col("doc_id") =!= col("component_id"))
         val clean = exactKeep.join(drop, Seq("doc_id"), "left_anti")
-          .where(TextFunctions.qualityScore(col("text")) >= 0.6)
+          .where(TextFunctions.qualityScoreQ(col("text")) >= QualityGateQ)
         val t = TextFunctions.tokens(col("text"))
         val lastIdx =
           floor((col("n") - 1).cast("double") / 24).cast("int")
@@ -269,7 +325,7 @@ object SimilarityQueries {
         val stop = Seq("the", "a", "an", "and", "or", "of", "to", "in", "is",
           "it", "that", "for", "on", "with", "as", "was", "at", "by", "be",
           "this").map(w => s"'$w'").mkString("[", ", ", "]")
-        s"""WITH RECURSIVE pairs AS (${jaccardOracle(JaccardThreshold)}),
+        s"""WITH RECURSIVE pairs AS (${jaccardOracle(JaccardThresholdQ)}),
         edges AS (SELECT a, b FROM pairs UNION SELECT b AS a, a AS b FROM pairs),
         reach(doc_id, lab) AS (
           SELECT a, a FROM edges
@@ -293,16 +349,16 @@ object SimilarityQueries {
           FROM (SELECT doc_id, text,
             list_filter(regexp_split_to_array(text, '\\s+'),
               x -> len(x) > 0) AS tk FROM exact) tq),
-        qual AS (SELECT doc_id, floor((
+        qual AS (SELECT doc_id, CAST(floor((
           least(CAST(nt AS DOUBLE) / 50.0, 1.0) +
           least((CASE WHEN nt > 0 THEN CAST(nstop AS DOUBLE) / nt ELSE 0.0 END) * 4.0, 1.0) +
           greatest(1.0 - (CASE WHEN nchars > 0 THEN CAST(npunct AS DOUBLE) / nchars ELSE 0.0 END) * 5.0, 0.0)
-        ) / 3.0 * 10000 + 0.5) / 10000 AS quality FROM qm),
+        ) / 3.0 * 10000 + 0.5) AS BIGINT) AS quality_q FROM qm),
         clean AS (
           SELECT e.doc_id, e.text FROM exact e
           JOIN qual q ON e.doc_id = q.doc_id
           WHERE e.doc_id NOT IN (SELECT doc_id FROM dropids)
-            AND q.quality >= 0.6),
+            AND q.quality_q >= $QualityGateQ),
         ct AS (SELECT doc_id,
             list_filter(regexp_split_to_array(text, '\\s+'),
               x -> len(x) > 0) AS toks
@@ -365,8 +421,8 @@ object SimilarityQueries {
           JOIN docs2 dd ON c.d = dd.doc_id
           JOIN docs2 dy ON c.o = dy.doc_id),
         near AS (SELECT d, oe FROM scored
-          WHERE floor(CAST(inter AS DOUBLE) / (na + nb - inter)
-            * 10000 + 0.5) / 10000 >= $JaccardThreshold),
+          WHERE ${Det.sqlR4q("CAST(inter AS DOUBLE) / (na + nb - inter)")}
+            >= $JaccardThresholdQ),
         near_exist AS (SELECT DISTINCT d AS doc_id FROM near WHERE oe),
         near_int AS (SELECT DISTINCT d AS doc_id FROM near WHERE NOT oe)
         SELECT doc_id, CASE
@@ -383,38 +439,10 @@ object SimilarityQueries {
     // deterministic, but xxhash64 is not reproducible in DuckDB, so this
     // is rows-only checked; its recall against q_ngram_jaccard at j>=0.8
     // (theoretical 1 - (1-j^4)^16 > 0.999) is pinned EMPIRICALLY by
-    // LshRecallSpec: every exact-path pair must be found by this path.
+    // LshRecallSpec: every exact-path pair must be found by this path
+    // (which also sweeps the cheaper 32-perm/8-band ingest config).
     "q_minhash_lsh" -> QueryDef(
-      (s, dir) => {
-        val sets = shingleSets(s, dir).cache()
-        // Materialize the BANDED projection (not the signature): one
-        // cached stage covers both self-join sides, which would
-        // otherwise each recompute scan -> shingles -> 64-hash signature
-        // (native expressions evaluate per reference, no cross-plan
-        // CSE). At cluster scale this stage would be a checkpoint /
-        // parquet write instead of a cache.
-        val sigs = sets.select(col("doc_id"),
-          HashFunctions.minhashSignature(col("sh"), 64).as("sig"))
-        val banded = sigs.select(col("doc_id"),
-          explode(HashFunctions.lshBands(col("sig"), 16, 4)).as("bh"))
-          .select(col("doc_id"), col("bh.band"), col("bh.h"))
-          .cache()
-        val cands = banded.as("x").join(banded.as("y"),
-            col("x.band") === col("y.band") && col("x.h") === col("y.h") &&
-              col("x.doc_id") < col("y.doc_id"))
-          .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
-          .distinct()
-        val result = cands
-          .join(sets.select(col("doc_id").as("a"), col("sh").as("sha")), "a")
-          .join(sets.select(col("doc_id").as("b"), col("sh").as("shb")), "b")
-          .withColumn("j", Det.r4(HashFunctions.jaccard(col("sha"), col("shb"))))
-          .where(col("j") >= JaccardThreshold)
-          .select("a", "b", "j")
-        // both pinned stages release on the first action — repeated
-        // library use must not accumulate executor storage
-        graft.core.CacheHygiene.unpersistAfterFirstUse(sets,
-          graft.core.CacheHygiene.unpersistAfterFirstUse(banded, result))
-      },
+      (s, dir) => minhashLshPairs(s, dir, 64, 16),
       None,
       bench = true),
 
@@ -589,12 +617,14 @@ object SimilarityQueries {
     // band join — but this capped exact pass stays cheap everywhere and
     // anchors the math the approximate path trusts.
     //
-    // Threshold note: the filter compares the r4-QUANTIZED score, so a
-    // raw cosine landing exactly on a .xxxx5 rounding boundary could in
-    // principle quantize differently across engines and flip membership;
-    // no epsilon on the threshold can remove that (it is a property of
-    // the quantization, not the cut), so the guard is operational —
-    // Verify re-runs at sf0.1 after any data or cohort change.
+    // Threshold note: the cut compares the INTEGER-quantized score
+    // (Det.r4q vs 3500) on BOTH engines — the cut itself is exact
+    // integer arithmetic with no representable-boundary case. What
+    // remains shared with every quantized output column (not specific
+    // to the cut): the quantization of the raw cosine is the identical
+    // IEEE op sequence on both engines, so a last-ulp divergence would
+    // already fail the hash compare on emitted rows; Verify re-runs at
+    // sf0.1 after any data or cohort change as the operational check.
     "q_embed_neardup_exact" -> QueryDef(
       (s, dir) => {
         val e = Tables.load(s, dir, "embeddings")
@@ -605,16 +635,18 @@ object SimilarityQueries {
         x.crossJoin(broadcast(y))
           .where(col("a") < col("b"))
           .select(col("a"), col("b"),
-            Det.r4(VectorFunctions.cosine(col("ea"), col("eb"))).as("score"))
-          .where(col("score") >= 0.35)
+            Det.r4q(VectorFunctions.cosine(col("ea"), col("eb")))
+              .as("score_q"))
+          .where(col("score_q") >= CosineThresholdQ)
+          .select(col("a"), col("b"), (col("score_q") / 10000).as("score"))
       },
       Some(s"""WITH e AS (SELECT vec_id, embedding FROM embeddings
           WHERE vec_id % 4 = 0 AND vec_id < ${4L * MaxExactCohort})
-        SELECT a, b, score FROM (
+        SELECT a, b, score_q / 10000 AS score FROM (
           SELECT x.vec_id AS a, y.vec_id AS b,
-            floor(${oracleDot("x.embedding", "y.embedding")} /
+            ${Det.sqlR4q(s"""${oracleDot("x.embedding", "y.embedding")} /
               (sqrt(${oracleDot("x.embedding", "x.embedding")}) *
-               sqrt(${oracleDot("y.embedding", "y.embedding")})) * 10000 + 0.5) / 10000 AS score
+               sqrt(${oracleDot("y.embedding", "y.embedding")}))""")} AS score_q
           FROM e x JOIN e y ON x.vec_id < y.vec_id) t
-        WHERE score >= 0.35""")))
+        WHERE score_q >= $CosineThresholdQ""")))
 }

@@ -118,13 +118,16 @@ object TokenizerQueries {
           ${Det.sqlR4("CAST(n_oov AS DOUBLE) / n_tokens")} AS oov_rate
         FROM per""")),
 
-    // The learned merge table (32 merges on this corpus's vocabulary).
-    // no_oracle: the round-over-round argmax is inherently iterative;
-    // BpeSpec pins the trainer against an in-spec reference
+    // The learned merge table (32 merges on this corpus's vocabulary),
+    // via the production trainLocal path (one collect of the
+    // Heaps-bounded vocabulary, in-memory indexed training, zero
+    // per-merge jobs — BpeSpec pins trainLocal == train merge-for-
+    // merge). no_oracle: the round-over-round argmax is inherently
+    // iterative; BpeSpec pins the trainer against an in-spec reference
     // implementation on both a hand-checked fixture and this corpus.
     "q_bpe_vocab" -> QueryDef(
       (s, dir) => {
-        val merges = Bpe.train(
+        val merges = Bpe.trainLocal(
           Bpe.wordCounts(Tables.load(s, dir, "documents"), col("text")), 32)
         s.createDataFrame(merges.map(m =>
           (m.rank.toLong, m.left, m.right, m.merged)))
@@ -132,15 +135,55 @@ object TokenizerQueries {
       },
       None),
 
+    // Greedy BPE encode under a FIXED 4-merge table, fully DuckDB-
+    // oracled — the cross-engine anchor for BpeEncode's rank-priority
+    // apply semantics (q_bpe_encode below runs the same expression under
+    // a TRAINED table, where the table itself is not SQL-derivable).
+    //
+    // Why an oracle exists here: for a merge table in valid training
+    // order — every pair references only symbols that exist at its rank
+    // (single characters or earlier merges) — greedy lowest-rank-first
+    // encoding equals applying the merges rank-sequentially, each
+    // exhaustively left-to-right: a later merge can only create
+    // adjacencies involving ITS merged symbol, which no earlier pair
+    // mentions, so once rank i is exhausted it never reappears. DuckDB
+    // expresses exactly that as nested `replace` calls, with each merged
+    // symbol rewritten to a sentinel character (chr 1..4) so multi-char
+    // symbols stay single string positions and no pattern can match
+    // across a symbol boundary; `replace` scans left-to-right
+    // non-overlapping, BpeMergeAdjacent's consumption order.
+    "q_bpe_encode_small" -> QueryDef(
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        val merges = Seq(("t", "h"), ("th", "e"), ("a", "n"), ("i", "n"))
+        docs.select(col("doc_id"),
+          size(Bpe.encodeTokens(col("text"), Bpe.asMerges(merges)))
+            .cast("long").as("n_bpe_tokens"))
+      },
+      Some(s"""WITH w AS ($oracleWords),
+        enc AS (SELECT doc_id, len(
+            replace(replace(replace(replace(word,
+              'th', chr(1)),
+              chr(1) || 'e', chr(2)),
+              'an', chr(3)),
+              'in', chr(4))) AS n_syms
+          FROM w),
+        per AS (SELECT doc_id, sum(n_syms) AS n_bpe_tokens
+          FROM enc GROUP BY 1)
+        SELECT d.doc_id,
+          CAST(coalesce(p.n_bpe_tokens, 0) AS BIGINT) AS n_bpe_tokens
+        FROM documents d LEFT JOIN per p USING (doc_id)""")),
+
     // End-to-end encode with the trained table: per-document BPE token
     // counts (map-only scan once training is done). no_oracle (greedy
-    // rank-priority apply isn't SQL-expressible); BpeSpec pins encode
-    // against the reference implementation and the q_bpe_merge1 anchor
-    // pins the single-merge case cross-engine.
+    // rank-priority apply isn't SQL-expressible for a trained table);
+    // BpeSpec pins encode against the reference implementation, and
+    // q_bpe_encode_small above anchors the greedy-apply semantics
+    // cross-engine on a fixed table.
     "q_bpe_encode" -> QueryDef(
       (s, dir) => {
         val docs = Tables.load(s, dir, "documents")
-        val merges = Bpe.train(Bpe.wordCounts(docs, col("text")), 32)
+        val merges = Bpe.trainLocal(Bpe.wordCounts(docs, col("text")), 32)
         docs.select(col("doc_id"),
           size(Bpe.encodeTokens(col("text"), merges)).cast("long")
             .as("n_bpe_tokens"))

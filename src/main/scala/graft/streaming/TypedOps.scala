@@ -231,14 +231,17 @@ object TypedOps {
     * the other's silence.
     */
   def corpusIngest(delay: String, minQuality: Double = 0.4,
-      nGram: Int = 5): Op[String, String] = { ds =>
+      nGram: Int = 5, nPerms: Int = 64, nBands: Int = 16)
+      : Op[String, String] = { ds =>
     import org.apache.spark.sql.functions._
     implicit val e: Encoder[EventEnvelope[String]] = enc[String]
     val gated = ds.toDF()
-      .where(graft.functions.TextFunctions.qualityScore(col("content"))
-        >= minQuality)
+      // integer-quantized cut (same structural guard as the batch
+      // quality gates): no double comparison at the threshold
+      .where(graft.functions.TextFunctions.qualityScoreQ(col("content"))
+        >= math.round(minQuality * 10000))
       .as[EventEnvelope[String]]
-    nearDupWithinWatermark(delay, nGram).apply(gated)
+    nearDupWithinWatermark(delay, nGram, nPerms, nBands).apply(gated)
   }
 
   /** Stream-static enrichment: left-join the event stream against a
@@ -296,17 +299,23 @@ object TypedOps {
       evalBuckets: Set[Long],
       minQuality: Double = 0.4,
       minLogw: Double = 0.0,
-      maxEvalShared: Int = 2,
-      nGram: Int = 5): Op[String, String] = { ds =>
+      // DROP threshold, same name and reading as decontaminationGate's:
+      // a document sharing >= minShared eval buckets is dropped
+      minShared: Int = 2,
+      nGram: Int = 5,
+      // suppression-stage banding dial: fewer perms at constant
+      // rows-per-band trades measured recall for signature throughput
+      // (SCALE.md records the 64/16-vs-32/8 recall and docs/s table)
+      nPerms: Int = 64, nBands: Int = 16): Op[String, String] = { ds =>
     import org.apache.spark.sql.functions._
     implicit val e: Encoder[EventEnvelope[String]] = enc[String]
     val gated = ds.toDF()
-      .where(graft.functions.TextFunctions.qualityScore(col("content"))
-        >= minQuality)
+      .where(graft.functions.TextFunctions.qualityScoreQ(col("content"))
+        >= math.round(minQuality * 10000))
       .where(graft.operators.Importance.logw(col("content"), lm) >= minLogw)
       .where(graft.operators.Decontamination.hitCount(
-        col("content"), evalBuckets) < maxEvalShared)
+        col("content"), evalBuckets) < minShared)
       .as[EventEnvelope[String]]
-    nearDupWithinWatermark(delay, nGram).apply(gated)
+    nearDupWithinWatermark(delay, nGram, nPerms, nBands).apply(gated)
   }
 }

@@ -1,0 +1,127 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.core.{Artifacts, EventEnvelope, Sessions}
+import graft.operators.{Bpe, Decontamination, Drift, Importance}
+import graft.streaming.TypedOps
+
+/** The offline-artifact store: versioned parquet round trips for every
+  * fitted artifact, immutable versions, latest-wins default load — and
+  * the contract the store exists for: an ingest plane in a fresh
+  * session is constructible entirely from LOADED artifacts and behaves
+  * exactly like one built from the in-memory originals.
+  */
+class ArtifactsSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark: SparkSession =
+    Sessions.tune(SparkSession.builder().master("local[4]")
+      .config("spark.sql.streaming.checkpointLocation",
+        s"/tmp/graft-artifacts-ckpt-${System.nanoTime()}"), 4).getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private lazy val root =
+    java.nio.file.Files.createTempDirectory("graft-artifacts").toString
+
+  private val SfDir = "/root/testdata/sf0.001"
+
+  test("importance LM round-trips and versions are immutable with " +
+      "latest-wins default load") {
+    val docs = spark.read.parquet(s"$SfDir/documents.parquet")
+    val lm = Importance.fit(docs, col("text"), col("source") === "src0")
+    Artifacts.saveImportanceLm(spark, root, 1, lm)
+    assert(Artifacts.loadImportanceLm(spark, root, Some(1)) == lm)
+
+    // immutable: re-writing v1 must fail, not replace
+    intercept[Exception](Artifacts.saveImportanceLm(spark, root, 1, lm))
+
+    // latest wins: a v2 with a different default becomes the default load
+    val lm2 = lm.copy(default = lm.default + 7)
+    Artifacts.saveImportanceLm(spark, root, 2, lm2)
+    assert(Artifacts.versions(spark, root, Artifacts.ImportanceLmName)
+      == Seq(1, 2))
+    assert(Artifacts.loadImportanceLm(spark, root) == lm2)
+    assert(Artifacts.loadImportanceLm(spark, root, Some(1)) == lm)
+  }
+
+  test("BPE merges, eval buckets, and drift baseline round-trip " +
+      "exactly (order and values)") {
+    val docs = spark.read.parquet(s"$SfDir/documents.parquet")
+
+    val merges = Bpe.train(Bpe.wordCounts(docs, col("text")), 12)
+    Artifacts.saveBpeMerges(spark, root, 1, merges)
+    assert(Artifacts.loadBpeMerges(spark, root) == merges)
+
+    val buckets = Decontamination.fitBuckets(
+      docs.where(col("source") === "src19"), col("text"))
+    Artifacts.saveEvalBuckets(spark, root, 1, buckets)
+    assert(Artifacts.loadEvalBuckets(spark, root) == buckets)
+
+    val baseline = Drift.fitBaseline(docs, col("text"))
+    Artifacts.saveDriftBaseline(spark, root, 1, baseline)
+    assert(Artifacts.loadDriftBaseline(spark, root) == baseline)
+
+    assert(intercept[NoSuchElementException](
+      Artifacts.load(spark, root, "no_such_artifact"))
+      .getMessage.contains("no_such_artifact"))
+  }
+
+  test("ingest gates constructed from LOADED artifacts behave exactly " +
+      "like gates built from the in-memory originals") {
+    import spark.implicits._
+    val docs = spark.read.parquet(s"$SfDir/documents.parquet")
+    val lm = Importance.fit(docs, col("text"), col("source") === "src0")
+    val buckets = Decontamination.fitBuckets(
+      docs.where(col("source") === "src19"), col("text"))
+    Artifacts.saveImportanceLm(spark, root, 9, lm)
+    Artifacts.saveEvalBuckets(spark, root, 9, buckets)
+    val loadedLm = Artifacts.loadImportanceLm(spark, root, Some(9))
+    val loadedBuckets = Artifacts.loadEvalBuckets(spark, root, Some(9))
+    assert(loadedLm == lm && loadedBuckets == buckets)
+
+    // drive the full selective ingest from the loaded artifacts: a
+    // contaminated document (verbatim eval text) must be dropped, a
+    // clean fixture document must pass. The clean doc is selected BY
+    // THE BATCH COLUMNS (fixture docs share vocabulary, so an arbitrary
+    // src0 doc may genuinely share >= 2 eval buckets) — the IngestSpec
+    // self-check discipline.
+    val evalText = docs.where(col("source") === "src19")
+      .select("text").head().getString(0)
+    val cleanText = docs
+      .where(graft.functions.TextFunctions.qualityScore(col("text")) >= 0.3)
+      .where(Decontamination.hitCount(col("text"), loadedBuckets) < 2)
+      .select("text").head().getString(0)
+    val base = 1700000000000L
+    val ps = new graft.streaming.PubSub(spark)
+    val t = ps.topic[String]("artifact-gates")
+    val ing = TypedOps.corpusIngestSelective("5 seconds", loadedLm,
+      loadedBuckets, minQuality = 0.1, minLogw = -1e6, minShared = 2)(
+      t.stream)
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    val q = ing.writeStream.outputMode("append")
+      .foreachBatch {
+        (b: org.apache.spark.sql.Dataset[EventEnvelope[String]], _: Long) =>
+          out.synchronized { out ++= b.collect().map(_.content) }; ()
+      }.start()
+    t.publish(Seq(
+      EventEnvelope.at(new Timestamp(base), evalText),
+      EventEnvelope.at(new Timestamp(base + 100L), cleanText)))
+    q.processAllAvailable()
+    t.publish(Seq(
+      EventEnvelope.at(new Timestamp(base + 3600L * 1000L),
+        "late watermark flush document with plenty of ordinary words")))
+    q.processAllAvailable()
+    q.stop()
+    val seen = out.synchronized(out.toSet)
+    assert(seen.contains(cleanText), "clean doc must pass loaded gates")
+    assert(!seen.contains(evalText),
+      "verbatim eval text must be dropped by the loaded bucket gate")
+    ps.close()
+  }
+}

@@ -104,7 +104,35 @@ class BpePropertiesSpec extends AnyFunSuite with BeforeAndAfterAll {
       val got = Bpe.train(wc, 12).map(m => (m.left, m.right))
       val want = BpeModel.train(vocab, 12)
       assert(got == want, s"trial $trial diverged on vocab $vocab")
+      // the in-memory indexed trainer must hit the same sequence on the
+      // same tie-heavy draws (its TreeSet tie-break and delta updates
+      // are the parts a plateau stresses)
+      val loc = Bpe.trainInMemory(vocab.toArray, 12).map(m => (m.left, m.right))
+      assert(loc == want, s"trial $trial trainInMemory diverged on $vocab")
     }
+  }
+
+  test("batched rounds reproduce the sequential merge sequence " +
+      "merge-for-merge (maxBatch=16 vs maxBatch=1) on random " +
+      "interaction-heavy vocabularies") {
+    import spark.implicits._
+    val rng = new scala.util.Random(11)
+    for (trial <- 1 to 3) {
+      val vocab = randomVocab(rng, "abcd", nWords = 60, maxLen = 9)
+      val wc = vocab.toSeq.toDF("word", "cnt")
+      val batched = Bpe.train(wc, 24, maxBatch = 16).map(m => (m.left, m.right))
+      val sequential = Bpe.train(wc, 24, maxBatch = 1).map(m => (m.left, m.right))
+      assert(batched == sequential, s"trial $trial diverged on $vocab")
+    }
+  }
+
+  test("merge-table serialization round-trips symbols containing " +
+      "delimiter characters (space, comma, percent)") {
+    val table = Seq(("e", ","), ("e,", "x"), ("%", "2"),
+      ("a b", ","), ("%20", "%2C"), ("plain", "sym"))
+    assert(BpeEncode.parseMerges(BpeEncode.serializeMerges(table)) == table)
+    // undelimited symbols keep the human-readable legacy form
+    assert(BpeEncode.serializeMerges(Seq(("a", "b"), ("ab", "c"))) == "a b,ab c")
   }
 
   test("encode expression equals the model for random words under a " +

@@ -64,6 +64,52 @@ class BpeSpec extends AnyFunSuite with BeforeAndAfterAll {
       "train() must free every checkpoint generation it creates")
   }
 
+  test("batched rounds never lose to sequential and stay exact on the " +
+      "real corpus vocabulary (measured occupancy for SCALE.md)") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val wc = Bpe.wordCounts(docs, col("text"))
+    val (merges, rounds) = Bpe.trainRounds(wc, 64, maxBatch = 16)
+    assert(merges.size == 64)
+    val occupancy = merges.size.toDouble / rounds
+    info(f"64 merges in $rounds rounds (occupancy $occupancy%.1f " +
+      f"merges/round at maxBatch=16)")
+    // Exactness-preserving batches stay NARROW on natural text (top
+    // pairs chain: each round's runners-up consume the winner's
+    // symbols), so batching is a bounded win — strictly fewer jobs
+    // than sequential, but nowhere near maxBatch wide. That measured
+    // fact is why trainLocal (below) is the production path for large
+    // merge tables; SCALE.md records the figure.
+    assert(rounds < 64, s"batching must beat 64 sequential rounds, got $rounds")
+    // and the batched sequence is still the sequential sequence
+    assert(merges == Bpe.train(wc, 64, maxBatch = 1))
+  }
+
+  test("trainLocal equals the distributed trainer and the reference on " +
+      "the corpus vocabulary, with zero per-merge Spark jobs") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val wc = Bpe.wordCounts(docs, col("text"))
+    val local = wc.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val before = spark.sparkContext.statusTracker.getJobIdsForGroup(null).length
+    val got = Bpe.trainLocal(wc, 64)
+    val jobs =
+      spark.sparkContext.statusTracker.getJobIdsForGroup(null).length - before
+    // one count (the maxVocabRows guard) + one collect, each a couple
+    // of AQE jobs — independent of the 64 merges
+    assert(jobs <= 8, s"trainLocal ran $jobs jobs; training must not " +
+      "touch the cluster per merge")
+    assert(got.map(m => (m.left, m.right)) == refTrain(local, 64))
+    assert(got == Bpe.train(wc, 64))
+  }
+
+  test("trainLocal refuses a vocabulary above maxVocabRows") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val wc = Bpe.wordCounts(docs, col("text"))
+    val e = intercept[IllegalArgumentException] {
+      Bpe.trainLocal(wc, 4, maxVocabRows = 10L)
+    }
+    assert(e.getMessage.contains("maxVocabRows"))
+  }
+
   test("trainer stops early when the vocabulary runs out of pairs") {
     val tiny = Map("ab" -> 3L, "a" -> 9L)
     val got = Bpe.train(wcDf(tiny), 10)

@@ -43,4 +43,27 @@ class LshRecallSpec extends AnyFunSuite with BeforeAndAfterAll {
     // filter on the same exact j threshold, so the sets must be EQUAL
     assert(lshPairs == exactPairs)
   }
+
+  test("the cheaper 32-perm/8-band ingest config: recall measured " +
+      "against the exact path (deterministic under the fixed seed)") {
+    import spark.implicits._
+    val exactPairs = SparkEntry.queries("q_ngram_jaccard")(spark, SfDir)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    val cheap = graft.queries.SimilarityQueries
+      .minhashLshPairs(spark, SfDir, 32, 8)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    assert(exactPairs.nonEmpty)
+    // precision stays exact (identical verify stage + cut)
+    assert(cheap.subsetOf(exactPairs),
+      s"32/8 emitted non-pairs ${cheap -- exactPairs}")
+    val recall = cheap.intersect(exactPairs).size.toDouble / exactPairs.size
+    info(f"32-perm/8-band recall vs exact: $recall%.3f " +
+      f"(${cheap.size}/${exactPairs.size} pairs; theory >= " +
+      f"${1 - math.pow(1 - math.pow(0.8, 4), 8)}%.3f at j=0.8)")
+    // theory floor at j = 0.8 is 0.985; the fixture's duplicate pairs
+    // sit well above 0.8, so full recall is the deterministic outcome —
+    // a floor of 0.9 leaves room for future fixture pairs near the
+    // threshold without weakening the evidence that 32/8 is usable
+    assert(recall >= 0.9, f"32/8 recall $recall%.3f below floor")
+  }
 }

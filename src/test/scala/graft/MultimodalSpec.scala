@@ -139,6 +139,55 @@ class MultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("a valid WAV in an unsupported format (8-bit PCM) is quarantined, " +
+      "never silently decoded to garbage samples") {
+    // hand-build a conformant 8-bit mono WAV: the JDK decodes it fine,
+    // but the sample loops assume 16-bit LE — the format check must
+    // reject it (quarantine path), not emit a wrong fingerprint
+    val n = 64
+    val b = new Array[Byte](44 + n)
+    def putInt(off: Int, v: Int): Unit = {
+      b(off) = v.toByte; b(off + 1) = (v >> 8).toByte
+      b(off + 2) = (v >> 16).toByte; b(off + 3) = (v >> 24).toByte
+    }
+    b(0) = 'R'; b(1) = 'I'; b(2) = 'F'; b(3) = 'F'; putInt(4, 36 + n)
+    b(8) = 'W'; b(9) = 'A'; b(10) = 'V'; b(11) = 'E'
+    b(12) = 'f'; b(13) = 'm'; b(14) = 't'; b(15) = ' '; putInt(16, 16)
+    b(20) = 1; b(22) = 1 // PCM, mono
+    putInt(24, 8000); putInt(28, 8000) // rate, byte rate (1 byte/frame)
+    b(32) = 1; b(34) = 8 // block align 1, EIGHT bits per sample
+    b(36) = 'd'; b(37) = 'a'; b(38) = 't'; b(39) = 'a'; putInt(40, n)
+    val meta = MediaMeta("wav", 0, 0, 0L)
+    val eightBit = MediaRecord(99L, "audio", b, meta)
+
+    val media = Multimodal.encodeMedia(Multimodal.mediaTable(docs))
+    val withBad = media.union(Seq(eightBit).toDS())
+    val outcomes = Multimodal.decodeQuarantine(withBad).collect()
+      .map(o => o.media_id -> o).toMap
+    assert(!outcomes(99L).ok &&
+      outcomes(99L).err.contains("16-bit little-endian"),
+      s"expected a format rejection, got ${outcomes(99L)}")
+    // and every fixture row (true 16-bit LE mono) still decodes clean
+    assert(outcomes.filterKeys(_ != 99L).values.forall(_.ok))
+  }
+
+  test("fingerprint bit comparison is exact past the 64-bit product " +
+      "overflow point") {
+    // blockSum * totalCount at ~45 min of 48 kHz audio overflows a
+    // long; the 128-bit comparison must agree with BigInteger math
+    import java.math.BigInteger
+    val cases = Seq(
+      (Long.MaxValue / 3, 200000000L, Long.MaxValue / 5, 300000000L),
+      (1L << 40, 1L << 30, (1L << 40) + 1, 1L << 30),
+      (123456789012L, 987654321L, 123456789012L, 987654321L),
+      (0L, 5L, 1L, 0L))
+    for ((a, b, c, d) <- cases) {
+      val want = BigInteger.valueOf(a).multiply(BigInteger.valueOf(b))
+        .compareTo(BigInteger.valueOf(c).multiply(BigInteger.valueOf(d))) > 0
+      assert(ExactCmp.productGreater(a, b, c, d) == want, s"($a,$b,$c,$d)")
+    }
+  }
+
   test("frame sampling: one row per everyMs, videos only") {
     val m = Multimodal.mediaTable(docs)
     val frames = Multimodal.sampleFrames(m, 100L)
