@@ -64,16 +64,14 @@ object RelationalQueries {
     // max bit 31 so ANSI-safe), one combiner-friendly aggregation.
     "q_zorder" -> QueryDef(
       (s, dir) => {
-        def morton(x: org.apache.spark.sql.Column,
-            y: org.apache.spark.sql.Column) =
-          (0 until 16).map(i =>
-            shiftleft(shiftright(x, i).bitwiseAND(1), 2 * i) +
-              shiftleft(shiftright(y, i).bitwiseAND(1), 2 * i + 1))
-            .reduce(_ + _)
+        // the write side of this audit is operators.Layout.writeZOrdered
+        // (same Morton interleave; LayoutSpec pins the produced files'
+        // rectangle tightness)
         Tables.load(s, dir, "lineitem")
           .select((col("l_orderkey") % 65536).as("ok"),
             (col("l_partkey") % 65536).as("pk"))
-          .withColumn("zbucket", shiftright(morton(col("ok"), col("pk")), 26))
+          .withColumn("zbucket", shiftright(
+            graft.operators.Layout.morton(col("ok"), col("pk"), 16), 26))
           .groupBy("zbucket")
           .agg(count(lit(1)).as("n"),
             min("ok").as("min_ok"), max("ok").as("max_ok"),
