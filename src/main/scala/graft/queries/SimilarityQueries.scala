@@ -514,8 +514,13 @@ object SimilarityQueries {
     // modulus whose centroid count grows with the corpus). The fixture
     // literal is validation plumbing only: the production contract is
     // Ann.ivfTopK's caller-supplied centroid frame (offline k-means,
-    // ~sqrt(n) cells). Rows-only check (assignment argmax isn't worth a
-    // 100-line oracle); AnnSpec pins recall against brute force.
+    // ~sqrt(n) cells). FULLY ORACLED (round 8): because the fixture
+    // centroids are a plain corpus filter, the whole pipeline —
+    // quantized-cosine cell argmax (aff desc, cell_id tiebreak), the
+    // per-query nprobe probe ranking, and the in-cell exact top-k —
+    // is expressible as three windowed subqueries; the r4 quantization
+    // before every ranking makes the cut identical cross-engine.
+    // AnnSpec additionally pins recall against brute force.
     "q_ann_ivf" -> QueryDef(
       (s, dir) => {
         val emb = Tables.load(s, dir, "embeddings")
@@ -529,7 +534,44 @@ object SimilarityQueries {
           .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
         graft.operators.Ann.ivfTopK(emb, queries, centroids, 10, 4)
       },
-      None,
+      Some {
+        def cos(a: String, b: String) =
+          s"""floor(${oracleDot(a, b)} /
+            (sqrt(${oracleDot(a, a)}) * sqrt(${oracleDot(b, b)}))
+            * 10000 + 0.5) / 10000"""
+        s"""WITH cents AS (
+          SELECT CAST(vec_id / 37 AS BIGINT) AS cell_id,
+            embedding AS cell_emb
+          FROM embeddings
+          WHERE vec_id % 37 = 0 AND vec_id < 37 * $MaxIvfCentroids),
+        assign AS (
+          SELECT vec_id, embedding, cell_id FROM (
+            SELECT e.vec_id, e.embedding, c.cell_id,
+              row_number() OVER (PARTITION BY e.vec_id
+                ORDER BY ${cos("e.embedding", "c.cell_emb")} DESC,
+                  c.cell_id) AS arn
+            FROM embeddings e, cents c) t
+          WHERE arn = 1),
+        q AS (SELECT vec_id AS q_id, embedding AS q_emb
+          FROM embeddings WHERE vec_id < 64),
+        probes AS (
+          SELECT q_id, q_emb, cell_id FROM (
+            SELECT q.q_id, q.q_emb, c.cell_id,
+              row_number() OVER (PARTITION BY q.q_id
+                ORDER BY ${cos("q.q_emb", "c.cell_emb")} DESC,
+                  c.cell_id) AS prn
+            FROM q, cents c) t
+          WHERE prn <= 4),
+        scored AS (
+          SELECT p.q_id, a.vec_id,
+            ${cos("p.q_emb", "a.embedding")} AS score
+          FROM probes p JOIN assign a USING (cell_id))
+        SELECT q_id, vec_id, score, rn FROM (
+          SELECT *, row_number() OVER (
+            PARTITION BY q_id ORDER BY score DESC, vec_id) AS rn
+          FROM scored) t
+        WHERE rn <= 10"""
+      },
       bench = true),
 
     // Per-label centroid (elementwise mean): posexplode + exact decimal
