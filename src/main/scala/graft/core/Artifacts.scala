@@ -29,6 +29,7 @@ object Artifacts {
   val BpeMergesName = "bpe_merges"
   val EvalBucketsName = "decontamination_buckets"
   val DriftBaselineName = "drift_baseline"
+  val CentroidsName = "ann_centroids"
 
   /** Persist one artifact version. Versions are immutable: writing an
     * existing (name, version) fails rather than silently replacing the
@@ -117,6 +118,32 @@ object Artifacts {
       version: Option[Int] = None): Set[Long] =
     load(spark, root, EvalBucketsName, version)
       .select("bucket").collect().map(_.getLong(0)).toSet
+
+  /** ANN/k-means centroid frame (cluster_id, cvec). The vector index's
+    * train-once/query-many contract: `Ann.kmeansTrain` runs offline,
+    * the centroids persist here, and every later search session loads
+    * them (`loadIvfCentroids` below feeds `Ann.ivfTopK` directly) —
+    * the corpus cell assignment then amortizes across all queries.
+    */
+  def saveCentroids(spark: SparkSession, root: String, version: Int,
+      centroids: DataFrame): String = {
+    require(centroids.columns.toSet == Set("cluster_id", "cvec"),
+      s"centroid frame must be (cluster_id, cvec), " +
+        s"got ${centroids.columns.mkString(", ")}")
+    save(centroids, root, CentroidsName, version)
+  }
+
+  def loadCentroids(spark: SparkSession, root: String,
+      version: Option[Int] = None): DataFrame =
+    load(spark, root, CentroidsName, version).select("cluster_id", "cvec")
+
+  /** The persisted centroids in `Ann.ivfTopK`'s (cell_id, cell_emb)
+    * shape.
+    */
+  def loadIvfCentroids(spark: SparkSession, root: String,
+      version: Option[Int] = None): DataFrame =
+    loadCentroids(spark, root, version)
+      .select(col("cluster_id").as("cell_id"), col("cvec").as("cell_emb"))
 
   /** Drift baseline shares <-> (bin, share) rows. */
   def saveDriftBaseline(spark: SparkSession, root: String, version: Int,

@@ -72,6 +72,31 @@ class ArtifactsSpec extends AnyFunSuite with BeforeAndAfterAll {
       .getMessage.contains("no_such_artifact"))
   }
 
+  test("k-means centroids persist and drive IVF search identically to " +
+      "the in-memory frame (train-once / query-many)") {
+    val emb = spark.read.parquet(s"$SfDir/embeddings.parquet")
+    val trained = graft.operators.Ann.kmeansTrain(emb, k = 8, iters = 2)
+    Artifacts.saveCentroids(spark, root, 1, trained)
+
+    val loaded = Artifacts.loadIvfCentroids(spark, root)
+    val queries = emb.where(col("vec_id") < 8)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val fromMemory = graft.operators.Ann.ivfTopK(emb, queries,
+      trained.select(col("cluster_id").as("cell_id"),
+        col("cvec").as("cell_emb")), 5, 2)
+      .collect().map(_.toSeq).sortBy(_.toString)
+    val fromArtifact = graft.operators.Ann
+      .ivfTopK(emb, queries, loaded, 5, 2)
+      .collect().map(_.toSeq).sortBy(_.toString)
+    assert(fromArtifact.nonEmpty &&
+      fromArtifact.toSeq == fromMemory.toSeq)
+
+    // shape guard: a frame that isn't (cluster_id, cvec) is refused
+    intercept[IllegalArgumentException](
+      Artifacts.saveCentroids(spark, root, 2,
+        trained.withColumnRenamed("cvec", "v")))
+  }
+
   test("ingest gates constructed from LOADED artifacts behave exactly " +
       "like gates built from the in-memory originals") {
     import spark.implicits._
