@@ -1,0 +1,122 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Trainable logistic-regression quality classifier — the
+  * fastText-style model-based corpus filter (CCNet-class pipelines
+  * train a small classifier on weak labels and keep documents it
+  * scores as reference-like), built Spark-shaped:
+  *
+  *  - FEATURES are a fixed 5-dim vector from ONE TextProfileExpr scan
+  *    per document (bias, bounded length score, stopword ratio,
+  *    punctuation ratio, bounded char-length score) — every component
+  *    a ratio in [0, 1] built from exact integer counts with one IEEE
+  *    division each, so the identical values fall out of DuckDB SQL
+  *    and the oracle compares bit-for-bit.
+  *  - TRAINING state is the weight vector (dim+0 doubles) on the
+  *    driver; each gradient-descent step is ONE combiner-friendly
+  *    aggregation over the corpus that ships 5 numbers back. Cost per
+  *    step = one corpus scan, independent of cluster size — the same
+  *    bounded-driver-state contract as Ann.kmeansTrain (k×dim) and
+  *    Bpe's argmax. Gradient sums go through DECIMAL(28,10) so the
+  *    result is order-independent: the learned weights are identical
+  *    under any partitioning (QualityModelSpec pins this).
+  *  - SCORING is a map-only codegen'd projection (sigmoid of a 5-term
+  *    dot product) — at 100 TB it rides the same scan as the other
+  *    per-document text ops, no join, no shuffle, no broadcast wait.
+  *
+  * The oracled anchors (q_logreg_step, q_quality_classifier) follow
+  * the BPE/k-means pattern: one exactly-reproducible step (zero-weight
+  * gradient needs no exp at all: sigmoid(0) is exactly 0.5) plus the
+  * full scorer under a fixed weight vector; the iterative trainer is
+  * pinned by QualityModelSpec (loss decrease, separation, partition
+  * invariance) on top of those anchors.
+  */
+object QualityModel {
+
+  /** Feature dimension including the leading bias term. */
+  val Dim = 5
+
+  final case class Weights(w: Seq[Double]) {
+    require(w.size == Dim, s"expected $Dim weights, got ${w.size}")
+  }
+
+  object Weights {
+    val zero: Weights = Weights(Seq.fill(Dim)(0.0))
+  }
+
+  /** The 5 feature expressions, each from the same single text-profile
+    * struct (Catalyst CSEs the profile scan across them).
+    */
+  private def featureCols(text: Column): Seq[Column] = {
+    val p = graft.expressions.TextProfileExpr(text)
+    val nTok = p.getField("n_tokens")
+    val nChars = p.getField("n_chars")
+    Seq(
+      lit(1.0),
+      least(nTok.cast("double") / 50.0, lit(1.0)),
+      when(nTok > 0, p.getField("n_stop").cast("double") / nTok)
+        .otherwise(lit(0.0)),
+      when(nChars > 0, p.getField("n_punct").cast("double") / nChars)
+        .otherwise(lit(0.0)),
+      least(nChars.cast("double") / 400.0, lit(1.0)))
+  }
+
+  /** The feature vector as an array column (for inspection/export). */
+  def features(text: Column): Column = array(featureCols(text): _*)
+
+  /** Map-only score: sigmoid(w · features(text)). */
+  def score(text: Column, weights: Weights): Column = {
+    val z = featureCols(text).zip(weights.w)
+      .map { case (f, wi) => f * wi }.reduce(_ + _)
+    lit(1.0) / (lit(1.0) + exp(-z))
+  }
+
+  /** One logistic-loss gradient over the corpus:
+    * grad_j = mean((sigmoid(w·x) - y) * x_j), with the per-dimension
+    * sums in exact DECIMAL so the result is independent of
+    * partitioning and order. One aggregation job, Dim values out.
+    */
+  def gradient(docs: DataFrame, text: Column, label: Column,
+      weights: Weights): Seq[Double] = {
+    val err = (score(text, weights) - label.cast("double")).as("err")
+    val feats = featureCols(text).zipWithIndex
+      .map { case (f, j) => f.as(s"f$j") }
+    val proj = docs.select(err +: feats: _*)
+    val aggs = (0 until Dim).map { j =>
+      (sum((col("err") * col(s"f$j")).cast("decimal(28,10)"))
+        .cast("double") / count(lit(1))).as(s"g$j")
+    }
+    val row = proj.agg(aggs.head, aggs.tail: _*).head()
+    (0 until Dim).map(row.getDouble)
+  }
+
+  /** Batch gradient descent from `init`: `iters` corpus scans, weight
+    * state on the driver only.
+    */
+  def fit(docs: DataFrame, text: Column, label: Column, iters: Int,
+      lr: Double = 1.0, init: Weights = Weights.zero): Weights = {
+    require(iters >= 0, "iters must be >= 0")
+    var w = init
+    for (_ <- 0 until iters) {
+      val g = gradient(docs, text, label, w)
+      w = Weights(w.w.zip(g).map { case (wi, gi) => wi - lr * gi })
+    }
+    w
+  }
+
+  /** Mean logistic loss −mean(y ln p + (1−y) ln(1−p)) — the trainer's
+    * objective, for specs that pin descent.
+    */
+  def loss(docs: DataFrame, text: Column, label: Column,
+      weights: Weights): Double = {
+    val p = score(text, weights)
+    val y = label.cast("double")
+    docs.select((-(y * log(p) + (lit(1.0) - y) * log(lit(1.0) - p)))
+        .as("l"))
+      .agg((sum(col("l").cast("decimal(28,10)")).cast("double") /
+        count(lit(1))).as("m"))
+      .head().getDouble(0)
+  }
+}

@@ -21,6 +21,36 @@ object TextQueries {
   private val oracleTokens =
     """list_filter(regexp_split_to_array(text, '\s+'), t -> len(t) > 0)"""
 
+  /** QualityModel's fixed anchor weights (q_quality_classifier). */
+  private val ClassifierW = Seq(-1.0, 1.2, 0.8, -2.0, 0.5)
+
+  /** DuckDB reproduction of QualityModel.features + the weak label:
+    * (doc_id, y, f0..f4), identical integer counts and IEEE divisions
+    * as the Spark side (the same profile arithmetic q_quality oracles).
+    */
+  private lazy val classifierFeatureSql = {
+    val stop = Seq("the", "a", "an", "and", "or", "of", "to", "in", "is",
+      "it", "that", "for", "on", "with", "as", "was", "at", "by", "be",
+      "this").map(w => s"'$w'").mkString("[", ", ", "]")
+    s"""SELECT doc_id,
+      CASE WHEN source = 'src0' THEN 1.0 ELSE 0.0 END AS y,
+      1.0 AS f0,
+      least(CAST(nt AS DOUBLE) / 50.0, 1.0) AS f1,
+      CASE WHEN nt > 0 THEN CAST(nstop AS DOUBLE) / nt ELSE 0.0 END AS f2,
+      CASE WHEN nchars > 0 THEN CAST(npunct AS DOUBLE) / nchars
+        ELSE 0.0 END AS f3,
+      least(CAST(nchars AS DOUBLE) / 400.0, 1.0) AS f4
+    FROM (SELECT doc_id, source,
+        CAST(len(toks) AS BIGINT) AS nt,
+        CAST(len(list_filter(toks,
+          x -> list_contains($stop, lower(x)))) AS BIGINT) AS nstop,
+        CAST(len(text) AS BIGINT) AS nchars,
+        CAST(len(text) - len(regexp_replace(text,
+          '[.,;:!?''"()\\[\\]{}-]', '', 'g')) AS BIGINT) AS npunct
+      FROM (SELECT doc_id, source, text, $oracleTokens AS toks
+        FROM documents) t) m"""
+  }
+
   /** DuckDB reproduction of TextFunctions.langId: marker-word argmax with
     * (score, lang) lexicographic tie-break via list max over structs.
     */
@@ -127,6 +157,59 @@ object TextQueries {
           greatest(1.0 - (CASE WHEN nchars > 0 THEN CAST(npunct AS DOUBLE) / nchars ELSE 0.0 END) * 5.0, 0.0)
         ) / 3.0 * 10000 + 0.5) / 10000 AS quality FROM m"""
       }),
+
+    // One logistic-regression gradient step of the TRAINABLE quality
+    // classifier (operators.QualityModel — the fastText-style
+    // model-based corpus filter), from zero weights over the weak label
+    // source='src0'. Fully oracled with NO transcendental risk:
+    // sigmoid(0) is exactly 0.5, features are ratios of exact integer
+    // counts (one IEEE division each), and the per-dimension sums go
+    // through DECIMAL(28,10) (order-independent, the q_embed_centroid
+    // pattern). The anchor pins the trainer's aggregation exactly;
+    // QualityModelSpec pins the iterative descent on top.
+    "q_logreg_step" -> QueryDef(
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        import graft.operators.QualityModel
+        val err = (QualityModel.score(col("text"), QualityModel.Weights.zero)
+          - (col("source") === "src0").cast("double")).as("err")
+        docs.select(err,
+            posexplode(QualityModel.features(col("text"))).as(Seq("pos", "x")))
+          .groupBy(col("pos").cast("long").as("pos"))
+          .agg(Det.r4(
+            sum((col("err") * col("x")).cast("decimal(28,10)"))
+              .cast("double") / count(lit(1))).as("grad"))
+      },
+      Some(s"""WITH f AS ($classifierFeatureSql),
+        g AS (SELECT
+          ${(0 until 5).map(j => s"floor(CAST(sum(CAST((0.5 - y) * f$j " +
+            s"AS DECIMAL(28,10))) AS DOUBLE) / count(*) " +
+            s"* 10000 + 0.5) / 10000 AS g$j").mkString(", ")}
+          FROM f)
+        SELECT CAST(p.pos AS BIGINT) AS pos,
+          CASE p.pos WHEN 0 THEN g0 WHEN 1 THEN g1 WHEN 2 THEN g2
+            WHEN 3 THEN g3 ELSE g4 END AS grad
+        FROM g, (VALUES (0), (1), (2), (3), (4)) p(pos)""")),
+
+    // The classifier's map-only scorer under a FIXED weight vector —
+    // the cross-engine anchor for QualityModel.score's sigmoid
+    // projection (identical feature order and left-to-right
+    // accumulation on both engines; pure projection, so there is no
+    // membership cut for a last-ulp exp difference to flip).
+    "q_quality_classifier" -> QueryDef(
+      (s, dir) => {
+        import graft.operators.QualityModel
+        Tables.load(s, dir, "documents")
+          .select(col("doc_id"),
+            Det.r4(QualityModel.score(col("text"),
+              QualityModel.Weights(ClassifierW))).as("model_score"))
+      },
+      Some(s"""WITH f AS ($classifierFeatureSql)
+        SELECT doc_id, floor((1.0 / (1.0 + exp(-(
+          ${ClassifierW.zipWithIndex
+            .map { case (w, j) => s"f$j * $w" }.mkString(" + ")}))))
+          * 10000 + 0.5) / 10000 AS model_score
+        FROM f""")),
 
     // SQL-surface parity for the native-expression catalog: the same
     // engine capabilities reachable with zero Scala — the functions are
