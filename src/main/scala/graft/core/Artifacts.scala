@@ -30,6 +30,7 @@ object Artifacts {
   val EvalBucketsName = "decontamination_buckets"
   val DriftBaselineName = "drift_baseline"
   val CentroidsName = "ann_centroids"
+  val ClassifierName = "quality_classifier"
 
   /** Persist one artifact version. Versions are immutable: writing an
     * existing (name, version) fails rather than silently replacing the
@@ -144,6 +145,27 @@ object Artifacts {
       version: Option[Int] = None): DataFrame =
     loadCentroids(spark, root, version)
       .select(col("cluster_id").as("cell_id"), col("cvec").as("cell_emb"))
+
+  /** QualityModel weights <-> (pos, w) rows; pos preserves the feature
+    * order the scorer's dot product depends on.
+    */
+  def saveClassifier(spark: SparkSession, root: String, version: Int,
+      weights: graft.operators.QualityModel.Weights): String = {
+    import spark.implicits._
+    save(weights.w.zipWithIndex.map { case (w, p) => (p, w) }
+      .toDF("pos", "w"), root, ClassifierName, version)
+  }
+
+  def loadClassifier(spark: SparkSession, root: String,
+      version: Option[Int] = None): graft.operators.QualityModel.Weights = {
+    val rows = load(spark, root, ClassifierName, version)
+      .orderBy(col("pos")).select("pos", "w").collect()
+    require(rows.map(_.getInt(0)).toSeq ==
+      (0 until graft.operators.QualityModel.Dim),
+      s"classifier artifact must carry positions " +
+        s"0..${graft.operators.QualityModel.Dim - 1}")
+    graft.operators.QualityModel.Weights(rows.map(_.getDouble(1)).toSeq)
+  }
 
   /** Drift baseline shares <-> (bin, share) rows. */
   def saveDriftBaseline(spark: SparkSession, root: String, version: Int,

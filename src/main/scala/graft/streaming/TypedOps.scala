@@ -197,6 +197,29 @@ object TypedOps {
       .as[EventEnvelope[String]]
   }
 
+  /** Streaming MODEL-quality gate — the ingest-plane face of the
+    * trainable classifier (operators.QualityModel, anchored by
+    * q_quality_classifier): keep documents whose sigmoid score clears
+    * `minScore`. Stateless like the importance gate — the weight
+    * vector rides in the plan as five literals, the features come from
+    * one per-row text-profile pass, so this is a map-only filter with
+    * no join, no state, no watermark. The cut compares the
+    * r4-quantized score against an integer threshold (the same
+    * structural guard as every batch membership cut). Weights persist
+    * via Artifacts.saveClassifier; ArtifactsSpec drives this gate from
+    * a LOADED artifact.
+    */
+  def qualityModelGate(weights: graft.operators.QualityModel.Weights,
+      minScore: Double): Op[String, String] = { ds =>
+    import org.apache.spark.sql.functions._
+    implicit val e: Encoder[EventEnvelope[String]] = enc[String]
+    ds.toDF()
+      .where(floor(graft.operators.QualityModel.score(
+        col("content"), weights) * 10000 + 0.5)
+        >= math.round(minScore * 10000))
+      .as[EventEnvelope[String]]
+  }
+
   /** Streaming decontamination gate — the ingest-plane face of
     * q_contamination_bloom: drop any document sharing >= `minShared`
     * shingle BUCKETS with the pre-fitted eval suite

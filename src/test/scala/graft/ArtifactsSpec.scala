@@ -97,6 +97,48 @@ class ArtifactsSpec extends AnyFunSuite with BeforeAndAfterAll {
         trained.withColumnRenamed("cvec", "v")))
   }
 
+  test("classifier weights round-trip and the streaming model gate " +
+      "built from the LOADED artifact keeps/drops as the batch scorer") {
+    import spark.implicits._
+    import graft.operators.QualityModel
+    val docs = spark.read.parquet(s"$SfDir/documents.parquet")
+    val label = graft.functions.TextFunctions.qualityScore(col("text")) >= 0.6
+    val w = QualityModel.fit(docs, col("text"), label, iters = 10)
+    Artifacts.saveClassifier(spark, root, 1, w)
+    val loaded = Artifacts.loadClassifier(spark, root)
+    assert(loaded == w)
+
+    // pick a passing and a failing doc BY THE BATCH SCORER at the
+    // median-ish cut, then assert the streaming gate from the loaded
+    // weights reproduces both decisions
+    val scored = docs.select(col("text"),
+      QualityModel.score(col("text"), loaded).as("s"))
+    val cut = scored.agg(avg(col("s"))).head().getDouble(0)
+    val passText = scored.where(col("s") >= cut + 1e-4)
+      .select("text").head().getString(0)
+    val dropText = scored.where(col("s") < cut - 1e-4)
+      .select("text").head().getString(0)
+    val base = 1700000000000L
+    val ps = new graft.streaming.PubSub(spark)
+    val t = ps.topic[String]("model-gate")
+    val gated = TypedOps.qualityModelGate(loaded, cut)(t.stream)
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    val q = gated.writeStream.outputMode("append")
+      .foreachBatch {
+        (b: org.apache.spark.sql.Dataset[EventEnvelope[String]], _: Long) =>
+          out.synchronized { out ++= b.collect().map(_.content) }; ()
+      }.start()
+    t.publish(Seq(
+      EventEnvelope.at(new Timestamp(base), passText),
+      EventEnvelope.at(new Timestamp(base + 100L), dropText)))
+    q.processAllAvailable()
+    q.stop()
+    val seen = out.synchronized(out.toSet)
+    assert(seen.contains(passText), "above-cut doc must pass the gate")
+    assert(!seen.contains(dropText), "below-cut doc must be dropped")
+    ps.close()
+  }
+
   test("ingest gates constructed from LOADED artifacts behave exactly " +
       "like gates built from the in-memory originals") {
     import spark.implicits._
