@@ -101,6 +101,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         }.toMap
       ImportanceLogw(cs(0), dw, default)
     })
+
+    // trained quality-classifier scorer with the weight vector as a
+    // literal ("w0,w1,w2,w3,w4" in feature order) — the same
+    // serialized-artifact pattern as the importance LM; identical
+    // expression tree to the Scala QualityModel.score
+    inject("graft_quality_model", classOf[TextProfileExpr], 2, cs => {
+      val w = graft.operators.QualityModel.Weights.parse(
+        strLit(cs(1), "graft_quality_model", "weights"))
+      graft.operators.QualityModel.scoreExpr(cs(0), w)
+    })
   }
 }
 

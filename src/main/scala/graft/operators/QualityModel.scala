@@ -1,7 +1,10 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.catalyst.expressions.{Add, CaseWhen, Cast, Divide, Exp, Expression, GetStructField, GreaterThan, Least, Literal, Multiply, UnaryMinus}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types.DoubleType
 
 /** Trainable logistic-regression quality classifier — the
   * fastText-style model-based corpus filter (CCNet-class pipelines
@@ -44,34 +47,67 @@ object QualityModel {
 
   object Weights {
     val zero: Weights = Weights(Seq.fill(Dim)(0.0))
+
+    /** SQL-surface serialization: comma-separated doubles in feature
+      * order ("-1.0,1.2,0.8,-2.0,0.5"). Double.toString/parseDouble
+      * round-trip exactly, so serialize∘parse is the identity.
+      */
+    def parse(s: String): Weights = {
+      val parts = s.split(",", -1).toSeq.map(_.trim)
+      require(parts.size == Dim,
+        s"quality-model weights must carry $Dim comma-separated values, " +
+          s"got ${parts.size} in '$s'")
+      Weights(parts.map(java.lang.Double.parseDouble))
+    }
+
+    def serialize(w: Weights): String = w.w.mkString(",")
   }
 
-  /** The 5 feature expressions, each from the same single text-profile
-    * struct (Catalyst CSEs the profile scan across them).
+  /** The 5 feature trees as raw Catalyst nodes — the single source of
+    * truth for both the Scala API below and the SQL surface
+    * (graft_quality_model builds on these directly: an injected
+    * function must return a resolvable Expression, and Column-API trees
+    * wrap unresolved nodes the analyzer won't descend into). All
+    * arithmetic is explicitly typed (every division double/double) so
+    * no coercion rule is relied on. Catalyst CSEs the repeated profile
+    * subtree — equal case-class nodes are one evaluation per row.
     */
-  private def featureCols(text: Column): Seq[Column] = {
+  private[graft] def featureExprs(text: Expression): Seq[Expression] = {
     val p = graft.expressions.TextProfileExpr(text)
-    val nTok = p.getField("n_tokens")
-    val nChars = p.getField("n_chars")
+    val nTok = GetStructField(p, 0, Some("n_tokens"))
+    val nStop = GetStructField(p, 1, Some("n_stop"))
+    val nPunct = GetStructField(p, 2, Some("n_punct"))
+    val nChars = GetStructField(p, 3, Some("n_chars"))
+    def d(e: Expression): Expression = Cast(e, DoubleType)
     Seq(
-      lit(1.0),
-      least(nTok.cast("double") / 50.0, lit(1.0)),
-      when(nTok > 0, p.getField("n_stop").cast("double") / nTok)
-        .otherwise(lit(0.0)),
-      when(nChars > 0, p.getField("n_punct").cast("double") / nChars)
-        .otherwise(lit(0.0)),
-      least(nChars.cast("double") / 400.0, lit(1.0)))
+      Literal(1.0),
+      Least(Seq(Divide(d(nTok), Literal(50.0)), Literal(1.0))),
+      CaseWhen(Seq((GreaterThan(nTok, Literal(0L)),
+        Divide(d(nStop), d(nTok)))), Some(Literal(0.0))),
+      CaseWhen(Seq((GreaterThan(nChars, Literal(0L)),
+        Divide(d(nPunct), d(nChars)))), Some(Literal(0.0))),
+      Least(Seq(Divide(d(nChars), Literal(400.0)), Literal(1.0))))
   }
+
+  /** sigmoid(w · features(text)) as a raw expression tree (the SQL
+    * builder's entry point).
+    */
+  private[graft] def scoreExpr(text: Expression, weights: Weights): Expression = {
+    val z = featureExprs(text).zip(weights.w)
+      .map { case (f, wi) => Multiply(f, Literal(wi)): Expression }
+      .reduce(Add(_, _))
+    Divide(Literal(1.0), Add(Literal(1.0), Exp(UnaryMinus(z))))
+  }
+
+  private def featureCols(text: Column): Seq[Column] =
+    featureExprs(ColumnBridge.expression(text)).map(ColumnBridge.column)
 
   /** The feature vector as an array column (for inspection/export). */
   def features(text: Column): Column = array(featureCols(text): _*)
 
   /** Map-only score: sigmoid(w · features(text)). */
-  def score(text: Column, weights: Weights): Column = {
-    val z = featureCols(text).zip(weights.w)
-      .map { case (f, wi) => f * wi }.reduce(_ + _)
-    lit(1.0) / (lit(1.0) + exp(-z))
-  }
+  def score(text: Column, weights: Weights): Column =
+    ColumnBridge.column(scoreExpr(ColumnBridge.expression(text), weights))
 
   /** One logistic-loss gradient over the corpus:
     * grad_j = mean((sigmoid(w·x) - y) * x_j), with the per-dimension

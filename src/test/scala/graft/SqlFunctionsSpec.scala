@@ -107,6 +107,16 @@ class SqlFunctionsSpec extends AnyFunSuite with BeforeAndAfterAll {
         Seq(("a", "b"), ("ab", "c"), ("b", "a")))))
   }
 
+  test("graft_quality_model == QualityModel.score with the parsed " +
+      "weights (serialize round-trips)") {
+    import graft.operators.QualityModel
+    val w = QualityModel.Weights(Seq(-1.0, 1.2, 0.8, -2.0, 0.5))
+    assert(QualityModel.Weights.parse(QualityModel.Weights.serialize(w)) == w)
+    assertParity(
+      s"graft_quality_model(text, '${QualityModel.Weights.serialize(w)}')",
+      QualityModel.score(col("text"), w))
+  }
+
   test("graft_importance_logw == Importance.logw with the parsed LM") {
     val lm = graft.operators.Importance.Lm(
       Map(3L -> 120L, 200L -> -45L, 17L -> 9999L), -7L)
