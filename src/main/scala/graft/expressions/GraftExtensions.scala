@@ -10,9 +10,12 @@ import org.apache.spark.sql.catalyst.expressions.{Divide, Expression, Expression
   * catalog — `graft_dot`, `graft_cosine`, `graft_simhash64`,
   * `graft_lang_id`, `graft_fingerprint`, `graft_text_profile`,
   * `graft_word_shingles`, `graft_minhash`, `graft_hyperplane_bands`,
-  * `graft_cms_buckets` — with the same one-pass implementations the Scala
-  * API uses, so a SQL-only user loses nothing (reference scoped a query
-  * language out entirely, README.md:27-31; Spark gives us one for free).
+  * `graft_cms_buckets`, `graft_bpe_encode`, `graft_importance_logw`,
+  * `graft_quality_model` — with the same one-pass implementations the
+  * Scala API uses, so a SQL-only user loses nothing (reference scoped a
+  * query language out entirely, README.md:27-31; Spark gives us one for
+  * free). Fitted artifacts (BPE merge tables, the importance LM, the
+  * classifier weight vector) ride as serialized string literals.
   *
   * Shape parameters (shingle n, signature k, seeds, grid sizes) must be
   * SQL literals: they size per-expression constant state (plane matrices,
