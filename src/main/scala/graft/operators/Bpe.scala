@@ -103,6 +103,20 @@ object Bpe {
     * instead of 32k sequential jobs (the judge-visible
     * scheduler-latency fix; BpeSpec measures the occupancy on the real
     * corpus vocabulary and SCALE.md records it).
+    *
+    * Known residual subtlety (documented, not observed): the bound
+    * argument caps a NEW pair's count by its progenitor's (<= bound),
+    * but a pair that ALREADY existed outside the fetched window and
+    * gains occurrences through merged-symbol aliasing (the batch mints
+    * new copies of a pre-existing multi-char symbol) can reach up to
+    * old + gained <= 2*bound mid-batch, which a batch member with
+    * count in (bound, 2*bound] would not dominate. This needs a
+    * multi-char merge whose concatenation equals a symbol that both
+    * pre-exists AND still has live adjacencies — BpePropertiesSpec's
+    * tiny-alphabet chain-heavy sweeps (where aliasing is most likely)
+    * have never produced a divergence, and `maxBatch = 1` restores the
+    * strictly sequential loop. `trainLocal` (the production path) is
+    * sequential by construction and has no such edge.
     */
   def train(wordCounts: DataFrame, nMerges: Int, checkpointEvery: Int = 8,
       maxBatch: Int = 16): Seq[Merge] =

@@ -124,6 +124,17 @@ class BpePropertiesSpec extends AnyFunSuite with BeforeAndAfterAll {
       val sequential = Bpe.train(wc, 24, maxBatch = 1).map(m => (m.left, m.right))
       assert(batched == sequential, s"trial $trial diverged on $vocab")
     }
+    // aliasing-prone draws: a 2-letter alphabet with long words and a
+    // deep merge budget maximizes multi-char symbols whose concat can
+    // equal a pre-existing symbol — the residual subtlety the train
+    // scaladoc documents lives exactly here
+    for (trial <- 1 to 2) {
+      val vocab = randomVocab(rng, "ab", nWords = 40, maxLen = 10)
+      val wc = vocab.toSeq.toDF("word", "cnt")
+      val batched = Bpe.train(wc, 32, maxBatch = 16).map(m => (m.left, m.right))
+      val sequential = Bpe.train(wc, 32, maxBatch = 1).map(m => (m.left, m.right))
+      assert(batched == sequential, s"aliasing trial $trial diverged on $vocab")
+    }
   }
 
   test("merge-table serialization round-trips symbols containing " +
