@@ -164,9 +164,11 @@ object BpeEncode {
     * `serializeMerges`. Delimiter characters INSIDE a symbol are
     * percent-escaped (%20 space, %2C comma, %25 percent) — learned
     * symbols genuinely contain commas/percents (tokens are only
-    * whitespace-split), and an unescaped table would fail to round-trip;
-    * symbols without delimiter characters serialize exactly as before,
-    * so existing literal tables keep parsing.
+    * whitespace-split), and an unescaped table would fail to round-trip.
+    * The escaping is PART OF THE FORMAT: a hand-written literal whose
+    * symbols contain '%' must escape it as %25 (a bare "%20" in an
+    * entry is parsed as a space by design — tables produced by
+    * serializeMerges are always self-consistent).
     */
   def parseMerges(s: String): Seq[(String, String)] =
     if (s.isEmpty) Seq.empty

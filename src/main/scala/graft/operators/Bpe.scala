@@ -221,15 +221,21 @@ object Bpe {
     * for genuinely unbounded symbol streams).
     */
   def trainLocal(wordCounts: DataFrame, nMerges: Int,
-      maxVocabRows: Long = 20000000L): Seq[Merge] = {
+      maxVocabRows: Int = 20000000): Seq[Merge] = {
     require(nMerges >= 0, "nMerges must be >= 0")
-    val nRows = wordCounts.count()
-    require(nRows <= maxVocabRows,
-      s"vocabulary has $nRows rows > maxVocabRows=$maxVocabRows — " +
+    require(maxVocabRows >= 1 && maxVocabRows < Int.MaxValue,
+      s"maxVocabRows=$maxVocabRows out of range")
+    // guard WITH the collect, not before it: a separate count() would
+    // re-run the corpus scan + groupBy shuffle a second time (the
+    // "corpus touched exactly once" contract). limit(max+1) bounds the
+    // driver transfer; one extra row proves the overflow.
+    val rows = wordCounts.select(col("word"), col("cnt").cast("long"))
+      .limit(maxVocabRows + 1)
+      .collect()
+    require(rows.length <= maxVocabRows,
+      s"vocabulary exceeds maxVocabRows=$maxVocabRows — " +
         "raise the bound or use the distributed train()")
-    val vocab = wordCounts.select(col("word"), col("cnt").cast("long"))
-      .collect().map(r => (r.getString(0), r.getLong(1)))
-    trainInMemory(vocab, nMerges)
+    trainInMemory(rows.map(r => (r.getString(0), r.getLong(1))), nMerges)
   }
 
   /** The indexed incremental BPE trainer over a collected (word, cnt)

@@ -125,6 +125,8 @@ object QualityModel {
         .cast("double") / count(lit(1))).as(s"g$j")
     }
     val row = proj.agg(aggs.head, aggs.tail: _*).head()
+    require(!row.isNullAt(0),
+      "gradient undefined: empty corpus (or all-null text/label rows)")
     (0 until Dim).map(row.getDouble)
   }
 
@@ -143,16 +145,25 @@ object QualityModel {
   }
 
   /** Mean logistic loss −mean(y ln p + (1−y) ln(1−p)) — the trainer's
-    * objective, for specs that pin descent.
+    * objective, for specs that pin descent. The probability is clamped
+    * to [1e-15, 1−1e-15] before the logs (standard log-loss clipping):
+    * extreme weights overflow exp so p degenerates to exactly 0/1, and
+    * Spark's log(0) is NULL — unclamped, those rows would silently
+    * vanish from the sum while still being counted, understating the
+    * loss instead of penalizing it.
     */
   def loss(docs: DataFrame, text: Column, label: Column,
       weights: Weights): Double = {
-    val p = score(text, weights)
+    val eps = 1e-15
+    val p = greatest(least(score(text, weights), lit(1.0 - eps)), lit(eps))
     val y = label.cast("double")
-    docs.select((-(y * log(p) + (lit(1.0) - y) * log(lit(1.0) - p)))
-        .as("l"))
+    val row = docs
+      .select((-(y * log(p) + (lit(1.0) - y) * log(lit(1.0) - p))).as("l"))
       .agg((sum(col("l").cast("decimal(28,10)")).cast("double") /
         count(lit(1))).as("m"))
-      .head().getDouble(0)
+      .head()
+    require(!row.isNullAt(0),
+      "loss undefined: empty corpus (or all-null text/label rows)")
+    row.getDouble(0)
   }
 }

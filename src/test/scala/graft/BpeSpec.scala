@@ -105,7 +105,7 @@ class BpeSpec extends AnyFunSuite with BeforeAndAfterAll {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val wc = Bpe.wordCounts(docs, col("text"))
     val e = intercept[IllegalArgumentException] {
-      Bpe.trainLocal(wc, 4, maxVocabRows = 10L)
+      Bpe.trainLocal(wc, 4, maxVocabRows = 10)
     }
     assert(e.getMessage.contains("maxVocabRows"))
   }

@@ -63,6 +63,25 @@ class QualityModelSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(a == b, s"weights diverged across partitionings: $a vs $b")
   }
 
+  test("gradient and loss fail loudly on an empty corpus, and loss " +
+      "stays finite under extreme weights (log clipping)") {
+    val empty = docs.where(lit(false))
+    val eg = intercept[IllegalArgumentException](
+      QualityModel.gradient(empty, col("text"), label, Weights.zero))
+    assert(eg.getMessage.contains("empty corpus"))
+    val el = intercept[IllegalArgumentException](
+      QualityModel.loss(empty, col("text"), label, Weights.zero))
+    assert(el.getMessage.contains("empty corpus"))
+    // weights large enough to saturate the sigmoid to exactly 0/1:
+    // unclamped log(0) would NULL those rows out of the mean
+    val extreme = Weights(Seq(-5000.0, 0.0, 0.0, 0.0, 0.0))
+    // expected ~= positiveShare * -ln(eps) ~= 0.05 * 34.5 ~= 1.7;
+    // without the clamp the saturated rows NULL out and the mean ~= 0
+    val l = QualityModel.loss(docs, col("text"), label, extreme)
+    assert(!l.isNaN && !l.isInfinite && l > 1.0,
+      s"clipped loss must be finite and penalizing under saturation, got $l")
+  }
+
   test("gradient at zero weights equals the driver-side computation") {
     val rows = docs.select(col("text"),
         QualityModel.features(col("text")).as("f"), label.as("y"))
