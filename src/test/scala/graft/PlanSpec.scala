@@ -130,6 +130,21 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"unkeyed join crept into the doc-stats join:\n$plan")
   }
 
+  test("classifier gradient step is one partial-aggregated exchange " +
+      "(5 doubles shuffle, never rows) and the scorer is map-only") {
+    val grad = planOf("q_logreg_step")
+    assert(grad.contains("partial"),
+      s"gradient aggregation must combine map-side:\n$grad")
+    // only the (tiny) aggregation exchanges; the corpus itself never
+    // shuffles — the posexplode/profile work all happens in the scan
+    // stage below the partial agg
+    assert("Exchange hashpartitioning".r.findAllIn(grad).size <= 1,
+      s"more than the single agg exchange in:\n$grad")
+    val score = planOf("q_quality_classifier")
+    assert(!score.contains("Exchange"),
+      s"scoring must be a pure scan-stage projection:\n$score")
+  }
+
   test("chunking is map-only: no exchange at all") {
     val plan = planOf("q_chunking")
     assert(!plan.contains("Exchange"),
