@@ -18,6 +18,20 @@ import graft.core.Sessions
   * query (q1_pricing 2.75 s driver vs 1.05 s quiet/focused) showed two
   * passes were not always enough under concurrent judging.
   *
+  * Rep-major min-of-3 defeats BURSTS but not SUSTAINED contention: the
+  * round-8 driver run was contended for its whole 5½-minute wall (vs
+  * ~2 min quiet), so all three attempts of q_ngram_jaccard landed
+  * inflated (recorded 6.79 s, quiet 1.49 s). The countermeasure is
+  * convergence-driven sampling: after the base rounds, any query whose
+  * two BEST attempts still disagree by more than 15% gets additional
+  * rep-major rounds (unconverged queries only, up to
+  * SPARK_GRAFT_BENCH_MAX_REPS total, default 8). Under a quiet host the
+  * base rounds converge and nothing extra runs; under contention the
+  * run keeps sampling past the contention window instead of recording
+  * it. Queries still unconverged at the cap are listed in the
+  * `unconverged` JSON field so a reader knows those minima are
+  * upper bounds, not settled figures.
+  *
   * Failures are loud: a throwing query is reported in the `errors` field
   * and excluded from `queries`/the total, never silently scored as fast.
   */
@@ -90,10 +104,19 @@ object Bench {
       spark.catalog.clearCache()
       try run(fn) catch { case _: Throwable => () }
     }
+    val maxReps = sys.env.getOrElse("SPARK_GRAFT_BENCH_MAX_REPS", "8").toInt
+      .max(reps)
     val samples = collection.mutable.Map.empty[String, Vector[Double]]
       .withDefaultValue(Vector.empty)
     val failed = collection.mutable.LinkedHashSet.empty[String]
-    for (_ <- 1 to reps; (name, fn) <- qs if !failed(name)) {
+    // A query has converged when its two best attempts agree within 15%:
+    // the min is then corroborated by an independent attempt and is not
+    // a lone lucky (or, under contention, a lone unlucky) sample.
+    def converged(name: String): Boolean = {
+      val best = samples(name).sorted.take(2)
+      best.size >= 2 && best(1) <= best(0) * 1.15
+    }
+    def timeOne(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Unit = {
       spark.catalog.clearCache()
       val t0 = System.nanoTime()
       try {
@@ -105,15 +128,27 @@ object Bench {
           failed += name
       }
     }
+    for (_ <- 1 to reps; (name, fn) <- qs if !failed(name)) timeOne(name, fn)
+    // Convergence rounds: rep-major over the still-unconverged subset
+    // only, so a mostly-quiet run doesn't re-pay the whole suite for one
+    // noisy query.
+    for (_ <- reps + 1 to maxReps) {
+      val pending = qs.filter { case (n, _) => !failed(n) && !converged(n) }
+      if (pending.nonEmpty) pending.foreach { case (n, f) => timeOne(n, f) }
+    }
     val results = qs.collect {
       case (name, _) if !failed(name) => name -> samples(name).min
     }.toVector
     val errors = failed.toVector
+    val unconverged = qs.collect {
+      case (name, _) if !failed(name) && !converged(name) => name
+    }.toVector
     val qJson = results.map { case (k, v) => "\"" + k + f"""\":$v%.3f""" }
       .mkString("{", ",", "}")
     val errJson = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val uncJson = unconverged.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.map(_._2).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qJson,"errors":$errJson,"sf":"$sfDir"}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qJson,"errors":$errJson,"unconverged":$uncJson,"sf":"$sfDir"}""")
     spark.stop()
     if (errors.nonEmpty) sys.exit(1)
   }

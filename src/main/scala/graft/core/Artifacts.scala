@@ -31,6 +31,7 @@ object Artifacts {
   val DriftBaselineName = "drift_baseline"
   val CentroidsName = "ann_centroids"
   val ClassifierName = "quality_classifier"
+  val NgramClassifierName = "quality_classifier_ngram"
 
   /** Persist one artifact version. Versions are immutable: writing an
     * existing (name, version) fails rather than silently replacing the
@@ -50,7 +51,10 @@ object Artifacts {
     else fs.listStatus(dir).toSeq
       .filter(_.isDirectory)
       .map(_.getPath.getName)
-      .collect { case s if s.startsWith("v=") => s.drop(2).toInt }
+      // Strictly v=<digits>: a stray non-numeric directory (a tool's
+      // v=tmp, a manual copy) must be ignored, not crash every
+      // versions()/load() of this artifact with NumberFormatException.
+      .collect { case s if s.matches("v=\\d+") => s.drop(2).toInt }
       .sorted
   }
 
@@ -165,6 +169,29 @@ object Artifacts {
       s"classifier artifact must carry positions " +
         s"0..${graft.operators.QualityModel.Dim - 1}")
     graft.operators.QualityModel.Weights(rows.map(_.getDouble(1)).toSeq)
+  }
+
+  /** Hashed-bigram QualityModel weights <-> (pos, w) rows; the bias
+    * rides at pos -1, buckets at 0..NgramBuckets-1.
+    */
+  def saveNgramClassifier(spark: SparkSession, root: String, version: Int,
+      weights: graft.operators.QualityModel.NgramWeights): String = {
+    import spark.implicits._
+    val rows = (-1, weights.bias) +:
+      weights.w.zipWithIndex.map { case (w, p) => (p, w) }
+    save(rows.toDF("pos", "w"), root, NgramClassifierName, version)
+  }
+
+  def loadNgramClassifier(spark: SparkSession, root: String,
+      version: Option[Int] = None): graft.operators.QualityModel.NgramWeights = {
+    val rows = load(spark, root, NgramClassifierName, version)
+      .orderBy(col("pos")).select("pos", "w").collect()
+    require(rows.map(_.getInt(0)).toSeq ==
+      (-1 until graft.operators.QualityModel.NgramBuckets),
+      "ngram classifier artifact must carry positions " +
+        s"-1..${graft.operators.QualityModel.NgramBuckets - 1}")
+    graft.operators.QualityModel.NgramWeights(rows.head.getDouble(1),
+      rows.tail.map(_.getDouble(1)).toIndexedSeq)
   }
 
   /** Drift baseline shares <-> (bin, share) rows. */

@@ -109,8 +109,20 @@ object Ann {
     * top-k within the probed cells. Expects centroids(cell_id, cell_emb).
     */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, centroids: DataFrame,
-      k: Int, nprobe: Int): DataFrame = {
-    val cells = assignCells(corpus, centroids)
+      k: Int, nprobe: Int): DataFrame =
+    ivfTopKFromCells(assignCells(corpus, centroids), queries, centroids,
+      k, nprobe)
+
+  /** IVF search over a PRE-ASSIGNED corpus — the query-many half of
+    * train-once/query-many: `cells` is assignCells' output, computed
+    * once (or persisted) and amortized across every query wave, so a
+    * single wave costs one broadcast probe selection plus the probed
+    * cells' exact scoring — no corpus-wide assignment pass. The
+    * streaming face (AnnStream.ivfQueryRelay) runs exactly this per
+    * micro-batch.
+    */
+  def ivfTopKFromCells(cells: DataFrame, queries: DataFrame,
+      centroids: DataFrame, k: Int, nprobe: Int): DataFrame = {
     val probeW = Window.partitionBy(col("q_id"))
       .orderBy(col("aff").desc, col("cell_id"))
     val probes = queries.crossJoin(broadcast(centroids))

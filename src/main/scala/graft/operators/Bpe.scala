@@ -96,27 +96,33 @@ object Bpe {
     *       intermediate sequential round the next batched pair still
     *       strictly out-counts every new and every excluded pair
     *       (the round's top-1 needs no guard: it is the global max of
-    *       the table that round regardless of ties).
+    *       the table that round regardless of ties);
+    *   (3) a member whose merged symbol equals a merge learned in a
+    *       PREVIOUS round closes the batch after itself: applying it
+    *       mints new copies of a symbol that may pre-exist with live
+    *       adjacencies, so a pair involving that symbol OUTSIDE the
+    *       fetched window could gain count past `bound` mid-batch —
+    *       rule (2)'s dominance argument only bounds pairs the batch
+    *       CREATES, not pre-existing pairs it grows. The aliasing
+    *       member itself is safe at its own sequential position
+    *       (earlier members are alias-free, so every count change they
+    *       cause is bounded by rule (2)); everything after it waits
+    *       for the next round's fresh ranking. All multi-char symbols
+    *       are concatenations of learned merges, so `merged symbol ∈
+    *       learned merges` is exactly the mint-a-pre-existing-symbol
+    *       condition, and the closure makes the sequential-equivalence
+    *       proof airtight by construction — no reachability argument
+    *       needed. (BpeBatchSelectSpec plants the case directly;
+    *       organic vocabularies have never produced it —
+    *       BpePropertiesSpec's chain-heavy sweeps, and the boundary-
+    *       persistence argument that a string's two-symbol split is
+    *       fixed by merge order, both say it is at most marginal.)
     * Worst case (adjacent ranks always interacting or tied) the batch
     * degrades to 1 and the behavior is the old sequential loop; a
     * 32k-merge vocab takes ~nMerges/occupancy driver round-trips
     * instead of 32k sequential jobs (the judge-visible
     * scheduler-latency fix; BpeSpec measures the occupancy on the real
     * corpus vocabulary and SCALE.md records it).
-    *
-    * Known residual subtlety (documented, not observed): the bound
-    * argument caps a NEW pair's count by its progenitor's (<= bound),
-    * but a pair that ALREADY existed outside the fetched window and
-    * gains occurrences through merged-symbol aliasing (the batch mints
-    * new copies of a pre-existing multi-char symbol) can reach up to
-    * old + gained <= 2*bound mid-batch, which a batch member with
-    * count in (bound, 2*bound] would not dominate. This needs a
-    * multi-char merge whose concatenation equals a symbol that both
-    * pre-exists AND still has live adjacencies — BpePropertiesSpec's
-    * tiny-alphabet chain-heavy sweeps (where aliasing is most likely)
-    * have never produced a divergence, and `maxBatch = 1` restores the
-    * strictly sequential loop. `trainLocal` (the production path) is
-    * sequential by construction and has no such edge.
     */
   def train(wordCounts: DataFrame, nMerges: Int, checkpointEvery: Int = 8,
       maxBatch: Int = 16): Seq[Merge] =
@@ -148,37 +154,11 @@ object Bpe {
         .limit(want + 1).collect()
       if (top.isEmpty) exhausted = true
       else {
-        // maximal pairwise non-interacting rank-prefix, capped at
-        // `want`; `bound` = count of the first candidate NOT in the
-        // prefix (interacting, over the cap, or the want+1 sentinel
-        // standing in for every unfetched lower-ranked pair); -1 =
-        // nothing excluded. Prefix growth stops at the FIRST exclusion
-        // so the prefix stays contiguous — the dominance argument in
-        // the scaladoc depends on every excluded pair counting <= bound.
-        val prefix = new ArrayBuffer[(String, String, Long)](want)
-        var ls = Set.empty[String] // prefix left symbols
-        var rs = Set.empty[String] // prefix right symbols
-        var ms = Set.empty[String] // prefix merged symbols (l + r)
-        var bound = -1L
-        top.foreach { row =>
-          val (l, r, n) =
-            (row.getString(0), row.getString(1), row.getLong(2))
-          if (bound < 0) {
-            val m = l + r
-            // directional interaction with any prefix pair (see
-            // scaladoc): a prior merge consumes this pair's symbols
-            // (l in rs / r in ls), mints them (l/r in ms), or this
-            // pair's merged symbol aliases a prefix symbol
-            val interacts = rs(l) || ls(r) || ms(l) || ms(r) ||
-              ls(m) || rs(m) || ms(m)
-            if (prefix.size >= want || interacts) bound = n
-            else { prefix += ((l, r, n)); ls += l; rs += r; ms += m }
-          }
-        }
-        val batch =
-          if (bound < 0) prefix
-          else prefix.take(1) ++
-            prefix.drop(1).takeWhile(_._3 > bound)
+        val learned = merges.view.map(m => m.merged).toSet
+        val batch = selectBatch(
+          top.map(row => (row.getString(0), row.getString(1), row.getLong(2)))
+            .toSeq,
+          want, learned)
         batch.foreach { case (l, r, _) =>
           merges += Merge(merges.size, l, r)
           syms = syms.withColumn("syms", BpeMergeAdjacent(col("syms"), l, r))
@@ -194,6 +174,53 @@ object Bpe {
     }
     Components.freeCheckpoint(lastCheckpoint)
     (merges.toSeq, rounds)
+  }
+
+  /** The batch-selection rule from `train`'s scaladoc, as a pure function
+    * over one fetched window: maximal pairwise non-interacting rank-prefix
+    * capped at `want`, alias-closed against `learned` (rule 3), truncated
+    * to counts strictly above the first excluded candidate (rule 2).
+    * `top` is the window in rank order ((n desc, l, r) — want+1 rows);
+    * `learned` is the set of merged symbols from all PREVIOUS rounds.
+    * Exposed for BpeBatchSelectSpec, which plants the window shapes
+    * (alias mid-batch, tie at the bound, consumption chains) that organic
+    * vocabularies rarely produce.
+    */
+  private[graft] def selectBatch(top: Seq[(String, String, Long)], want: Int,
+      learned: Set[String]): Seq[(String, String, Long)] = {
+    // `bound` = count of the first candidate NOT in the prefix
+    // (interacting, alias-closed, over the cap, or the want+1 sentinel
+    // standing in for every unfetched lower-ranked pair); -1 = nothing
+    // excluded. Prefix growth stops at the FIRST exclusion so the prefix
+    // stays contiguous — the dominance argument in the scaladoc depends
+    // on every excluded pair counting <= bound.
+    val prefix = new ArrayBuffer[(String, String, Long)](want)
+    var ls = Set.empty[String] // prefix left symbols
+    var rs = Set.empty[String] // prefix right symbols
+    var ms = Set.empty[String] // prefix merged symbols (l + r)
+    var closed = false // rule 3: an aliasing member ends the batch
+    var bound = -1L
+    top.foreach { case (l, r, n) =>
+      if (bound < 0) {
+        val m = l + r
+        // directional interaction with any prefix pair (see scaladoc):
+        // a prior merge consumes this pair's symbols (l in rs / r in
+        // ls), mints them (l/r in ms), or this pair's merged symbol
+        // aliases a prefix symbol
+        val interacts = rs(l) || ls(r) || ms(l) || ms(r) ||
+          ls(m) || rs(m) || ms(m)
+        if (prefix.size >= want || interacts || closed) bound = n
+        else {
+          prefix += ((l, r, n)); ls += l; rs += r; ms += m
+          // rule 3: minting a previously-learned symbol can grow
+          // pre-existing pairs outside the window — nothing may be
+          // applied after this member within the batch
+          if (learned(m)) closed = true
+        }
+      }
+    }
+    if (bound < 0) prefix.toSeq
+    else (prefix.take(1) ++ prefix.drop(1).takeWhile(_._3 > bound)).toSeq
   }
 
   /** Learn `nMerges` merges by COLLECTING the vocabulary and training

@@ -109,17 +109,26 @@ object QualityModel {
   def score(text: Column, weights: Weights): Column =
     ColumnBridge.column(scoreExpr(ColumnBridge.expression(text), weights))
 
+  /** Rows that can contribute to training: a null text or label must
+    * drop from BOTH the numerator and the denominator of the gradient /
+    * loss means — keeping them in the count silently shrinks every mean
+    * toward zero on corpora with partial nulls.
+    */
+  private def trainable(docs: DataFrame, text: Column, label: Column): DataFrame =
+    docs.where(text.isNotNull && label.isNotNull)
+
   /** One logistic-loss gradient over the corpus:
-    * grad_j = mean((sigmoid(w·x) - y) * x_j), with the per-dimension
-    * sums in exact DECIMAL so the result is independent of
-    * partitioning and order. One aggregation job, Dim values out.
+    * grad_j = mean((sigmoid(w·x) - y) * x_j) over rows with non-null
+    * text AND label, with the per-dimension sums in exact DECIMAL so
+    * the result is independent of partitioning and order. One
+    * aggregation job, Dim values out.
     */
   def gradient(docs: DataFrame, text: Column, label: Column,
       weights: Weights): Seq[Double] = {
     val err = (score(text, weights) - label.cast("double")).as("err")
     val feats = featureCols(text).zipWithIndex
       .map { case (f, j) => f.as(s"f$j") }
-    val proj = docs.select(err +: feats: _*)
+    val proj = trainable(docs, text, label).select(err +: feats: _*)
     val aggs = (0 until Dim).map { j =>
       (sum((col("err") * col(s"f$j")).cast("decimal(28,10)"))
         .cast("double") / count(lit(1))).as(s"g$j")
@@ -153,11 +162,14 @@ object QualityModel {
     * loss instead of penalizing it.
     */
   def loss(docs: DataFrame, text: Column, label: Column,
-      weights: Weights): Double = {
+      weights: Weights): Double =
+    lossOf(trainable(docs, text, label), score(text, weights), label)
+
+  private def lossOf(clean: DataFrame, p0: Column, label: Column): Double = {
     val eps = 1e-15
-    val p = greatest(least(score(text, weights), lit(1.0 - eps)), lit(eps))
+    val p = greatest(least(p0, lit(1.0 - eps)), lit(eps))
     val y = label.cast("double")
-    val row = docs
+    val row = clean
       .select((-(y * log(p) + (lit(1.0) - y) * log(lit(1.0) - p))).as("l"))
       .agg((sum(col("l").cast("decimal(28,10)")).cast("double") /
         count(lit(1))).as("m"))
@@ -166,4 +178,116 @@ object QualityModel {
       "loss undefined: empty corpus (or all-null text/label rows)")
     row.getDouble(0)
   }
+
+  // --- hashed n-gram model ---------------------------------------------
+  //
+  // The profile features above are 5 hand-picked ratios; the model real
+  // CCNet/fastText-class pipelines train is a linear classifier over
+  // HASHED N-GRAM counts — the text's content, not just its shape. Same
+  // Spark contract as the 5-dim model, sparse edition:
+  //
+  //  - FEATURES: token bigrams hashed into NgramBuckets buckets (md5
+  //    first-two-hex-digits — the q_importance_weights bucket idiom, so
+  //    the zero-weight gradient step oracles exactly in DuckDB) plus a
+  //    bias slot (bucket -1). A document's feature vector is the sparse
+  //    integer COUNT per bucket, produced by one explode — no dense
+  //    vectors materialize anywhere.
+  //  - TRAINING: one explode+groupBy(bucket) job per step; the gradient
+  //    ships <= NgramBuckets+1 (s, c) rows to the driver, the bias
+  //    bucket's count doubling as the row count N (one corpus pass,
+  //    nothing else). DECIMAL(28,10) sums keep the learned weights
+  //    exactly partition-invariant.
+  //  - SCORING: map-only — the <= 256-double weight vector embeds in the
+  //    plan as a literal array and the per-document dot product is a
+  //    left-to-right fold over the bigram buckets (deterministic
+  //    accumulation order). At a 2^20-bucket production configuration
+  //    the literal-array trick still works (8 MB plan) but a broadcast
+  //    join against the exploded bigrams is the better shape; 256
+  //    buckets is the oracle-exact anchor configuration.
+
+  /** Hashed-bigram bucket count (md5 first two hex digits: 16^2). */
+  val NgramBuckets = 256
+
+  /** Weights of the hashed-bigram model: a bias plus one weight per
+    * bucket.
+    */
+  final case class NgramWeights(bias: Double, w: IndexedSeq[Double]) {
+    require(w.size == NgramBuckets,
+      s"expected $NgramBuckets bucket weights, got ${w.size}")
+  }
+
+  object NgramWeights {
+    val zero: NgramWeights =
+      NgramWeights(0.0, IndexedSeq.fill(NgramBuckets)(0.0))
+  }
+
+  /** array<long> of md5-derived buckets, one per adjacent token pair
+    * ("tok1 tok2"). Tokens are whitespace-split, so the single-space
+    * joiner cannot collide two distinct bigrams.
+    */
+  def bigramBuckets(text: Column): Column = {
+    val toks = graft.functions.TextFunctions.tokens(text)
+    val pairs = zip_with(
+      slice(toks, lit(1), size(toks) - 1),
+      slice(toks, lit(2), size(toks) - 1),
+      (a, b) => concat(a, lit(" "), b))
+    transform(pairs, bg =>
+      conv(substring(md5(bg.cast("binary")), 1, 2), 16, 10).cast("long"))
+  }
+
+  /** Map-only score: sigmoid(bias + sum over bigrams of w(bucket)). */
+  def ngramScore(text: Column, weights: NgramWeights): Column = {
+    val warr = array(weights.w.map(lit): _*)
+    val z = lit(weights.bias) + aggregate(bigramBuckets(text), lit(0.0),
+      (acc, b) => acc + element_at(warr, (b + 1).cast("int")))
+    lit(1.0) / (lit(1.0) + exp(-z))
+  }
+
+  /** One sparse logistic-loss gradient: mean((sigmoid(z) - y) * x_b)
+    * per bucket, x_b = the document's bigram count in bucket b, plus
+    * the bias mean at bucket -1. One explode+groupBy job; the bias
+    * group's count is the denominator N, so no second pass runs. The
+    * returned NgramWeights holds the GRADIENT (bias slot included).
+    */
+  def ngramGradient(docs: DataFrame, text: Column, label: Column,
+      weights: NgramWeights): NgramWeights = {
+    val err = (ngramScore(text, weights) - label.cast("double")).as("err")
+    val rows = trainable(docs, text, label)
+      .select(err,
+        explode(concat(array(lit(-1L)), bigramBuckets(text))).as("b"))
+      .groupBy("b")
+      .agg(sum(col("err").cast("decimal(28,10)")).cast("double").as("s"),
+        count(lit(1)).as("c"))
+      .collect()
+    val bias = rows.find(_.getLong(0) == -1L)
+    require(bias.nonEmpty,
+      "gradient undefined: empty corpus (or all-null text/label rows)")
+    val n = bias.get.getLong(2).toDouble
+    val g = Array.fill(NgramBuckets)(0.0)
+    rows.foreach { r =>
+      val b = r.getLong(0)
+      if (b >= 0) g(b.toInt) = r.getDouble(1) / n
+    }
+    NgramWeights(bias.get.getDouble(1) / n, g.toIndexedSeq)
+  }
+
+  /** Batch gradient descent for the hashed model: `iters` corpus scans,
+    * <= NgramBuckets+1 doubles of driver state.
+    */
+  def fitNgram(docs: DataFrame, text: Column, label: Column, iters: Int,
+      lr: Double = 1.0, init: NgramWeights = NgramWeights.zero): NgramWeights = {
+    require(iters >= 0, "iters must be >= 0")
+    var w = init
+    for (_ <- 0 until iters) {
+      val g = ngramGradient(docs, text, label, w)
+      w = NgramWeights(w.bias - lr * g.bias,
+        w.w.zip(g.w).map { case (wi, gi) => wi - lr * gi })
+    }
+    w
+  }
+
+  /** Mean logistic loss of the hashed model (same clipping as `loss`). */
+  def ngramLoss(docs: DataFrame, text: Column, label: Column,
+      weights: NgramWeights): Double =
+    lossOf(trainable(docs, text, label), ngramScore(text, weights), label)
 }

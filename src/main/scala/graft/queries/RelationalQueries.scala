@@ -90,6 +90,50 @@ object RelationalQueries {
           FROM z GROUP BY 1"""
       }),
 
+    // Three-key Z-order audit — the N-column generalization
+    // (Layout.mortonN: bit i of key k at position i*N + k; 3 keys at 10
+    // bits each stay ANSI-safe in a long). Real tables filter on 3+
+    // dimensions; the audit shows each z-bucket covers a tight BOX in
+    // (orderkey, partkey, price) space, so a point predicate on ANY of
+    // the three prunes most buckets — the per-dimension resolution cost
+    // of packing three keys into one code is the documented Z-order
+    // trade. The third key is truncated extendedprice rather than
+    // suppkey: suppkey's cardinality at test SF (~100) leaves its high
+    // grid bits constant, which would make the third dimension's bounds
+    // vacuous in every bucket (Spark long cast truncates; DuckDB CAST
+    // rounds, hence the explicit floor there).
+    "q_zorder3" -> QueryDef(
+      (s, dir) => {
+        Tables.load(s, dir, "lineitem")
+          .select((col("l_orderkey") % 1024).as("ok"),
+            (col("l_partkey") % 1024).as("pk"),
+            (col("l_extendedprice").cast("long") % 1024).as("ep"))
+          .withColumn("zbucket", shiftright(
+            graft.operators.Layout.mortonN(
+              Seq(col("ok"), col("pk"), col("ep")), 10), 24))
+          .groupBy("zbucket")
+          .agg(count(lit(1)).as("n"),
+            min("ok").as("min_ok"), max("ok").as("max_ok"),
+            min("pk").as("min_pk"), max("pk").as("max_pk"),
+            min("ep").as("min_ep"), max("ep").as("max_ep"))
+      },
+      Some {
+        val mortonSql = (for {
+          i <- 0 until 10
+          (c, k) <- Seq("ok", "pk", "ep").zipWithIndex
+        } yield s"((($c >> $i) & 1) << ${3 * i + k})").mkString(" + ")
+        s"""WITH k AS (SELECT l_orderkey % 1024 AS ok,
+            l_partkey % 1024 AS pk,
+            CAST(floor(l_extendedprice) AS BIGINT) % 1024 AS ep
+          FROM lineitem),
+          z AS (SELECT ok, pk, ep, ($mortonSql) >> 24 AS zbucket FROM k)
+          SELECT zbucket, count(*) AS n,
+            min(ok) AS min_ok, max(ok) AS max_ok,
+            min(pk) AS min_pk, max(pk) AS max_pk,
+            min(ep) AS min_ep, max(ep) AS max_ep
+          FROM z GROUP BY 1"""
+      }),
+
     "q_sql_surface" -> QueryDef(
       (s, dir) => {
         Tables.load(s, dir, "orders").createOrReplaceTempView("orders")

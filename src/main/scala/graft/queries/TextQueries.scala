@@ -48,7 +48,8 @@ object TextQueries {
         CAST(len(text) - len(regexp_replace(text,
           '[.,;:!?''"()\\[\\]{}-]', '', 'g')) AS BIGINT) AS npunct
       FROM (SELECT doc_id, source, text, $oracleTokens AS toks
-        FROM documents) t) m"""
+        FROM documents
+        WHERE text IS NOT NULL AND source IS NOT NULL) t) m"""
   }
 
   /** DuckDB reproduction of TextFunctions.langId: marker-word argmax with
@@ -170,6 +171,7 @@ object TextQueries {
     "q_logreg_step" -> QueryDef(
       (s, dir) => {
         val docs = Tables.load(s, dir, "documents")
+          .where(col("text").isNotNull && col("source").isNotNull)
         import graft.operators.QualityModel
         val err = (QualityModel.score(col("text"), QualityModel.Weights.zero)
           - (col("source") === "src0").cast("double")).as("err")
@@ -191,6 +193,57 @@ object TextQueries {
             WHEN 3 THEN g3 ELSE g4 END AS grad
         FROM g, (VALUES (0), (1), (2), (3), (4)) p(pos)""")),
 
+    // One zero-weight gradient step of the HASHED-BIGRAM quality
+    // classifier (QualityModel.ngramGradient — the content-feature
+    // fastText/CCNet-class model the 5 profile ratios approximate).
+    // Fully oracled with the same no-transcendental trick as
+    // q_logreg_step: sigmoid(0) is exactly 0.5, the sparse features are
+    // integer bigram counts per md5-derived bucket (the
+    // q_importance_weights two-hex-digit idiom), the per-bucket sums go
+    // through DECIMAL(28,10), and the bias bucket (-1, one occurrence
+    // per document) doubles as the denominator N — so the whole sparse
+    // gradient is one explode+groupBy plus a tiny unpartitioned window
+    // over <= 257 grouped rows.
+    "q_logreg_ngram_step" -> QueryDef(
+      (s, dir) => {
+        import graft.operators.QualityModel
+        val docs = Tables.load(s, dir, "documents")
+          .where(col("text").isNotNull && col("source").isNotNull)
+        val err = (QualityModel.ngramScore(col("text"),
+            QualityModel.NgramWeights.zero)
+          - (col("source") === "src0").cast("double")).as("err")
+        val g = docs
+          .select(err, explode(concat(array(lit(-1L)),
+            QualityModel.bigramBuckets(col("text")))).as("b"))
+          .groupBy("b")
+          .agg(sum(col("err").cast("decimal(28,10)")).cast("double").as("s"),
+            count(lit(1)).as("c"))
+        val w = Window.rowsBetween(Window.unboundedPreceding,
+          Window.unboundedFollowing)
+        g.select(col("b"),
+          Det.r4(col("s") /
+            max(when(col("b") === -1L, col("c"))).over(w)).as("grad"))
+      },
+      Some(s"""WITH d AS (SELECT
+            CASE WHEN source = 'src0' THEN 1.0 ELSE 0.0 END AS y,
+            $oracleTokens AS toks
+          FROM documents WHERE text IS NOT NULL AND source IS NOT NULL),
+        ex AS (SELECT y, unnest(list_prepend(CAST(-1 AS BIGINT),
+            list_transform(
+              list_transform(generate_series(1, len(toks) - 1),
+                i -> toks[i] || ' ' || toks[i + 1]),
+              bg -> CAST(
+                (instr('0123456789abcdef', substr(md5(bg), 1, 1)) - 1) * 16
+                + instr('0123456789abcdef', substr(md5(bg), 2, 1)) - 1
+                AS BIGINT)))) AS b
+          FROM d),
+        g AS (SELECT b,
+            CAST(sum(CAST(0.5 - y AS DECIMAL(28,10))) AS DOUBLE) AS s,
+            count(*) AS c
+          FROM ex GROUP BY b)
+        SELECT b, ${Det.sqlR4("s / (max(CASE WHEN b = -1 THEN c END) OVER ())")} AS grad
+        FROM g""")),
+
     // The classifier's map-only scorer under a FIXED weight vector —
     // the cross-engine anchor for QualityModel.score's sigmoid
     // projection (identical feature order and left-to-right
@@ -200,6 +253,7 @@ object TextQueries {
       (s, dir) => {
         import graft.operators.QualityModel
         Tables.load(s, dir, "documents")
+          .where(col("text").isNotNull && col("source").isNotNull)
           .select(col("doc_id"),
             Det.r4(QualityModel.score(col("text"),
               QualityModel.Weights(ClassifierW))).as("model_score"))

@@ -1,0 +1,98 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.core.{EventEnvelope, Sessions}
+import graft.operators.Ann
+import graft.streaming.{AnnStream, PubSub}
+import graft.streaming.AnnStream.{AnnHit, VecQuery}
+
+/** Streaming IVF ANN (AnnStream.ivfQueryRelay): micro-batched query
+  * waves against a once-assigned corpus must produce EXACTLY the batch
+  * ivfTopK results, across multiple waves (query-many), with each hit
+  * stamped by its originating query.
+  */
+class AnnStreamSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark: SparkSession =
+    Sessions.tune(SparkSession.builder().master("local[4]")
+      .config("spark.sql.streaming.checkpointLocation",
+        s"/tmp/graft-annstream-ckpt-${System.nanoTime()}"), 4).getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  test("stream hits equal batch ivfTopK wave-for-wave over a " +
+      "once-assigned corpus, stamps carried from the query events") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    // same centroid fixture as q_ann_ivf (vec_id % 37 stride)
+    val centroids = emb.where(col("vec_id") % 37 === 0 &&
+        col("vec_id") < 37L * 64)
+      .select((col("vec_id") / 37).cast("long").as("cell_id"),
+        col("embedding").as("cell_emb"))
+      .cache()
+    // assign ONCE; both waves and the batch comparator reuse it
+    val cells = Ann.assignCells(emb, centroids).cache()
+    val qvecs = emb.where(col("vec_id") < 16)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) ->
+        r.getSeq[Float](1).map(_.toDouble))
+      .toMap
+
+    val ps = new PubSub(spark)
+    val in = ps.topic[VecQuery]("ann-queries")
+    val out = ps.topic[AnnHit]("ann-hits")
+    val got = scala.collection.mutable.ArrayBuffer
+      .empty[EventEnvelope[AnnHit]]
+    val sink = out.stream.writeStream.outputMode("append")
+      .foreachBatch {
+        (b: org.apache.spark.sql.Dataset[EventEnvelope[AnnHit]], _: Long) =>
+          got.synchronized { got ++= b.collect() }; ()
+      }.start()
+    val relay = AnnStream.ivfQueryRelay(in, out, cells, centroids,
+      k = 5, nprobe = 4)
+
+    def batchExpected(ids: Seq[Long]): Set[(Long, Long, Double, Long)] = {
+      import spark.implicits._
+      val queries = ids.map(id => (id, qvecs(id))).toDF("q_id", "q_emb")
+      Ann.ivfTopKFromCells(cells, queries, centroids, 5, 4).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+          r.getLong(3))).toSet
+    }
+    def wave(base: Long, ids: Seq[Long]): Map[Long, Timestamp] = {
+      val stamps = ids.zipWithIndex
+        .map { case (id, i) => id -> new Timestamp(base + i) }.toMap
+      in.publish(ids.map(id =>
+        EventEnvelope.at(stamps(id), VecQuery(id, qvecs(id)))))
+      relay.processAllAvailable()
+      sink.processAllAvailable()
+      stamps
+    }
+
+    // wave 1
+    val ids1 = (0L until 8L).toSeq
+    val st1 = wave(1700000000000L, ids1)
+    val hits1 = got.synchronized(got.toList)
+    assert(hits1.map(e => (e.content.qId, e.content.vecId,
+      e.content.score, e.content.rn)).toSet == batchExpected(ids1))
+    assert(hits1.nonEmpty)
+    hits1.foreach(e =>
+      assert(e.stamp.start_time == st1(e.content.qId),
+        s"hit for q ${e.content.qId} must carry the query's stamp"))
+
+    // wave 2 — no re-assignment of the corpus between waves
+    val ids2 = (8L until 16L).toSeq
+    wave(1700000100000L, ids2)
+    val hits2 = got.synchronized(got.toList).drop(hits1.size)
+    assert(hits2.map(e => (e.content.qId, e.content.vecId,
+      e.content.score, e.content.rn)).toSet == batchExpected(ids2))
+
+    relay.stop()
+    sink.stop()
+    ps.close()
+  }
+}

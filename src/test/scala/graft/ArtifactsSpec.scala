@@ -139,6 +139,24 @@ class ArtifactsSpec extends AnyFunSuite with BeforeAndAfterAll {
     ps.close()
   }
 
+  test("hashed-bigram classifier weights round-trip (bias at pos -1) " +
+      "and a stray non-numeric version directory is ignored") {
+    import graft.operators.QualityModel
+    val docs = spark.read.parquet(s"$SfDir/documents.parquet")
+    val label = graft.functions.TextFunctions.qualityScore(col("text")) >= 0.6
+    val w = QualityModel.fitNgram(docs, col("text"), label, iters = 3)
+    Artifacts.saveNgramClassifier(spark, root, 1, w)
+    assert(Artifacts.loadNgramClassifier(spark, root) == w)
+    // a leftover non-numeric directory (tool temp, manual copy) must not
+    // break versions()/load() for the artifact
+    val stray = new java.io.File(
+      s"$root/${Artifacts.NgramClassifierName}/v=tmp")
+    assert(stray.mkdirs())
+    assert(Artifacts.versions(spark, root, Artifacts.NgramClassifierName)
+      == Seq(1))
+    assert(Artifacts.loadNgramClassifier(spark, root) == w)
+  }
+
   test("ingest gates constructed from LOADED artifacts behave exactly " +
       "like gates built from the in-memory originals") {
     import spark.implicits._

@@ -93,8 +93,9 @@ class BpeSpec extends AnyFunSuite with BeforeAndAfterAll {
     val got = Bpe.trainLocal(wc, 64)
     val jobs =
       spark.sparkContext.statusTracker.getJobIdsForGroup(null).length - before
-    // one count (the maxVocabRows guard) + one collect, each a couple
-    // of AQE jobs — independent of the 64 merges
+    // a single guarded limit(maxVocabRows+1).collect() (the overflow
+    // guard rides with the collect — no separate count job), a couple
+    // of AQE jobs at most — independent of the 64 merges
     assert(jobs <= 8, s"trainLocal ran $jobs jobs; training must not " +
       "touch the cluster per merge")
     assert(got.map(m => (m.left, m.right)) == refTrain(local, 64))

@@ -65,6 +65,43 @@ class LayoutSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"z worst-dimension pruning ($zOk, $zPk) must beat linear's ($linOk, $linPk)")
   }
 
+  test("three-key z-order prunes on ALL THREE dimensions in balance " +
+      "where a linear sort covers only its leading column") {
+    // third key: truncated price, not suppkey — suppkey's ~100 distinct
+    // values at sf0.01 never touch the grid's high bits, so no file
+    // could bound it (the same reason q_zorder3 audits price)
+    val li = spark.read.parquet("/root/testdata/sf0.01/lineitem.parquet")
+      .select((col("l_orderkey") % 1024).as("ok"),
+        (col("l_partkey") % 1024).as("pk"),
+        (col("l_extendedprice").cast("long") % 1024).as("ep"))
+    val base = Files.createTempDirectory("layout3").toString
+
+    Layout.writeZOrderedN(li, s"$base/z",
+      Seq(col("ok"), col("pk"), col("ep")), numFiles = Files16, bits = 10)
+    li.repartitionByRange(Files16, col("ok")).sortWithinPartitions("ok")
+      .write.parquet(s"$base/linear")
+
+    val dims = Seq("ok", "pk", "ep")
+    val z = dims.map(d => d -> pruned(s"$base/z", d, 7)).toMap
+    val lin = dims.map(d => d -> pruned(s"$base/linear", d, 7)).toMap
+    // every dimension — including the two a linear layout ignores —
+    // must prune a majority of files on footer stats alone
+    dims.foreach { d =>
+      assert(z(d) >= Files16 / 2,
+        s"z-layout: only ${z(d)}/$Files16 files exclude $d=7")
+    }
+    assert(lin("pk") <= 2 && lin("ep") <= 2,
+      s"fixture broke: linear layout should span pk/ep in every file, " +
+        s"pruned ${lin("pk")}/${lin("ep")}")
+    assert(dims.map(z).min > dims.map(lin).min,
+      s"z worst-dimension pruning $z must beat linear's $lin")
+    // BALANCE: the three dimensions' pruning counts stay close — the
+    // interleave gives no dimension structural priority (each key owns
+    // every third bit)
+    assert(dims.map(z).max - dims.map(z).min <= Files16 / 4,
+      s"per-dimension pruning should be balanced, got $z")
+  }
+
   test("zorderBy is a pure re-clustering: same rows, no loss") {
     val li = spark.read.parquet("/root/testdata/sf0.01/lineitem.parquet")
       .select((col("l_orderkey") % 4096).as("ok"),

@@ -82,6 +82,94 @@ class QualityModelSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"clipped loss must be finite and penalizing under saturation, got $l")
   }
 
+  test("null text/label rows drop from BOTH numerator and denominator " +
+      "of gradient and loss (5-dim and hashed-bigram)") {
+    import spark.implicits._
+    val extra = Seq((null: String, "src0"), ("x y z", null: String),
+      (null: String, null: String))
+      .toDF("text", "source")
+    val padded = docs.select(col("text"), col("source"))
+      .unionByName(extra)
+    val clean = docs.select(col("text"), col("source"))
+    val lbl = col("source") === "src0"
+    assert(QualityModel.gradient(padded, col("text"), lbl, Weights.zero) ==
+      QualityModel.gradient(clean, col("text"), lbl, Weights.zero))
+    assert(QualityModel.loss(padded, col("text"), lbl, Weights.zero) ==
+      QualityModel.loss(clean, col("text"), lbl, Weights.zero))
+    val nz = QualityModel.NgramWeights.zero
+    val gp = QualityModel.ngramGradient(padded, col("text"), lbl, nz)
+    val gc = QualityModel.ngramGradient(clean, col("text"), lbl, nz)
+    assert(gp == gc)
+  }
+
+  // --- hashed-bigram model --------------------------------------------
+
+  private val distill =
+    graft.functions.TextFunctions.qualityScore(col("text")) >= 0.6
+
+  test("hashed-bigram training descends the logistic loss") {
+    val l0 = QualityModel.ngramLoss(docs, col("text"), distill,
+      QualityModel.NgramWeights.zero)
+    val w = QualityModel.fitNgram(docs, col("text"), distill, iters = 5)
+    val l5 = QualityModel.ngramLoss(docs, col("text"), distill, w)
+    assert(l5 < l0, s"5 GD steps must reduce loss: $l5 >= $l0")
+  }
+
+  test("hashed-bigram separation on the distillation label strictly " +
+      "beats the 5-dim profile model at equal training budget") {
+    def separation(scoreCol: org.apache.spark.sql.Column): Double = {
+      val m = docs.groupBy(distill.as("y"))
+        .agg(avg(scoreCol).as("m"))
+        .collect().map(r => r.getBoolean(0) -> r.getDouble(1)).toMap
+      m(true) - m(false)
+    }
+    val iters = 25
+    val w5 = QualityModel.fit(docs, col("text"), distill, iters = iters)
+    val wn = QualityModel.fitNgram(docs, col("text"), distill, iters = iters)
+    val s5 = separation(QualityModel.score(col("text"), w5))
+    val sn = separation(QualityModel.ngramScore(col("text"), wn))
+    assert(sn > 0.05, s"ngram model must separate the classes, got $sn")
+    assert(sn > s5,
+      s"content features must beat the 5 profile ratios: ngram $sn vs 5-dim $s5")
+  }
+
+  test("hashed-bigram learned weights are EXACTLY partition-invariant") {
+    val a = QualityModel.fitNgram(docs, col("text"), distill, iters = 4)
+    val b = QualityModel.fitNgram(docs.repartition(13), col("text"),
+      distill, iters = 4)
+    assert(a == b, "ngram weights diverged across partitionings")
+  }
+
+  test("hashed-bigram gradient at zero weights equals the driver-side " +
+      "computation, bias bucket included") {
+    val rows = docs.select(col("text"),
+        QualityModel.bigramBuckets(col("text")).as("bs"), label.as("y"))
+      .collect()
+    val n = rows.length
+    val sums = collection.mutable.Map.empty[Long, BigDecimal]
+      .withDefaultValue(BigDecimal(0))
+    rows.foreach { r =>
+      val e = BigDecimal(0.5 - (if (r.getBoolean(2)) 1.0 else 0.0))
+        .setScale(10, BigDecimal.RoundingMode.HALF_UP)
+      sums(-1L) += e
+      r.getSeq[Long](1).foreach(b => sums(b) += e)
+    }
+    val got = QualityModel.ngramGradient(docs, col("text"), label,
+      QualityModel.NgramWeights.zero)
+    assert(math.abs(got.bias - (sums(-1L).toDouble / n)) < 1e-9)
+    (0 until QualityModel.NgramBuckets).foreach { b =>
+      val want = sums(b.toLong).toDouble / n
+      assert(math.abs(got.w(b) - want) < 1e-9, s"bucket $b: ${got.w(b)} vs $want")
+    }
+  }
+
+  test("ngram gradient fails loudly on an empty corpus") {
+    val e = intercept[IllegalArgumentException](
+      QualityModel.ngramGradient(docs.where(lit(false)), col("text"),
+        label, QualityModel.NgramWeights.zero))
+    assert(e.getMessage.contains("empty corpus"))
+  }
+
   test("gradient at zero weights equals the driver-side computation") {
     val rows = docs.select(col("text"),
         QualityModel.features(col("text")).as("f"), label.as("y"))
