@@ -50,9 +50,16 @@ object Components {
     * `spark.catalog.clearCache()` or by letting the session end.
     */
   def connectedComponents(edges: DataFrame): DataFrame = {
-    val sym = edges.select(col("a"), col("b"))
-      .union(edges.select(col("b").as("a"), col("a").as("b")))
+    // Materialize the DIRECTED edge list before symmetrizing: the union's
+    // two branches are separate plan subtrees, so an un-materialized
+    // `edges` (typically the expensive pair-mining join) would execute
+    // once per branch — ReusedExchange dedupes only the shuffles the
+    // branches share, not the post-shuffle join/verify work. One extra
+    // short-lived checkpoint of id pairs buys mining-once at any scale.
+    val e0 = edges.select(col("a"), col("b")).localCheckpoint()
+    val sym = e0.union(e0.select(col("b").as("a"), col("a").as("b")))
       .localCheckpoint()
+    freeCheckpoint(e0) // sym is material; the directed list is superseded
     var labels = sym.select(col("a").as("doc_id")).distinct()
       .withColumn("label", col("doc_id"))
       .localCheckpoint()
