@@ -24,13 +24,18 @@ object VectorFunctions {
   def cosine(a: Column, b: Column): Column =
     dot(a, b) / (norm(a) * norm(b))
 
-  def l2Distance(a: Column, b: Column): Column =
-    sqrt(aggregate(
+  /** Squared L2 — the PQ/k-means workhorse (argmin-invariant without
+    * the sqrt, and the form the ADC distance tables store).
+    */
+  def l2sq(a: Column, b: Column): Column =
+    aggregate(
       zip_with(a, b, (x, y) => {
         val d = x.cast("double") - y.cast("double")
         d * d
       }),
-      lit(0.0), (acc, v) => acc + v))
+      lit(0.0), (acc, v) => acc + v)
+
+  def l2Distance(a: Column, b: Column): Column = sqrt(l2sq(a, b))
 
   /** Pre-normalize once so repeated cosine comparisons are a plain dot
     * product — the right trade at 100 TB: normalization is a single

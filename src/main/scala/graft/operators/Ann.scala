@@ -138,6 +138,151 @@ object Ann {
       k)
   }
 
+  /** Semantic deduplication (SemDeDup, Abbas et al. 2023,
+    * arXiv:2303.09540): cluster the corpus around a centroid set, then
+    * prune within clusters — an above-threshold pair never survives
+    * whole. The member kept is the one LESS similar to its centroid
+    * (the paper's diversity-preserving choice); concretely, a vector is
+    * dropped iff some same-cell neighbor with quantized cosine >=
+    * threshold has strictly lower (aff, vec_id) key. That pairwise rule
+    * is order- and partition-independent: "dropped" is exactly "has a
+    * lower-key above-threshold neighbor", no sequential scan order to
+    * replicate.
+    *
+    * Scale shape — the published algorithm's own: candidate pairs exist
+    * only WITHIN a cell (one equi-join on cell_id), so total pair work
+    * is sum(c_i^2)/2, not |corpus|^2/2; the centroid side is a bounded
+    * broadcast (the caller's k-means frame, [[kmeansTrain]] or the
+    * Artifacts-persisted centroids); assignment is the same one-pass
+    * map-side argmax as [[assignCells]]. At 100 TB the dial is k: more
+    * cells shrink c_i quadratically while the assignment pass stays one
+    * broadcast scan.
+    *
+    * Expects emb(vec_id, embedding), centroids(cell_id, cell_emb);
+    * thresholdQ is the integer-quantized cosine cut (r4q scale, e.g.
+    * 9500 for 0.95). Returns (vec_id, cell_id, dropped 0/1) for every
+    * input vector.
+    */
+  def semDedup(emb: DataFrame, centroids: DataFrame,
+      thresholdQ: Long): DataFrame = {
+    val assigned = emb.crossJoin(broadcast(centroids))
+      .select(col("vec_id"), col("embedding"), col("cell_id"),
+        cosineScore(col("embedding"), col("cell_emb")).as("aff"))
+      .groupBy(col("vec_id"))
+      .agg(first(col("embedding")).as("embedding"),
+        max_by(struct(col("cell_id"), col("aff")),
+          struct(col("aff"), -col("cell_id"))).as("m"))
+      .select(col("vec_id"), col("embedding"),
+        col("m.cell_id").as("cell_id"), col("m.aff").as("aff"))
+      .cache()
+    val x = assigned.select(col("cell_id"), col("vec_id").as("a"),
+      col("embedding").as("ea"), col("aff").as("affa"))
+    val y = assigned.select(col("cell_id"), col("vec_id").as("b"),
+      col("embedding").as("eb"), col("aff").as("affb"))
+    // a < b throughout, so on an aff tie the higher id (b) is dropped —
+    // the scalar CASE is the (aff, vec_id) lexicographic key
+    val dropped = x.join(y, Seq("cell_id"))
+      .where(col("a") < col("b"))
+      .where(Det.r4q(VectorFunctions.cosine(col("ea"), col("eb"))) >=
+        thresholdQ)
+      .select(when(col("affa") > col("affb"), col("a")).otherwise(col("b"))
+        .as("vec_id"))
+      .distinct()
+      .withColumn("d", lit(1L))
+    val result = assigned
+      .join(dropped, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cell_id"),
+        coalesce(col("d"), lit(0L)).as("dropped"))
+    graft.core.CacheHygiene.unpersistAfterFirstUse(assigned, result)
+  }
+
+  /** Product quantization encode (Jégou et al. 2011, "Product
+    * Quantization for Nearest Neighbor Search"): split each dim-D vector
+    * into m contiguous subvectors of D/m and code each as the
+    * argmin-squared-L2 entry of that subspace's codebook — at k<=256
+    * codes a 64-float vector becomes m bytes, the memory story that
+    * lets a 100 TB corpus's ANN index live in RAM (the full vectors
+    * stay in parquet for optional re-ranking).
+    *
+    * Scale shape: codebooks are m*k rows broadcast; encode is one
+    * map-side pass (explode to m subvectors, broadcast-join, one
+    * partial-aggregated argmin per (vec, sub)) — the corpus shuffles
+    * once keyed by vec_id, carrying (sub, code) pairs, never raw
+    * vectors. Determinism: distances r4-quantized before the argmin,
+    * code tiebreak ascending.
+    *
+    * Expects emb(vec_id, embedding), codebooks(sub, code, cvec) with
+    * cvec arrays of length D/m. Returns (vec_id, sub, code) — one row
+    * per subspace, array-free for engine-portable comparison.
+    */
+  def pqEncode(emb: DataFrame, codebooks: DataFrame, m: Int): DataFrame = {
+    val sd = size(col("embedding")) / m
+    val subs = emb
+      .select(col("vec_id"), explode(sequence(lit(0), lit(m - 1))).as("sub"),
+        col("embedding"))
+      .select(col("vec_id"), col("sub"),
+        slice(col("embedding"), col("sub") * sd + 1, sd).as("sv"))
+    subs.join(broadcast(codebooks), "sub")
+      .select(col("vec_id"), col("sub"), col("code"),
+        Det.r4(VectorFunctions.l2sq(col("sv"), col("cvec"))).as("dq"))
+      .groupBy(col("vec_id"), col("sub"))
+      .agg(min(struct(col("dq"), col("code"))).as("mn"))
+      .select(col("vec_id"), col("sub").cast("long").as("sub"),
+        col("mn.code").as("code"))
+  }
+
+  /** Asymmetric-distance (ADC) top-k over PQ codes: per query, build
+    * the m*k distance table query-subvector-to-codebook-entry once,
+    * then every corpus vector's approximate squared L2 is m table
+    * lookups summed — no per-pair float math, which is the whole point
+    * of PQ at scale.
+    *
+    * The per-query table rides as a broadcast map keyed sub*k+code, so
+    * the codes-x-queries stage is map-only codegen (aggregate over the
+    * m codes); nothing about the corpus is shuffled beyond the final
+    * per-query top-k. Table entries are INTEGER-quantized (r4q) before
+    * storage, so the m-term sum is exact integer arithmetic —
+    * order-independent across engines and partitionings by
+    * construction, like every round-8 similarity cut.
+    *
+    * Expects codes from [[pqEncode]] (vec_id, sub, code),
+    * queries(q_id, q_emb), codebooks(sub, code, cvec). Returns
+    * (q_id, vec_id, dist, rn) with dist the integer-quantized ADC
+    * distance, rn ascending.
+    */
+  def pqTopK(codes: DataFrame, queries: DataFrame, codebooks: DataFrame,
+      m: Int, k: Int, topK: Int): DataFrame = {
+    val sd = size(col("q_emb")) / m
+    val dtab = queries
+      .select(col("q_id"), explode(sequence(lit(0), lit(m - 1))).as("sub"),
+        col("q_emb"))
+      .select(col("q_id"), col("sub"),
+        slice(col("q_emb"), col("sub") * sd + 1, sd).as("qv"))
+      .join(broadcast(codebooks), "sub")
+      .select(col("q_id"),
+        (col("sub") * k + col("code")).cast("int").as("key"),
+        Det.r4q(VectorFunctions.l2sq(col("qv"), col("cvec")))
+          .cast("long").as("d"))
+      .groupBy(col("q_id"))
+      .agg(map_from_arrays(collect_list(col("key")),
+        collect_list(col("d"))).as("dmap"))
+    val vecCodes = codes.groupBy(col("vec_id"))
+      .agg(map_from_arrays(collect_list(col("sub").cast("int")),
+        collect_list(col("code").cast("int"))).as("cmap"))
+    val scored = vecCodes.crossJoin(broadcast(dtab))
+      .select(col("q_id"), col("vec_id"),
+        aggregate(sequence(lit(0), lit(m - 1)),
+          lit(0L),
+          (acc, s) => acc + element_at(col("dmap"),
+            (s * k + element_at(col("cmap"), s.cast("int"))).cast("int")))
+          .as("dist"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("dist").asc, col("vec_id"))
+    scored.withColumn("rn", row_number().over(w).cast("long"))
+      .where(col("rn") <= topK)
+      .select("q_id", "vec_id", "dist", "rn")
+  }
+
   /** One Lloyd assignment step in ORACLE-DETERMINISTIC form: nearest
     * centroid by squared-L2 (the |v|² term dropped — constant per
     * vector, argmin-invariant), distance r4-quantized BEFORE the argmin

@@ -37,6 +37,11 @@ object SimilarityQueries {
     */
   private[graft] val MaxExactCohort = 160
   private[graft] val MaxIvfCentroids = 64
+  // Product quantization: 8 subspaces x 16 codes over the dim-64
+  // fixture embeddings (production codebooks come from per-subspace
+  // kmeansTrain; the fixture filter keeps the oracle SQL-expressible)
+  private[graft] val PqM = 8
+  private[graft] val PqCodes = 16
 
   /** Document-frequency cap on shingles entering the candidate self-join.
     * A shingle present in d documents contributes d·(d-1)/2 join rows — a
@@ -172,6 +177,49 @@ object SimilarityQueries {
   private def oracleDot(a: String, b: String): String =
     s"""list_sum(list_transform(generate_series(1, len($a)),
        i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))"""
+
+  private def oracleL2sq(a: String, b: String): String =
+    s"""list_sum(list_transform(generate_series(1, len($a)),
+       i -> (CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE)) *
+            (CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE))))"""
+
+  // The Spark-side twin of the oracle's cb CTE: every-11th vector,
+  // one codebook row per (sub, code) holding that vector's subvector.
+  private def pqCodebooks(emb: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val sd = size(col("embedding")) / PqM
+    emb.where(col("vec_id") % 11 === 0 && col("vec_id") < 11L * PqCodes)
+      .select((col("vec_id") / 11).cast("long").as("code"), col("embedding"))
+      .select(col("code"),
+        explode(sequence(lit(0), lit(PqM - 1))).as("sub"), col("embedding"))
+      .select(col("sub"), col("code"),
+        slice(col("embedding"), col("sub") * sd + 1, sd).as("cvec"))
+  }
+
+  // Shared CTE text for the PQ fixture: codebooks from every-11th
+  // vector's subvectors, per-(vec, sub) argmin codes — used by both
+  // q_pq_encode and q_pq_topk.
+  private def pqOracleCtes: String =
+    s"""cb AS (
+      SELECT s.sub AS sub, CAST(vec_id / 11 AS BIGINT) AS code,
+        list_slice(embedding, s.sub * 8 + 1, s.sub * 8 + 8) AS cvec
+      FROM embeddings, (SELECT unnest(generate_series(0, ${PqM - 1})) AS sub) s
+      WHERE vec_id % 11 = 0 AND vec_id < 11 * $PqCodes),
+    sv AS (
+      SELECT vec_id, s.sub AS sub,
+        list_slice(embedding, s.sub * 8 + 1, s.sub * 8 + 8) AS sv
+      FROM embeddings, (SELECT unnest(generate_series(0, ${PqM - 1})) AS sub) s),
+    pqd AS (
+      SELECT v.vec_id, v.sub, c.code,
+        floor(${oracleL2sq("v.sv", "c.cvec")} * 10000 + 0.5) / 10000 AS dq
+      FROM sv v JOIN cb c ON v.sub = c.sub),
+    codes AS (
+      SELECT vec_id, CAST(sub AS BIGINT) AS sub, code FROM (
+        SELECT vec_id, sub, code,
+          row_number() OVER (PARTITION BY vec_id, sub
+            ORDER BY dq, code) AS rn
+        FROM pqd) t
+      WHERE rn = 1)"""
 
   def defs: Map[String, QueryDef] = Map(
     // Exact dedup on a digest key: one shuffle of (16-byte key, id).
@@ -630,6 +678,113 @@ object SimilarityQueries {
           floor(CAST(sum(CAST(CAST(x AS DOUBLE) AS DECIMAL(28,10))) AS DOUBLE)
             / count(*) * 10000 + 0.5) / 10000 AS c_next
         FROM u GROUP BY 1, 2""")),
+
+    // Semantic dedup (SemDeDup, arXiv:2303.09540): cluster around the
+    // deterministic fixture centroids (the q_ann_ivf filter — production
+    // callers pass kmeansTrain/Artifacts centroids), then prune within
+    // cells — of every same-cell pair with quantized cosine >= 0.35 the
+    // member MORE similar to its centroid is dropped (the paper keeps
+    // the diverse one; ties drop the higher id). The pairwise rule is
+    // scan-order-free, so the whole operator — assignment argmax,
+    // intra-cell pair cut, drop choice — is expressible in SQL and
+    // fully hash-compared. The 0.35 cut (vs the paper's ~0.95) keeps
+    // the fixture evidence non-vacuous: this corpus has no true
+    // semantic dups (max pairwise cosine ~0.51); SemDedupSpec pins the
+    // planted-duplicate behavior at realistic thresholds.
+    "q_semdedup" -> QueryDef(
+      (s, dir) => {
+        val emb = Tables.load(s, dir, "embeddings")
+        val centroids = emb.where(col("vec_id") % 37 === 0 &&
+            col("vec_id") < 37L * MaxIvfCentroids)
+          .select((col("vec_id") / 37).cast("long").as("cell_id"),
+            col("embedding").as("cell_emb"))
+        graft.operators.Ann.semDedup(emb, centroids, thresholdQ = 3500L)
+      },
+      Some {
+        def cos(a: String, b: String) =
+          s"""floor(${oracleDot(a, b)} /
+            (sqrt(${oracleDot(a, a)}) * sqrt(${oracleDot(b, b)}))
+            * 10000 + 0.5) / 10000"""
+        s"""WITH cents AS (
+          SELECT CAST(vec_id / 37 AS BIGINT) AS cell_id,
+            embedding AS cell_emb
+          FROM embeddings
+          WHERE vec_id % 37 = 0 AND vec_id < 37 * $MaxIvfCentroids),
+        assign AS (
+          SELECT vec_id, embedding, cell_id, aff FROM (
+            SELECT e.vec_id, e.embedding, c.cell_id,
+              ${cos("e.embedding", "c.cell_emb")} AS aff,
+              row_number() OVER (PARTITION BY e.vec_id
+                ORDER BY ${cos("e.embedding", "c.cell_emb")} DESC,
+                  c.cell_id) AS arn
+            FROM embeddings e, cents c) t
+          WHERE arn = 1),
+        dropped AS (
+          SELECT DISTINCT CASE WHEN x.aff > y.aff
+              THEN x.vec_id ELSE y.vec_id END AS vec_id
+          FROM assign x JOIN assign y
+            ON x.cell_id = y.cell_id AND x.vec_id < y.vec_id
+          WHERE floor(${oracleDot("x.embedding", "y.embedding")} /
+            (sqrt(${oracleDot("x.embedding", "x.embedding")}) *
+             sqrt(${oracleDot("y.embedding", "y.embedding")}))
+            * 10000 + 0.5) >= 3500)
+        SELECT a.vec_id, a.cell_id,
+          CAST(CASE WHEN d.vec_id IS NULL THEN 0 ELSE 1 END AS BIGINT)
+            AS dropped
+        FROM assign a LEFT JOIN dropped d USING (vec_id)"""
+      },
+      bench = true),
+
+    // Product-quantization encode (Ann.pqEncode, Jégou et al. 2011):
+    // 8 subspaces x 16 codes — each dim-64 vector becomes 8 small ints,
+    // the RAM-resident index form for 100 TB ANN. Codebooks here are
+    // the every-11th fixture vectors' subvectors (production: one
+    // kmeansTrain per subspace feeding the same frame), which keeps the
+    // whole argmin-coding pipeline SQL-expressible and hash-compared.
+    "q_pq_encode" -> QueryDef(
+      (s, dir) => {
+        val emb = Tables.load(s, dir, "embeddings")
+        graft.operators.Ann.pqEncode(emb, pqCodebooks(emb), PqM)
+      },
+      Some(s"""WITH $pqOracleCtes
+        SELECT vec_id, sub, code FROM codes"""),
+      bench = true),
+
+    // ADC top-10 over the PQ codes: per query one m*k distance table
+    // (INTEGER-quantized entries, so the m-term sum is exact integer
+    // arithmetic), per corpus vector m map lookups — no per-pair float
+    // math. AnnSpec pins the approximation against brute force on
+    // planted clusters; this query pins the arithmetic cross-engine.
+    "q_pq_topk" -> QueryDef(
+      (s, dir) => {
+        val emb = Tables.load(s, dir, "embeddings")
+        val cb = pqCodebooks(emb)
+        val q = emb.where(col("vec_id") < 8)
+          .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+        graft.operators.Ann.pqTopK(
+          graft.operators.Ann.pqEncode(emb, cb, PqM), q, cb,
+          PqM, PqCodes, 10)
+      },
+      Some(s"""WITH $pqOracleCtes,
+        q AS (SELECT vec_id AS q_id, embedding AS q_emb
+          FROM embeddings WHERE vec_id < 8),
+        dt AS (
+          SELECT q.q_id, c.sub, c.code,
+            CAST(floor(${oracleL2sq(
+              "list_slice(q.q_emb, c.sub * 8 + 1, c.sub * 8 + 8)",
+              "c.cvec")} * 10000 + 0.5) AS BIGINT) AS dd
+          FROM q, cb c),
+        scored AS (
+          SELECT dt.q_id, codes.vec_id,
+            CAST(sum(dt.dd) AS BIGINT) AS dist
+          FROM codes JOIN dt ON codes.sub = dt.sub AND codes.code = dt.code
+          GROUP BY dt.q_id, codes.vec_id)
+        SELECT q_id, vec_id, dist, rn FROM (
+          SELECT *, row_number() OVER (
+            PARTITION BY q_id ORDER BY dist, vec_id) AS rn
+          FROM scored) t
+        WHERE rn <= 10"""),
+      bench = true),
 
     // Embedding near-dup via multi-band random-hyperplane LSH (16 bands x
     // 8 bits), then exact cosine verification on candidates

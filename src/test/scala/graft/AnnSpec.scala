@@ -102,4 +102,78 @@ class AnnSpec extends AnyFunSuite with BeforeAndAfterAll {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
     }
   }
+
+  // Hand-built SemDeDup fixture: every assignment, pair cosine, and
+  // drop decision is analytic. Cells = x-axis (0) and y-axis (1).
+  private def semCorpus = Seq(
+    (0L, Seq(10f, 0f, 0f, 0f)),   // on the cell-0 centroid: aff 1.0
+    (1L, Seq(9.8f, 0.5f, 0f, 0f)), // near-dup of 0, slightly off-axis
+    (2L, Seq(0f, 10f, 0f, 0f)),   // alone in cell 1
+    (3L, Seq(6f, 6f, 0f, 0f))     // diagonal: cos 0.71 to both anchors
+  ).toDF("vec_id", "embedding")
+
+  private def semCentroids = Seq(
+    (0L, Seq(1f, 0f, 0f, 0f)),
+    (1L, Seq(0f, 1f, 0f, 0f))
+  ).toDF("cell_id", "cell_emb")
+
+  test("semDedup drops the centroid-redundant member of a dup pair") {
+    // cos(0,1)=0.9987 >= 0.99; vec 0 sits ON the centroid (aff 1.0 >
+    // 0.9987) so the paper's diversity rule drops 0 and keeps 1. The
+    // diagonal vec 3 is above no pair threshold -> kept, as is 2.
+    val out = Ann.semDedup(semCorpus, semCentroids, thresholdQ = 9900L)
+      .select("vec_id", "dropped").as[(Long, Long)].collect().toMap
+    assert(out == Map(0L -> 1L, 1L -> 0L, 2L -> 0L, 3L -> 0L))
+  }
+
+  test("semDedup emits every input row and respects a vacuous threshold") {
+    val out = Ann.semDedup(semCorpus, semCentroids, thresholdQ = 10001L)
+    assert(out.count() == 4)
+    assert(out.where(col("dropped") =!= 0L).count() == 0)
+  }
+
+  // PQ fixture: codebooks = the 4 exact cluster centers' subvectors
+  // (m=4 subspaces of dim 4 over the 16-dim corpus). Within each 4-dim
+  // subvector a cluster-c member is hot only at position c, so its
+  // argmin code is c in EVERY subspace — fully analytic.
+  private def pqCenters = Seq.tabulate(4)(c =>
+    (c.toLong, Seq.tabulate(16)(d => if (d % 4 == c) 10.0f else 0.0f)))
+    .toDF("code", "emb")
+
+  private def pqCb = pqCenters
+    .select(col("code"), explode(sequence(lit(0), lit(3))).as("sub"),
+      col("emb"))
+    .select(col("sub"), col("code"),
+      slice(col("emb"), col("sub") * lit(4) + 1, lit(4)).as("cvec"))
+
+  test("pqEncode codes every member to its cluster center in all subspaces") {
+    val codes = Ann.pqEncode(corpus, pqCb, 4)
+    assert(codes.count() == 200 * 4)
+    val wrong = codes.where(col("code") =!= col("vec_id") % 4).count()
+    assert(wrong == 0, s"$wrong subspace codes off their cluster center")
+  }
+
+  test("pqTopK ADC retrieves the query's cluster, id-ordered on ties") {
+    val codes = Ann.pqEncode(corpus, pqCb, 4)
+    val q = corpus.where(col("vec_id") >= 196)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val top = Ann.pqTopK(codes, q, pqCb, 4, 4, 5)
+      .select("q_id", "vec_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    // every cluster member shares its center's codes -> identical ADC
+    // distance -> the top-5 cut is the 5 lowest ids of the q's cluster
+    (196L to 199L).foreach { qid =>
+      val c = qid % 4
+      assert(top(qid) == Set(c, c + 4, c + 8, c + 12, c + 16),
+        s"q $qid got ${top(qid)}")
+    }
+  }
+
+  test("semDedup is partition-invariant") {
+    val base = Ann.semDedup(semCorpus, semCentroids, 9900L)
+      .as[(Long, Long, Long)].collect().toSet
+    val repart = Ann.semDedup(semCorpus.repartition(5), semCentroids, 9900L)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(base == repart)
+  }
 }
