@@ -34,8 +34,86 @@ object AnnStream {
   /** One embedding query riding the stream. */
   final case class VecQuery(qId: Long, emb: Seq[Double])
 
+  /** One embedding document riding the ingest stream. */
+  final case class VecDoc(vecId: Long, emb: Seq[Double])
+
+  /** Per-cell admitted-vector state for [[semDedupGate]]. */
+  final case class SemCellState(admitted: Seq[Seq[Double]])
+
   /** One ANN hit: query, neighbor, r4-quantized cosine, rank (1-based). */
   final case class AnnHit(qId: Long, vecId: Long, score: Double, rn: Long)
+
+  // Integer-quantized cosine, the JVM twin of Det.r4q(cosine(a, b)):
+  // the same index-order fold as VectorExpressions.dot and the same
+  // floor(x * 10000 + 0.5) quantization, so gate decisions use the
+  // identical arithmetic as the batch operator's cuts.
+  private def cosQ(a: Seq[Double], b: Seq[Double]): Long = {
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < a.length) {
+      dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
+    }
+    math.floor(dot / (math.sqrt(na) * math.sqrt(nb)) * 10000 + 0.5).toLong
+  }
+
+  /** Streaming SemDeDup gate — the ingest-plane face of
+    * [[Ann.semDedup]]: an arriving embedding is admitted iff no
+    * ALREADY-ADMITTED vector in its cell has quantized cosine >=
+    * thresholdQ. Cells come from the same broadcast-centroid argmax as
+    * the batch operator (quantized affinity, cell-id tiebreak);
+    * centroids are a driver-side k x dim array, typically
+    * `Artifacts.loadIvfCentroids(...).collect()` — train once, gate
+    * forever, hot-swappable at a batch boundary via the HotSwap
+    * pattern.
+    *
+    * Semantics vs batch (documented, spec-pinned): the batch operator
+    * sees all pairs at once and keeps the LESS-centroid-similar member;
+    * a stream must decide per arrival, so FIRST arrival wins —
+    * event-time order within each micro-batch (the same sorted repair
+    * as every stateful op here), arrival order across batches. Pairs
+    * split across cells pass unexamined — exactly the batch operator's
+    * cell-local trade.
+    *
+    * State is per-cell and capped: each cell keeps at most `maxPerCell`
+    * admitted vectors (the cell's SemDeDup index); once full, new
+    * distinct vectors still pass but are no longer recorded, so
+    * suppression recall degrades gracefully instead of state growing
+    * without bound. At 100 TB the cap times k centroids bounds executor
+    * state exactly like the batch operator's broadcast bounds.
+    */
+  def semDedupGate(centroids: Seq[(Long, Seq[Double])], thresholdQ: Long,
+      maxPerCell: Int = 4096): TypedOps.Op[VecDoc, VecDoc] = { ds =>
+    import org.apache.spark.sql.{Encoder, Encoders}
+    import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    require(centroids.nonEmpty, "semDedupGate needs at least one centroid")
+    implicit val encState: Encoder[SemCellState] =
+      ExpressionEncoder[SemCellState]()
+    implicit val encOut: Encoder[EventEnvelope[VecDoc]] =
+      ExpressionEncoder[EventEnvelope[VecDoc]]()
+    implicit val encKey: Encoder[Long] = Encoders.scalaLong
+    val cents = centroids.sortBy(_._1)
+    def cellOf(v: Seq[Double]): Long =
+      cents.maxBy { case (cid, c) => (cosQ(v, c), -cid) }._1
+    ds.groupByKey(e => cellOf(e.content.emb))
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: Long, it: Iterator[EventEnvelope[VecDoc]],
+         state: org.apache.spark.sql.streaming.GroupState[SemCellState]) =>
+          var admitted = state.getOption
+            .map(_.admitted.toVector).getOrElse(Vector.empty)
+          val out = Vector.newBuilder[EventEnvelope[VecDoc]]
+          it.toSeq.sortBy(_.stamp.start_time.getTime).foreach { ev =>
+            val v = ev.content.emb
+            val dup = admitted.exists(a => cosQ(a, v) >= thresholdQ)
+            if (!dup) {
+              out += ev
+              if (admitted.size < maxPerCell) admitted :+= v
+            }
+          }
+          state.update(SemCellState(admitted))
+          out.result().iterator
+      }
+  }
 
   /** Start the relay: queries from `in`, per-batch IVF top-k over the
     * PRE-ASSIGNED `cells` (assignCells output) with `centroids`

@@ -95,4 +95,61 @@ class AnnStreamSpec extends AnyFunSuite with BeforeAndAfterAll {
     sink.stop()
     ps.close()
   }
+
+  test("semDedupGate: first arrival wins within and across micro-batches, " +
+      "cells are independent, stamps ride through") {
+    import graft.streaming.AnnStream.VecDoc
+    val cents = Seq(
+      0L -> Seq(1.0, 0.0, 0.0, 0.0),
+      1L -> Seq(0.0, 1.0, 0.0, 0.0))
+    val ps = new PubSub(spark)
+    val in = ps.topic[VecDoc]("semdedup-in")
+    val got = scala.collection.mutable.ArrayBuffer
+      .empty[EventEnvelope[VecDoc]]
+    val gated = AnnStream.semDedupGate(cents, thresholdQ = 9900L)(in.stream)
+    val sink = gated.writeStream.outputMode("append")
+      .foreachBatch {
+        (b: org.apache.spark.sql.Dataset[EventEnvelope[VecDoc]], _: Long) =>
+          got.synchronized { got ++= b.collect() }; ()
+      }.start()
+
+    def send(evs: Seq[(Long, Seq[Double], Long)]): Unit = {
+      in.publish(evs.map { case (id, v, t) =>
+        EventEnvelope.at(new Timestamp(t), VecDoc(id, v)) })
+      sink.processAllAvailable()
+    }
+
+    // wave 1: 0 and 1 are a 0.9987-cosine pair in cell 0 (0 earlier by
+    // event time); 2 is alone in cell 1
+    send(Seq(
+      (0L, Seq(10.0, 0.0, 0.0, 0.0), 1000L),
+      (1L, Seq(9.8, 0.5, 0.0, 0.0), 1001L),
+      (2L, Seq(0.0, 10.0, 0.0, 0.0), 1002L)))
+    val w1 = got.synchronized(got.toList)
+    assert(w1.map(_.content.vecId).toSet == Set(0L, 2L),
+      s"wave 1 admitted ${w1.map(_.content.vecId)}")
+    assert(w1.find(_.content.vecId == 0L).get.stamp.start_time.getTime
+      == 1000L)
+
+    // wave 2: 3 duplicates the ADMITTED 0 (cross-batch state); 4 is the
+    // diagonal (cos 0.707 to everything) -> admitted into cell 0
+    send(Seq(
+      (3L, Seq(10.1, 0.05, 0.0, 0.0), 2000L),
+      (4L, Seq(6.0, 6.0, 0.0, 0.0), 2001L)))
+    val w2 = got.synchronized(got.toList).drop(w1.size)
+    assert(w2.map(_.content.vecId).toSet == Set(4L),
+      s"wave 2 admitted ${w2.map(_.content.vecId)}")
+
+    // wave 3: a near-copy of the SUPPRESSED 1 is still suppressed (0
+    // holds the cell), and a near-copy of the admitted diagonal 4 is
+    // suppressed by 4's state entry
+    send(Seq(
+      (5L, Seq(9.79, 0.51, 0.0, 0.0), 3000L),
+      (6L, Seq(6.01, 5.99, 0.0, 0.0), 3001L)))
+    val w3 = got.synchronized(got.toList).drop(w1.size + w2.size)
+    assert(w3.isEmpty, s"wave 3 admitted ${w3.map(_.content.vecId)}")
+
+    sink.stop()
+    ps.close()
+  }
 }
