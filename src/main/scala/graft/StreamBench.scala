@@ -196,6 +196,40 @@ object StreamBench {
     val ingest32Sec = (System.nanoTime() - j0) / 1e9
     q6.stop()
 
+    // pipeline 7: streaming SemDeDup gate — per-cell admitted-state
+    // suppression over embedding events, the semantic third of the
+    // ingest plane's dedup story (exact topic dedup + band near-dup
+    // above). Centroids are the IVF fixture frame; events cycle the
+    // fixture embeddings with fresh ids, so every replay past the first
+    // is a same-cell duplicate the state must suppress.
+    val fixEmb = spark.read
+      .parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val semCents = fixEmb.where(
+        org.apache.spark.sql.functions.col("vec_id") % 37 === 0 &&
+        org.apache.spark.sql.functions.col("vec_id") < 37L * 64)
+      .select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0) / 37) ->
+        r.getSeq[Float](1).map(_.toDouble).toSeq).toSeq
+    val semVecs = fixEmb.select("vec_id", "embedding").collect()
+      .map(r => r.getSeq[Float](1).map(_.toDouble).toSeq)
+    val semN = math.max(n / 50, 1000)
+    val t7 = ps.topic[AnnStream.VecDoc]("bench-semdedup")
+    val gated = AnnStream.semDedupGate(semCents, thresholdQ = 9999L)(
+      t7.stream)
+    var nSemAdmitted = 0L
+    val q7 = gated.writeStream.outputMode("append")
+      .foreachBatch {
+        (b: Dataset[EventEnvelope[AnnStream.VecDoc]], _: Long) =>
+          nSemAdmitted += b.count(); ()
+      }.start()
+    val s0 = System.nanoTime()
+    t7.publish((0 until semN).map(i => EventEnvelope.at(
+      new Timestamp(base + i * 100L),
+      AnnStream.VecDoc(i.toLong, semVecs(i % semVecs.length)))))
+    q7.processAllAvailable()
+    val semSec = (System.nanoTime() - s0) / 1e9
+    q7.stop()
+
     println(f"""{"stream_bench":{"n_events":$n,""" +
       f""""state_store":"${if (rocksdb) "rocksdb" else "memory"}",""" +
       f""""lake_rows":$lakeRows,"lake_sec":$lakeSec%.2f,""" +
@@ -218,7 +252,10 @@ object StreamBench {
       f""""ingest_out":$nIngested,""" +
       f""""ingest32_sec":$ingest32Sec%.2f,""" +
       f""""ingest32_docs_per_sec":${ingestN / ingest32Sec}%.0f,""" +
-      f""""ingest32_out":$nIngested32}}""")
+      f""""ingest32_out":$nIngested32,""" +
+      f""""semdedup_n":$semN,"semdedup_sec":$semSec%.2f,""" +
+      f""""semdedup_vecs_per_sec":${semN / semSec}%.0f,""" +
+      f""""semdedup_admitted":$nSemAdmitted}}""")
     ps.close()
     spark.stop()
   }

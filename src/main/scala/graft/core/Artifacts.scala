@@ -32,6 +32,7 @@ object Artifacts {
   val CentroidsName = "ann_centroids"
   val ClassifierName = "quality_classifier"
   val NgramClassifierName = "quality_classifier_ngram"
+  val PqCodebooksName = "pq_codebooks"
 
   /** Persist one artifact version. Versions are immutable: writing an
     * existing (name, version) fails rather than silently replacing the
@@ -149,6 +150,24 @@ object Artifacts {
       version: Option[Int] = None): DataFrame =
     loadCentroids(spark, root, version)
       .select(col("cluster_id").as("cell_id"), col("cvec").as("cell_emb"))
+
+  /** PQ codebook frame (sub, code, cvec) — `Ann.pqTrain`'s output,
+    * `Ann.pqEncode`/`pqTopK`'s input: train the subspace codebooks
+    * once offline, persist here, and every later session encodes and
+    * ADC-searches from the loaded frame (the codes themselves are then
+    * a corpus-sized dataset, stored like any other table).
+    */
+  def savePqCodebooks(spark: SparkSession, root: String, version: Int,
+      codebooks: DataFrame): String = {
+    require(codebooks.columns.toSet == Set("sub", "code", "cvec"),
+      s"PQ codebook frame must be (sub, code, cvec), " +
+        s"got ${codebooks.columns.mkString(", ")}")
+    save(codebooks, root, PqCodebooksName, version)
+  }
+
+  def loadPqCodebooks(spark: SparkSession, root: String,
+      version: Option[Int] = None): DataFrame =
+    load(spark, root, PqCodebooksName, version).select("sub", "code", "cvec")
 
   /** QualityModel weights <-> (pos, w) rows; pos preserves the feature
     * order the scorer's dot product depends on.

@@ -231,6 +231,25 @@ object Ann {
         col("mn.code").as("code"))
   }
 
+  /** Per-subspace k-means codebook trainer — the offline producer of
+    * [[pqEncode]]'s codebook frame: m independent [[kmeansTrain]] runs,
+    * one per subvector slice, unioned as (sub, code, cvec). Like every
+    * trainer here it is an offline artifact producer (persist via
+    * Artifacts.savePqCodebooks); the one-row dimensionality probe is a
+    * driver-bounded setup cost, not a per-row pattern.
+    */
+  def pqTrain(emb: DataFrame, m: Int, k: Int, iters: Int): DataFrame = {
+    val d = emb.select(size(col("embedding"))).first().getInt(0)
+    require(d % m == 0, s"dim $d not divisible by m=$m subspaces")
+    val sd = d / m
+    (0 until m).map { sub =>
+      kmeansTrain(emb.select(col("vec_id"),
+        slice(col("embedding"), sub * sd + 1, sd).as("embedding")), k, iters)
+        .select(lit(sub.toLong).as("sub"), col("cluster_id").as("code"),
+          col("cvec"))
+    }.reduce(_ unionByName _)
+  }
+
   /** Asymmetric-distance (ADC) top-k over PQ codes: per query, build
     * the m*k distance table query-subvector-to-codebook-entry once,
     * then every corpus vector's approximate squared L2 is m table
@@ -251,9 +270,65 @@ object Ann {
     * distance, rn ascending.
     */
   def pqTopK(codes: DataFrame, queries: DataFrame, codebooks: DataFrame,
-      m: Int, k: Int, topK: Int): DataFrame = {
+      m: Int, k: Int, topK: Int): DataFrame =
+    adcTopK(pqVecCodes(codes).crossJoin(
+      broadcast(pqDistanceTables(queries, codebooks, m, k))), m, k, topK)
+
+  /** IVF+PQ — the two scale stories composed, the shape a 100 TB ANN
+    * index actually ships with: the IVF probe prunes which vectors are
+    * scored (cells from [[assignCells]], probes from the broadcast
+    * centroid ranking), PQ's ADC prunes what scoring costs (codes from
+    * [[pqEncode]], m integer lookups per candidate). Per query the
+    * work is |probed cells' vectors| * m lookups; nothing corpus-wide
+    * moves except the once-amortized assignment and encode passes.
+    * Expects cells(vec_id, cell_id, ...), codes(vec_id, sub, code),
+    * queries(q_id, q_emb), centroids(cell_id, cell_emb),
+    * codebooks(sub, code, cvec). Returns (q_id, vec_id, dist, rn).
+    */
+  def ivfPqTopK(cells: DataFrame, codes: DataFrame, queries: DataFrame,
+      centroids: DataFrame, codebooks: DataFrame, m: Int, k: Int,
+      topK: Int, nprobe: Int): DataFrame = {
+    val probeW = Window.partitionBy(col("q_id"))
+      .orderBy(col("aff").desc, col("cell_id"))
+    val probes = queries.crossJoin(broadcast(centroids))
+      .select(col("q_id"), col("q_emb"), col("cell_id"),
+        cosineScore(col("q_emb"), col("cell_emb")).as("aff"))
+      .withColumn("prn", row_number().over(probeW))
+      .where(col("prn") <= nprobe)
+      .select(col("q_id"), col("cell_id"))
+      .join(pqDistanceTables(queries, codebooks, m, k), "q_id")
+    val candidates = pqVecCodes(codes)
+      .join(cells.select(col("vec_id"), col("cell_id")), "vec_id")
+      .join(broadcast(probes), "cell_id")
+    adcTopK(candidates, m, k, topK)
+  }
+
+  /** Exact re-rank of an approximate candidate list — the precision
+    * tail of the PQ/IVF recall stages: candidates(q_id, vec_id) from
+    * [[pqTopK]]/[[ivfPqTopK]] (run with a larger topK) join their raw
+    * vectors back from parquet, score one exact quantized cosine per
+    * surviving pair, and re-rank. Cost is |candidates| exact scores —
+    * the approximate stage already did the corpus-scale pruning, so
+    * this is the only stage that touches raw vectors per query and it
+    * touches O(q x topK) of them, never the corpus.
+    * Returns (q_id, vec_id, score, rn) like [[bruteForceTopK]].
+    */
+  def rerankTopK(candidates: DataFrame, corpus: DataFrame,
+      queries: DataFrame, k: Int): DataFrame =
+    topKPerQuery(
+      candidates.select(col("q_id"), col("vec_id"))
+        .join(corpus.select(col("vec_id"), col("embedding")), "vec_id")
+        .join(broadcast(queries), "q_id")
+        .select(col("q_id"), col("vec_id"),
+          cosineScore(col("q_emb"), col("embedding")).as("score")),
+      k)
+
+  // Per-query ADC distance tables: one INTEGER-quantized entry per
+  // (sub, code), keyed sub*k+code, carried as a broadcast-able map.
+  private def pqDistanceTables(queries: DataFrame, codebooks: DataFrame,
+      m: Int, k: Int): DataFrame = {
     val sd = size(col("q_emb")) / m
-    val dtab = queries
+    queries
       .select(col("q_id"), explode(sequence(lit(0), lit(m - 1))).as("sub"),
         col("q_emb"))
       .select(col("q_id"), col("sub"),
@@ -266,10 +341,19 @@ object Ann {
       .groupBy(col("q_id"))
       .agg(map_from_arrays(collect_list(col("key")),
         collect_list(col("d"))).as("dmap"))
-    val vecCodes = codes.groupBy(col("vec_id"))
+  }
+
+  // One row per vector with its m codes as a lookup map.
+  private def pqVecCodes(codes: DataFrame): DataFrame =
+    codes.groupBy(col("vec_id"))
       .agg(map_from_arrays(collect_list(col("sub").cast("int")),
         collect_list(col("code").cast("int"))).as("cmap"))
-    val scored = vecCodes.crossJoin(broadcast(dtab))
+
+  // ADC scoring + per-query top-k over a (q_id, vec_id, cmap, dmap)
+  // candidate frame: m exact-integer lookups summed, rank ascending.
+  private def adcTopK(candidates: DataFrame, m: Int, k: Int,
+      topK: Int): DataFrame = {
+    val scored = candidates
       .select(col("q_id"), col("vec_id"),
         aggregate(sequence(lit(0), lit(m - 1)),
           lit(0L),

@@ -153,6 +153,28 @@ class AnnSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(wrong == 0, s"$wrong subspace codes off their cluster center")
   }
 
+  test("pqTrain codebooks code each cluster consistently (trained " +
+      "subspace centroids recover the planted structure)") {
+    // init = 4 lowest vec_ids, one per planted cluster, so each
+    // subspace's Lloyd run converges to the per-cluster subvector means
+    val cb = Ann.pqTrain(corpus, m = 4, k = 4, iters = 3)
+    val codes = Ann.pqEncode(corpus, cb, 4)
+      .select("vec_id", "sub", "code").as[(Long, Long, Long)].collect()
+    // members of one planted cluster share their code in EVERY subspace
+    val byCluster = codes.groupBy { case (vid, sub, _) => (vid % 4, sub) }
+    byCluster.foreach { case ((c, sub), rows) =>
+      assert(rows.map(_._3).toSet.size == 1,
+        s"cluster $c sub $sub split codes: ${rows.map(_._3).toSet}")
+    }
+    // distinct clusters get distinct codes (the codebook separates them)
+    (0L until 4L).foreach { sub =>
+      val perCluster = (0L until 4L).map(c =>
+        codes.find(r => r._1 % 4 == c && r._2 == sub).get._3)
+      assert(perCluster.toSet.size == 4,
+        s"sub $sub merged clusters: $perCluster")
+    }
+  }
+
   test("pqTopK ADC retrieves the query's cluster, id-ordered on ties") {
     val codes = Ann.pqEncode(corpus, pqCb, 4)
     val q = corpus.where(col("vec_id") >= 196)
@@ -167,6 +189,54 @@ class AnnSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(top(qid) == Set(c, c + 4, c + 8, c + 12, c + 16),
         s"q $qid got ${top(qid)}")
     }
+  }
+
+  test("ivfPqTopK prunes to the probed cell and agrees with pqTopK " +
+      "inside it") {
+    // centroids = the exact cluster centers; nprobe=1 probes only the
+    // query's own cluster, so IVF+PQ equals plain ADC restricted to it
+    val centroids = pqCenters
+      .select(col("code").as("cell_id"), col("emb").as("cell_emb"))
+    val cells = Ann.assignCells(corpus, centroids)
+    val codes = Ann.pqEncode(corpus, pqCb, 4)
+    val q = corpus.where(col("vec_id") >= 196)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val ivfpq = Ann.ivfPqTopK(cells, codes, q, centroids, pqCb,
+      m = 4, k = 4, topK = 5, nprobe = 1)
+      .select("q_id", "vec_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    (196L to 199L).foreach { qid =>
+      val c = qid % 4
+      assert(ivfpq(qid) == Set(c, c + 4, c + 8, c + 12, c + 16),
+        s"q $qid got ${ivfpq(qid)}")
+    }
+  }
+
+  test("rerankTopK: exact top-5 of a top-20 candidate list equals " +
+      "exact top-5, and ADC candidates re-rank within themselves") {
+    val q = corpus.where(col("vec_id") >= 196)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    // identity: re-ranking the exact top-20 must reproduce exact top-5
+    // (same score, same id tiebreak)
+    val cand = Ann.bruteForceTopK(corpus, q, 20)
+    val rer = Ann.rerankTopK(cand, corpus, q, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getLong(3))).toSet
+    val exact = Ann.bruteForceTopK(corpus, q, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getLong(3))).toSet
+    assert(rer == exact)
+    // composition: re-ranked ADC candidates stay inside the candidate set
+    val codes = Ann.pqEncode(corpus, pqCb, 4)
+    val adc = Ann.pqTopK(codes, q, pqCb, 4, 4, 20)
+    val adcIds = adc.select("q_id", "vec_id").as[(Long, Long)]
+      .collect().groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    Ann.rerankTopK(adc, corpus, q, 5)
+      .select("q_id", "vec_id").as[(Long, Long)].collect()
+      .foreach { case (qid, vid) =>
+        assert(adcIds(qid).contains(vid), s"q $qid re-ranked $vid " +
+          "from outside its candidate list")
+      }
   }
 
   test("semDedup is partition-invariant") {

@@ -209,4 +209,22 @@ class ArtifactsSpec extends AnyFunSuite with BeforeAndAfterAll {
       "verbatim eval text must be dropped by the loaded bucket gate")
     ps.close()
   }
+
+  test("PQ codebooks persist and encode identically from the loaded " +
+      "frame (train-once / encode-many)") {
+    val emb = spark.read.parquet(s"$SfDir/embeddings.parquet")
+    val trained = graft.operators.Ann.pqTrain(emb, m = 8, k = 8, iters = 2)
+    Artifacts.savePqCodebooks(spark, root, 1, trained)
+
+    val loaded = Artifacts.loadPqCodebooks(spark, root)
+    val fromMemory = graft.operators.Ann.pqEncode(emb, trained, 8)
+      .collect().map(_.toSeq).sortBy(_.toString).toSeq
+    val fromArtifact = graft.operators.Ann.pqEncode(emb, loaded, 8)
+      .collect().map(_.toSeq).sortBy(_.toString).toSeq
+    assert(fromArtifact.nonEmpty && fromArtifact == fromMemory)
+
+    intercept[IllegalArgumentException](
+      Artifacts.savePqCodebooks(spark, root, 2,
+        trained.withColumnRenamed("cvec", "v")))
+  }
 }

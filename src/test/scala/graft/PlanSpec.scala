@@ -283,4 +283,28 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!plan.contains("GlobalLimit") || !plan.contains("Sort "),
       s"unexpected global sort in:\n$plan")
   }
+
+  test("semantic dedup mines pairs on the cell equi-join only — the " +
+      "sole nested-loop is the bounded centroid broadcast") {
+    val plan = planOf("q_semdedup")
+    assert(!plan.contains("CartesianProduct"),
+      s"unbounded cartesian in semDedup:\n$plan")
+    // centroid assignment is corpus x broadcast(<=64 rows): a
+    // BroadcastNestedLoopJoin there is the designed bounded shape; the
+    // PAIR stage must be an equi-join on cell_id
+    assert(plan.contains("SortMergeJoin") ||
+      plan.contains("ShuffledHashJoin") ||
+      plan.contains("BroadcastHashJoin"),
+      s"expected an equi-join pair stage in:\n$plan")
+  }
+
+  test("PQ ADC search never carries raw vectors into the scoring join: " +
+      "the distance table rides as a broadcast") {
+    val plan = planOf("q_pq_topk")
+    assert(!plan.contains("CartesianProduct"),
+      s"unbounded cartesian in pqTopK:\n$plan")
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastHashJoin"),
+      s"expected the per-query distance-table broadcast in:\n$plan")
+  }
 }
