@@ -214,17 +214,25 @@ object Ann {
     * Expects emb(vec_id, embedding), codebooks(sub, code, cvec) with
     * cvec arrays of length D/m. Returns (vec_id, sub, code) — one row
     * per subspace, array-free for engine-portable comparison.
+    *
+    * Dimensional misconfiguration fails loudly, matching [[pqTrain]]:
+    * the plan embeds raise_error guards (no extra jobs, every row
+    * checked) for D % m != 0 and for a codebook whose cvec length
+    * disagrees with D/m — without them a bad m silently drops the
+    * trailing D - m*(D/m) dimensions and a mismatched codebook yields
+    * null distances through zip_with padding.
     */
   def pqEncode(emb: DataFrame, codebooks: DataFrame, m: Int): DataFrame = {
     val sd = size(col("embedding")) / m
     val subs = emb
       .select(col("vec_id"), explode(sequence(lit(0), lit(m - 1))).as("sub"),
-        col("embedding"))
+        guardDivisible(col("embedding"), m, "pqEncode").as("embedding"))
       .select(col("vec_id"), col("sub"),
         slice(col("embedding"), col("sub") * sd + 1, sd).as("sv"))
     subs.join(broadcast(codebooks), "sub")
       .select(col("vec_id"), col("sub"), col("code"),
-        Det.r4(VectorFunctions.l2sq(col("sv"), col("cvec"))).as("dq"))
+        Det.r4(VectorFunctions.l2sq(col("sv"),
+          guardSubLength(col("cvec"), col("sv"), "pqEncode"))).as("dq"))
       .groupBy(col("vec_id"), col("sub"))
       .agg(min(struct(col("dq"), col("code"))).as("mn"))
       .select(col("vec_id"), col("sub").cast("long").as("sub"),
@@ -323,20 +331,40 @@ object Ann {
           cosineScore(col("q_emb"), col("embedding")).as("score")),
       k)
 
+  // Plan-embedded guard: the array passes through unchanged when its
+  // length divides by m, else the row raises — CaseWhen coerces the
+  // raise_error NullType branch to the array type, so the guard costs
+  // no job and no cast.
+  private def guardDivisible(arr: Column, m: Int, op: String): Column =
+    when(size(arr) % m === 0, arr).otherwise(raise_error(concat(
+      lit(s"$op: embedding dim "), size(arr).cast("string"),
+      lit(s" not divisible by m=$m"))))
+
+  // Plan-embedded guard: codebook subvector must match the sliced
+  // query/corpus subvector length, else zip_with would pad with nulls
+  // and the distance would silently go null.
+  private def guardSubLength(cvec: Column, sv: Column, op: String): Column =
+    when(size(cvec) === size(sv), cvec).otherwise(raise_error(concat(
+      lit(s"$op: codebook subvector length "), size(cvec).cast("string"),
+      lit(" != expected "), size(sv).cast("string"))))
+
   // Per-query ADC distance tables: one INTEGER-quantized entry per
   // (sub, code), keyed sub*k+code, carried as a broadcast-able map.
+  // Misconfigured m or codebook raises via the same plan-embedded
+  // guards as pqEncode.
   private def pqDistanceTables(queries: DataFrame, codebooks: DataFrame,
       m: Int, k: Int): DataFrame = {
     val sd = size(col("q_emb")) / m
     queries
       .select(col("q_id"), explode(sequence(lit(0), lit(m - 1))).as("sub"),
-        col("q_emb"))
+        guardDivisible(col("q_emb"), m, "pqDistanceTables").as("q_emb"))
       .select(col("q_id"), col("sub"),
         slice(col("q_emb"), col("sub") * sd + 1, sd).as("qv"))
       .join(broadcast(codebooks), "sub")
       .select(col("q_id"),
         (col("sub") * k + col("code")).cast("int").as("key"),
-        Det.r4q(VectorFunctions.l2sq(col("qv"), col("cvec")))
+        Det.r4q(VectorFunctions.l2sq(col("qv"),
+          guardSubLength(col("cvec"), col("qv"), "pqDistanceTables")))
           .cast("long").as("d"))
       .groupBy(col("q_id"))
       .agg(map_from_arrays(collect_list(col("key")),

@@ -223,13 +223,17 @@ object QualityModel {
 
   /** array<long> of md5-derived buckets, one per adjacent token pair
     * ("tok1 tok2"). Tokens are whitespace-split, so the single-space
-    * joiner cannot collide two distinct bigrams.
+    * joiner cannot collide two distinct bigrams. A document with < 2
+    * tokens (including empty/whitespace-only text) has no bigrams and
+    * yields an empty array — the slice length is clamped at 0 because
+    * Spark rejects negative slice lengths outright.
     */
   def bigramBuckets(text: Column): Column = {
     val toks = graft.functions.TextFunctions.tokens(text)
+    val n = greatest(size(toks) - 1, lit(0))
     val pairs = zip_with(
-      slice(toks, lit(1), size(toks) - 1),
-      slice(toks, lit(2), size(toks) - 1),
+      slice(toks, lit(1), n),
+      slice(toks, lit(2), n),
       (a, b) => concat(a, lit(" "), b))
     transform(pairs, bg =>
       conv(substring(md5(bg.cast("binary")), 1, 2), 16, 10).cast("long"))

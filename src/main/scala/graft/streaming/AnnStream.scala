@@ -118,17 +118,28 @@ object AnnStream {
   /** Start the relay: queries from `in`, per-batch IVF top-k over the
     * PRE-ASSIGNED `cells` (assignCells output) with `centroids`
     * (cell_id, cell_emb), hits to `out`.
+    *
+    * A wave is deduplicated by qId before planning: under
+    * at-least-once redelivery the same query can appear twice in one
+    * micro-batch, and duplicated q_id rows would inflate the
+    * probe-side row_number (duplicates consuming nprobe slots and
+    * top-k ranks). The FIRST event per qId in event-time order wins —
+    * the same sorted repair every stateful op here applies — so a
+    * redelivered query yields exactly one hit set carrying the
+    * first-arrival stamp.
     */
   def ivfQueryRelay(in: Topic[VecQuery], out: Topic[AnnHit],
       cells: DataFrame, centroids: DataFrame, k: Int,
       nprobe: Int): StreamingQuery =
     in.stream.writeStream.outputMode("append")
       .foreachBatch { (batch: Dataset[EventEnvelope[VecQuery]], _: Long) =>
-        val evs = batch.collect()
+        val evs = batch.collect().toSeq
+          .sortBy(_.stamp.start_time.getTime)
+          .distinctBy(_.content.qId)
         if (evs.nonEmpty) {
           val spark = batch.sparkSession
           import spark.implicits._
-          val queries = evs.toSeq
+          val queries = evs
             .map(e => (e.content.qId, e.content.emb))
             .toDF("q_id", "q_emb")
           val hits = Ann

@@ -239,6 +239,39 @@ class AnnSpec extends AnyFunSuite with BeforeAndAfterAll {
       }
   }
 
+  private def causeMessages(t: Throwable): String =
+    Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+      .map(e => Option(e.getMessage).getOrElse("")).mkString(" | ")
+
+  test("pqEncode and pqTopK fail loudly on a non-divisible m") {
+    // dim 16, m=3: without the guard the trailing dimension would be
+    // silently dropped
+    val e1 = intercept[Exception] {
+      Ann.pqEncode(corpus, pqCb, 3).collect()
+    }
+    assert(causeMessages(e1).contains("not divisible by m=3"),
+      s"got: ${causeMessages(e1)}")
+    val q = corpus.limit(2)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val codes = Ann.pqEncode(corpus, pqCb, 4)
+    val e2 = intercept[Exception] {
+      Ann.pqTopK(codes, q, pqCb, 3, 4, 5).collect()
+    }
+    assert(causeMessages(e2).contains("not divisible by m=3"),
+      s"got: ${causeMessages(e2)}")
+  }
+
+  test("pqEncode fails loudly on a codebook whose subvector length " +
+      "disagrees with D/m (instead of null distances via zip_with)") {
+    val shortCb = pqCb.select(col("sub"), col("code"),
+      slice(col("cvec"), 1, 3).as("cvec"))
+    val e = intercept[Exception] {
+      Ann.pqEncode(corpus, shortCb, 4).collect()
+    }
+    assert(causeMessages(e).contains("codebook subvector length"),
+      s"got: ${causeMessages(e)}")
+  }
+
   test("semDedup is partition-invariant") {
     val base = Ann.semDedup(semCorpus, semCentroids, 9900L)
       .as[(Long, Long, Long)].collect().toSet

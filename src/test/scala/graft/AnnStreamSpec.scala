@@ -91,6 +91,26 @@ class AnnStreamSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(hits2.map(e => (e.content.qId, e.content.vecId,
       e.content.score, e.content.rn)).toSet == batchExpected(ids2))
 
+    // wave 3 — at-least-once redelivery: the SAME qId arrives twice in
+    // one micro-batch. The relay must dedup the wave (first event in
+    // event-time order wins), so the hit set equals one query's batch
+    // results — no duplicate rows consuming top-k ranks — and every
+    // hit carries the FIRST arrival's stamp.
+    val dupBase = 1700000200000L
+    val preWave3 = got.synchronized(got.size)
+    in.publish(Seq(
+      EventEnvelope.at(new Timestamp(dupBase), VecQuery(3L, qvecs(3L))),
+      EventEnvelope.at(new Timestamp(dupBase + 7), VecQuery(3L, qvecs(3L)))))
+    relay.processAllAvailable()
+    sink.processAllAvailable()
+    val hits3 = got.synchronized(got.toList).drop(preWave3)
+    assert(hits3.map(e => (e.content.qId, e.content.vecId,
+      e.content.score, e.content.rn)).toSet == batchExpected(Seq(3L)))
+    assert(hits3.size == batchExpected(Seq(3L)).size,
+      s"redelivered qId produced duplicate hit rows: ${hits3.size}")
+    hits3.foreach(e => assert(e.stamp.start_time.getTime == dupBase,
+      "hit must carry the first arrival's stamp"))
+
     relay.stop()
     sink.stop()
     ps.close()

@@ -163,6 +163,28 @@ class QualityModelSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("empty and whitespace-only documents train and score without " +
+      "error (no bigrams, not a crash)") {
+    import spark.implicits._
+    val blanky = docs.limit(20).select(col("text"), label.as("y"))
+      .union(Seq(("", true), ("   ", false), ("solo", true))
+        .toDF("text", "y"))
+    val buckets = blanky
+      .select(QualityModel.bigramBuckets(col("text")).as("bs"), col("text"))
+      .collect()
+    buckets.foreach { r =>
+      if (r.getString(1).trim.split("\\s+").count(_.nonEmpty) < 2)
+        assert(r.getSeq[Long](0).isEmpty,
+          s"'${r.getString(1)}' must yield no bigrams")
+    }
+    val g = QualityModel.ngramGradient(blanky, col("text"), col("y"),
+      QualityModel.NgramWeights.zero)
+    assert(g.bias != 0.0, "bias gradient must reflect the corpus")
+    val scores = blanky.select(QualityModel.ngramScore(col("text"),
+      QualityModel.NgramWeights.zero)).collect()
+    assert(scores.forall(r => !r.isNullAt(0)), "every doc must score")
+  }
+
   test("ngram gradient fails loudly on an empty corpus") {
     val e = intercept[IllegalArgumentException](
       QualityModel.ngramGradient(docs.where(lit(false)), col("text"),
