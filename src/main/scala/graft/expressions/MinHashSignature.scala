@@ -1,29 +1,46 @@
 package graft.expressions
 
+import java.security.MessageDigest
+
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XxHash64Function}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graftbridge.ColumnBridge
 import org.apache.spark.sql.types._
-import org.apache.spark.unsafe.types.UTF8String
 
 /** MinHash signature as ONE native expression: a single pass over the
-  * shingle array computes all k minima (each shingle is xxhash64'd once;
-  * the k hash functions are constant-size re-hashes of that base value).
+  * shingle array computes all k minima. Each shingle is md5-digested
+  * ONCE; the k hash functions are the Kirsch–Mitzenmacher double-hash
+  * family h_i = (a + i*b) mod P over the Mersenne prime P = 2^31-1,
+  * with a and b sliced from the digest:
   *
-  * Why: the Column-composed formulation (k separate
+  *   a = (int48(digest bytes 0..5)  + seed) mod P      (hex digits 1-12)
+  *   b =  int48(digest bytes 6..11) mod (P-1) + 1      (hex digits 13-24)
+  *
+  * Every step is exact integer arithmetic on values < 2^49, so the
+  * family is reproducible in ANY engine with md5 and 64-bit integers —
+  * the DuckDB oracle recomputes it digit-for-digit (q_minhash_lsh is
+  * hash-compared end to end, not rows-only). b is forced nonzero so no
+  * permutation collapses to a constant; signature values lie in [0, P),
+  * and an empty shingle set yields the out-of-range sentinel P per slot.
+  *
+  * Why one expression: the Column-composed formulation (k separate
   * `array_min(transform(...))` subtrees) costs k interpreted lambda
   * passes per row — higher-order functions get neither codegen nor CSE.
-  * This expression is one tight JVM loop: O(|shingles| * k) long mixes
-  * with zero per-element Catalyst dispatch. CodegenFallback costs one
-  * virtual call per ROW, which is noise next to the loop it wraps.
+  * This is one tight JVM loop: one md5 per shingle plus k add-and-wrap
+  * steps (h_{i+1} = h_i + b mod P), with zero per-element Catalyst
+  * dispatch. CodegenFallback costs one virtual call per ROW, which is
+  * noise next to the loop it wraps.
   */
 case class MinHashSignature(child: Expression, k: Int, seed: Long)
   extends UnaryExpression with CodegenFallback {
 
   require(k > 0, "k must be positive")
+  require(seed >= 0, "seed must be non-negative (it offsets a mod P)")
+
+  import MinHashSignature.P
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
@@ -35,17 +52,24 @@ case class MinHashSignature(child: Expression, k: Int, seed: Long)
 
   override def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[ArrayData]
-    val mins = Array.fill(k)(Long.MaxValue)
+    val mins = Array.fill(k)(P) // sentinel: out of the [0, P) hash range
+    val md = MessageDigest.getInstance("MD5")
     val n = arr.numElements()
     var e = 0
     while (e < n) {
       if (!arr.isNullAt(e)) {
-        val s = arr.getUTF8String(e)
-        val base = XxHash64Function.hash(s, StringType, seed)
+        md.reset()
+        val d = md.digest(arr.getUTF8String(e).getBytes)
+        val aRaw = MinHashSignature.int48(d, 0)
+        val bRaw = MinHashSignature.int48(d, 6)
+        val a = (aRaw + seed) % P
+        val b = bRaw % (P - 1) + 1
+        var h = a
         var i = 0
         while (i < k) {
-          val h = XxHash64Function.hash(base, LongType, i.toLong)
           if (h < mins(i)) mins(i) = h
+          h += b
+          if (h >= P) h -= P
           i += 1
         }
       }
@@ -61,6 +85,20 @@ case class MinHashSignature(child: Expression, k: Int, seed: Long)
 }
 
 object MinHashSignature {
+  /** Mersenne prime 2^31 - 1: the hash range of the double-hash family.
+    * Values < 2^31 keep every downstream band-hash product exact in
+    * 64-bit integers on both Spark (ANSI, no wraparound) and DuckDB.
+    */
+  val P: Long = 2147483647L
+
+  /** Unsigned 48-bit big-endian read: 6 digest bytes = 12 hex digits. */
+  private[expressions] def int48(d: Array[Byte], off: Int): Long = {
+    var v = 0L
+    var i = off
+    while (i < off + 6) { v = (v << 8) | (d(i) & 0xffL); i += 1 }
+    v
+  }
+
   def apply(shingles: Column, k: Int, seed: Long): Column =
     ColumnBridge.column(
       MinHashSignature(ColumnBridge.expression(shingles), k, seed))

@@ -5,44 +5,64 @@ import org.apache.spark.sql.functions._
 
 /** Hash families for MinHash / SimHash sketching.
   *
-  * Strategy: hash each token ONCE with Spark's codegen'd `xxhash64`, then
-  * derive the k MinHash functions as affine transforms of that base hash
-  * (`h_i = a_i * h + b_i`, odd multipliers, natural 64-bit overflow). This
-  * is the standard trick that turns k hash passes over the text into one
-  * pass plus k cheap integer ops — the difference between O(k·len) and
-  * O(len + k) per document, which matters at 100 TB.
+  * Strategy: hash each token ONCE (md5 for MinHash — engine-portable,
+  * so the DuckDB oracle reproduces the sketch exactly), then derive the
+  * k MinHash functions as modular double-hash transforms of digest
+  * slices (`h_i = (a + i·b) mod P`, P = 2^31-1). This is the standard
+  * trick that turns k hash passes over the text into one pass plus k
+  * cheap integer ops — the difference between O(k·len) and O(len + k)
+  * per document, which matters at 100 TB.
   */
 object HashFunctions {
 
+  /** Modulus of the band-hash fold: the same Mersenne prime as the
+    * signature hash range, so every intermediate product stays < 2^52
+    * — exact under Spark's ANSI arithmetic AND DuckDB's BIGINT.
+    */
+  val BandHashMod: Long = graft.expressions.MinHashSignature.P
+
+  /** Multiplier of the band-hash fold (prime, > any rowsPerBand). */
+  val BandHashMult: Long = 1000003L
+
   /** MinHash signature (array<long> of length k) over an array of string
-    * shingles. Empty shingle sets get Long.MaxValue sentinels.
+    * shingles; values in [0, P) with P = 2^31-1. Empty shingle sets get
+    * the out-of-range sentinel P in every slot (such docs band together
+    * and are discarded by the exact-Jaccard verify stage: j = 0).
     *
     * Implemented as the native one-pass expression
-    * graft.expressions.MinHashSignature: each shingle is hashed once,
-    * each of the k hash functions is a constant-size re-hash of that
-    * base — O(len + k) per shingle with no per-element Catalyst
-    * dispatch (the Column-composed k-subtree formulation pays k
-    * interpreted lambda passes).
+    * graft.expressions.MinHashSignature: each shingle is md5-digested
+    * once, each of the k hash functions is an exact-integer double-hash
+    * step off that digest — O(len + k) per shingle with no per-element
+    * Catalyst dispatch (the Column-composed k-subtree formulation pays
+    * k interpreted lambda passes), and every value is reproducible in
+    * DuckDB digit-for-digit (q_minhash_lsh is hash-compared, not
+    * rows-only).
     */
   def minhashSignature(shingles: Column, k: Int, seed: Long = 42L): Column =
     graft.expressions.MinHashSignature(shingles, k, seed)
 
   /** Group a k-length signature into `bands` band-hash values for LSH
     * banding: two documents collide on a band iff that band's signature
-    * rows are all equal. Returns array<struct<band:int, h:long>>.
+    * rows are all equal (up to fold collisions, which the exact verify
+    * stage discards). Returns array<struct<band:int, h:long>>.
     *
-    * Band hashes are multi-arg xxhash64 over the band's signature
-    * elements — fully codegen'd, no string building. IMPORTANT: pass a
-    * MATERIALIZED signature column (from a cached/checkpointed stage),
-    * not the raw minhashSignature expression: lambda-based expressions
-    * get no common-subexpression elimination, so an inline signature
-    * would be recomputed once per band.
+    * The band hash is a left fold `h = (h·M + v) mod P` over the band's
+    * signature rows — exact 64-bit integer arithmetic (signature values
+    * < 2^31, M ≈ 2^20, so products < 2^52), reproducible in the DuckDB
+    * oracle, and still a single codegen'd arithmetic expression with no
+    * string building. IMPORTANT: pass a MATERIALIZED signature column
+    * (from a cached/checkpointed stage), not the raw minhashSignature
+    * expression: lambda-based expressions get no common-subexpression
+    * elimination, so an inline signature would be recomputed once per
+    * band.
     */
   def lshBands(signature: Column, bands: Int, rowsPerBand: Int): Column = {
     val entries = (0 until bands).map { b =>
       val elems = (1 to rowsPerBand).map(r =>
         element_at(signature, b * rowsPerBand + r))
-      struct(lit(b).as("band"), xxhash64(elems: _*).as("h"))
+      val bh = elems.reduceLeft((acc, v) =>
+        (acc * lit(BandHashMult) + v) % lit(BandHashMod))
+      struct(lit(b).as("band"), bh.as("h"))
     }
     array(entries: _*)
   }

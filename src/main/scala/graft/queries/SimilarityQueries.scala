@@ -171,6 +171,68 @@ object SimilarityQueries {
       graft.core.CacheHygiene.unpersistAfterFirstUse(banded, result))
   }
 
+  /** DuckDB twin of the FULL MinHash-LSH pipeline: per-shingle md5
+    * double-hash family, k per-doc minima, modular band fold, band
+    * self-join, exact-Jaccard verify — every step exact integer (or
+    * r4q-quantized) arithmetic, matching MinHashSignature and
+    * HashFunctions.lshBands value for value. Docs with empty shingle
+    * sets diverge harmlessly: Spark bands their sentinel signatures
+    * together, the oracle never hashes them — but both paths discard
+    * such pairs at the j >= threshold cut (their Jaccard is 0).
+    */
+  private def minhashLshOracle(nPerms: Int, nBands: Int,
+      seed: Long): String = {
+    val r = nPerms / nBands
+    val p = graft.expressions.MinHashSignature.P
+    val m = HashFunctions.BandHashMult
+    // integer value of 12 hex digits of md5(s) starting at 1-based
+    // `start` — 48 bits, exact in BIGINT (and in the double power())
+    def hexnum(start: Int): String =
+      s"""CAST(list_sum(list_transform(generate_series(0, 11),
+         j -> CAST(instr('0123456789abcdef',
+                substr(md5(s), $start + j, 1)) - 1 AS BIGINT)
+              * CAST(power(16, 11 - j) AS BIGINT))) AS BIGINT)"""
+    val vdefs = (0 until r)
+      .map(j => s"max(CASE WHEN i % $r = $j THEN v END) AS v$j")
+      .mkString(", ")
+    val fold = (1 until r)
+      .foldLeft("v0")((acc, i) => s"(($acc) * $m + v$i) % $p")
+    s"""WITH docs AS (
+      SELECT doc_id, list_distinct(list_transform(
+        generate_series(1, greatest(len(toks) - ${Ngram - 1}, 0)),
+        i -> list_aggregate(toks[i:i+${Ngram - 1}], 'string_agg', ' '))) AS sh
+      FROM (SELECT doc_id, list_filter(regexp_split_to_array(text, '\\s+'),
+        t -> len(t) > 0) AS toks FROM documents)),
+    shu AS (SELECT doc_id, unnest(sh) AS s FROM docs),
+    hs AS (
+      SELECT doc_id,
+        (${hexnum(1)} + $seed) % $p AS a,
+        ${hexnum(13)} % ${p - 1} + 1 AS b
+      FROM shu),
+    sig AS (
+      SELECT doc_id, ii.i AS i, min((a + ii.i * b) % $p) AS v
+      FROM hs, (SELECT unnest(generate_series(0, ${nPerms - 1})) AS i) ii
+      GROUP BY doc_id, ii.i),
+    bnd0 AS (
+      SELECT doc_id, i // $r AS band, $vdefs
+      FROM sig GROUP BY doc_id, i // $r),
+    bnd AS (SELECT doc_id, band, $fold AS bh FROM bnd0),
+    cand AS (
+      SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+      FROM bnd x JOIN bnd y
+        ON x.band = y.band AND x.bh = y.bh AND x.doc_id < y.doc_id),
+    scored AS (
+      SELECT a, b, len(list_intersect(da.sh, db.sh)) AS inter,
+        len(da.sh) AS na, len(db.sh) AS nb
+      FROM cand
+      JOIN docs da ON a = da.doc_id
+      JOIN docs db ON b = db.doc_id)
+    SELECT a, b,
+      floor(CAST(inter AS DOUBLE) / (na + nb - inter) * 10000 + 0.5) / 10000 AS j
+    FROM scored
+    WHERE ${Det.sqlR4q("CAST(inter AS DOUBLE) / (na + nb - inter)")} >= $JaccardThresholdQ"""
+  }
+
   /** DuckDB double dot product with the same left-to-right fold order as
     * VectorFunctions.dot.
     */
@@ -483,15 +545,18 @@ object SimilarityQueries {
       bench = true),
 
     // MinHash + LSH banding (64 perms, 16 bands x 4 rows), candidates
-    // verified with exact Jaccard. Seeded affine hash family — output is
-    // deterministic, but xxhash64 is not reproducible in DuckDB, so this
-    // is rows-only checked; its recall against q_ngram_jaccard at j>=0.8
-    // (theoretical 1 - (1-j^4)^16 > 0.999) is pinned EMPIRICALLY by
-    // LshRecallSpec: every exact-path pair must be found by this path
-    // (which also sweeps the cheaper 32-perm/8-band ingest config).
+    // verified with exact Jaccard. The permutation family is md5-derived
+    // double hashing mod 2^31-1 (MinHashSignature scaladoc) and the band
+    // hash an exact modular fold, so the ENTIRE sketch pipeline —
+    // per-shingle hashes, k minima, band buckets, candidate join, verify
+    // cut — is recomputed digit-for-digit by the DuckDB oracle below:
+    // hash-compared, not rows-only. Recall against q_ngram_jaccard at
+    // j>=0.8 (theoretical 1 - (1-j^4)^16 > 0.999) stays pinned
+    // EMPIRICALLY by LshRecallSpec (which also sweeps the cheaper
+    // 32-perm/8-band ingest config).
     "q_minhash_lsh" -> QueryDef(
       (s, dir) => minhashLshPairs(s, dir, 64, 16),
-      None,
+      Some(minhashLshOracle(64, 16, 42L)),
       bench = true),
 
     // SimHash near-dup: 64-bit signatures; pairs within Hamming distance 3
