@@ -38,9 +38,21 @@ case class MinHashSignature(child: Expression, k: Int, seed: Long)
   extends UnaryExpression with CodegenFallback {
 
   require(k > 0, "k must be positive")
-  require(seed >= 0, "seed must be non-negative (it offsets a mod P)")
+  // Upper bound keeps aRaw (< 2^48) + seed exact in a 64-bit Long on
+  // BOTH engines: the DuckDB twin adds the same literals under BIGINT,
+  // where overflow raises while Spark would wrap to a negative a —
+  // silent engine divergence. seed < P also keeps the offset canonical
+  // (any seed >= P aliases seed mod P anyway).
+  require(seed >= 0 && seed < MinHashSignature.P,
+    s"seed must lie in [0, ${MinHashSignature.P}) — larger seeds alias mod P " +
+      "and risk 64-bit overflow divergence vs the SQL oracle")
 
   import MinHashSignature.P
+
+  // Provider lookup is surprisingly costly; hoist the digest to one
+  // instance per task (expression instances are task-confined) and
+  // reset() per shingle, matching ImportanceLogw in this package.
+  @transient private lazy val md = MessageDigest.getInstance("MD5")
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
@@ -53,7 +65,6 @@ case class MinHashSignature(child: Expression, k: Int, seed: Long)
   override def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[ArrayData]
     val mins = Array.fill(k)(P) // sentinel: out of the [0, P) hash range
-    val md = MessageDigest.getInstance("MD5")
     val n = arr.numElements()
     var e = 0
     while (e < n) {

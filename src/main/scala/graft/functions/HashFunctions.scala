@@ -67,6 +67,29 @@ object HashFunctions {
     array(entries: _*)
   }
 
+  /** 64-bit band hashes for STREAMING LSH suppression. Same banding
+    * semantics as [[lshBands]] (two docs collide on a band iff that
+    * band's signature rows are all equal, up to hash collisions), but
+    * the band hash is xxhash64 over (band, rows...) instead of the
+    * mod-P fold. The two variants exist because their consumers have
+    * different failure modes: the batch path (q_minhash_lsh) verifies
+    * every band candidate with exact Jaccard, so a 31-bit fold
+    * collision costs only a wasted verify AND buys digit-for-digit
+    * DuckDB reproducibility; the streaming gate
+    * (TypedOps.nearDupWithinWatermark) SUPPRESSES on band collision
+    * with no verify stage, so chance false-suppression must stay at
+    * the ~n/2^64 floor, not ~16n/2^31 — material over an
+    * ingest-flood horizon. Returns array<struct<band:int, h:bigint>>.
+    */
+  def lshBands64(signature: Column, bands: Int, rowsPerBand: Int): Column = {
+    val entries = (0 until bands).map { b =>
+      val elems = (1 to rowsPerBand).map(r =>
+        element_at(signature, b * rowsPerBand + r))
+      struct(lit(b).as("band"), xxhash64(lit(b) +: elems: _*).as("h"))
+    }
+    array(entries: _*)
+  }
+
   /** 64-bit SimHash over token hashes: bit j of the result is the sign of
     * sum over tokens of (+1 if bit j of xxhash64(token) else -1).
     * Near-duplicate docs land within small Hamming distance.

@@ -133,8 +133,14 @@ object AnnStream {
       nprobe: Int): StreamingQuery =
     in.stream.writeStream.outputMode("append")
       .foreachBatch { (batch: Dataset[EventEnvelope[VecQuery]], _: Long) =>
+        // Sort key carries a payload tiebreak: with time alone, two
+        // DISTINCT payloads sharing a qId and an equal stamp would be
+        // ordered by collect() arrival — a nondeterministic winner on
+        // replay. (time, rendered embedding) is a total order over the
+        // wave, so equal-stamp conflicts resolve identically every run.
         val evs = batch.collect().toSeq
-          .sortBy(_.stamp.start_time.getTime)
+          .sortBy(e => (e.stamp.start_time.getTime,
+            e.content.emb.mkString(",")))
           .distinctBy(_.content.qId)
         if (evs.nonEmpty) {
           val spark = batch.sparkSession

@@ -127,9 +127,15 @@ object TypedOps {
     *     RocksDB-backed via Sessions.tuneLargeState at scale).
     *  2. a small windowed count re-assembles docs: kept iff n_claimed ==
     *     nBands, emitting the earliest claimant's original envelope.
-    * Band hashes are 64-bit, so a chance (non-similar) bucket collision
-    * within the horizon is ~n/2^64 — the suppression threshold is
-    * governed by the banding parameters, not hash luck.
+    * Band hashes are 64-bit (HashFunctions.lshBands64 — xxhash64 over
+    * the band's signature rows, NOT the 31-bit mod-P fold the batch
+    * path uses for DuckDB reproducibility), so a chance (non-similar)
+    * bucket collision within the horizon is ~n/2^64 — the suppression
+    * threshold is governed by the banding parameters, not hash luck.
+    * The widths differ deliberately: batch banding is followed by an
+    * exact-Jaccard verify (a fold collision costs a wasted verify),
+    * while this gate suppresses directly on collision with no verify,
+    * so it cannot afford the 31-bit floor.
     *
     * Semantics and trades (documented, spec-pinned):
     *  - Emission is DELAYED: a doc surfaces once the watermark passes its
@@ -164,7 +170,7 @@ object TypedOps {
         },
         nPerms, seed))
       .select(col("stamp"), col("content"), col("event_time"), col("doc_key"),
-        explode(graft.functions.HashFunctions.lshBands(
+        explode(graft.functions.HashFunctions.lshBands64(
           col("sig"), nBands, nPerms / nBands)).as("bh"))
       .select(col("stamp"), col("content"), col("event_time"), col("doc_key"),
         col("bh.band").as("band"), col("bh.h").as("h"))

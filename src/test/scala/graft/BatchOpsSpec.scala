@@ -176,4 +176,30 @@ class BatchOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       .collect().toSet
     assert(pairs == Set((1L, 2L)))
   }
+
+  test("lshBands64 (streaming suppression hash): same banding semantics " +
+      "as the 31-bit fold, full 64-bit range") {
+    val df = Seq(
+      (1L, (1 to 40).map(i => s"sh$i")),
+      (2L, (1 to 40).map(i => s"sh$i")),          // identical
+      (3L, (100 to 140).map(i => s"sh$i")))       // disjoint
+      .toDF("id", "sh")
+    val sigs = df.select(col("id"),
+      HashFunctions.minhashSignature(col("sh"), 16).as("sig"))
+    val banded = sigs.select(col("id"),
+      explode(HashFunctions.lshBands64(col("sig"), 4, 4)).as("b"))
+    val pairs = banded.as("x").join(banded.as("y"),
+      col("x.b") === col("y.b") && col("x.id") < col("y.id"))
+      .select(col("x.id"), col("y.id")).distinct().as[(Long, Long)]
+      .collect().toSet
+    assert(pairs == Set((1L, 2L)))
+    // The point of the 64-bit variant: the gate suppresses on collision
+    // with NO verify stage, so its chance-collision floor must be
+    // ~n/2^64, not ~16n/2^31. Pin that the hash actually uses the full
+    // 64-bit range — the 31-bit fold can never leave [0, 2^31).
+    val hs = banded.select(col("b.h")).as[Long].collect()
+    assert(hs.exists(h => h < 0L || h >= (1L << 31)),
+      "band hashes all fit in 31 bits — the streaming gate lost its " +
+        "64-bit collision bound")
+  }
 }
