@@ -150,21 +150,49 @@ object Ann {
     * replicate.
     *
     * Scale shape — the published algorithm's own: candidate pairs exist
-    * only WITHIN a cell (one equi-join on cell_id), so total pair work
-    * is sum(c_i^2)/2, not |corpus|^2/2; the centroid side is a bounded
-    * broadcast (the caller's k-means frame, [[kmeansTrain]] or the
-    * Artifacts-persisted centroids); assignment is the same one-pass
-    * map-side argmax as [[assignCells]]. At 100 TB the dial is k: more
-    * cells shrink c_i quadratically while the assignment pass stays one
-    * broadcast scan.
+    * only WITHIN a cell (one equi-join on the cell key), so total pair
+    * work is sum(c_i^2)/2, not |corpus|^2/2; the centroid side is a
+    * bounded broadcast (the caller's k-means frame, [[kmeansTrain]] or
+    * the Artifacts-persisted centroids); assignment is the same
+    * one-pass map-side argmax as [[assignCells]]. At 100 TB the dial is
+    * k: more cells shrink c_i quadratically while the assignment pass
+    * stays one broadcast scan.
+    *
+    * HOT-CELL BOUND: sum(c_i^2)/2 is only a bound if no c_i is huge —
+    * a skewed or degenerate centroid set (exactly what un-retrained
+    * centroids on drifted data produce) used to send one cell
+    * quadratic silently. Now one population count runs first; any cell
+    * above `maxCellSize` is repaired before pair mining:
+    *  1. exact-duplicate collapse (semantics-PRESERVING): identical
+    *     nonzero embeddings always score r4q=10000 >= any threshold
+    *     <= 10000 and share their centroid affinity, so only the
+    *     lowest-vec_id member of a duplicate group can survive — the
+    *     rest are dropped directly and only the representative enters
+    *     pair mining. This alone linearizes the mass-duplicate cell,
+    *     the common real-world skew.
+    *  2. recursive keyed sub-k-means split (semantics-NARROWING,
+    *     documented): still-hot cells are Lloyd-split SubSplitK ways —
+    *     ALL hot cells in one pass, sub-centroids riding a single
+    *     bounded broadcast — and pair candidates are then mined within
+    *     sub-cells only, the SemDeDup move of raising k where density
+    *     demands it (pairs across sibling sub-cells are no longer
+    *     candidates; drop keys still use the ORIGINAL cell affinity).
+    *  3. after SemSplitMaxDepth rounds a still-hot cell fails LOUDLY
+    *     (vectors indistinguishable at r4 distance resolution yet not
+    *     identical) with the offending cells and sizes — never a
+    *     silent quadratic. Cells under the cap take path 0: the exact
+    *     published semantics, byte-identical to the unbounded version
+    *     (the oracle compares them digit-for-digit).
     *
     * Expects emb(vec_id, embedding), centroids(cell_id, cell_emb);
     * thresholdQ is the integer-quantized cosine cut (r4q scale, e.g.
     * 9500 for 0.95). Returns (vec_id, cell_id, dropped 0/1) for every
-    * input vector.
+    * input vector (cell_id is always the ORIGINAL assignment — the
+    * refinement key is internal).
     */
   def semDedup(emb: DataFrame, centroids: DataFrame,
-      thresholdQ: Long): DataFrame = {
+      thresholdQ: Long,
+      maxCellSize: Long = DefaultMaxCellSize): DataFrame = {
     val assigned = emb.crossJoin(broadcast(centroids))
       .select(col("vec_id"), col("embedding"), col("cell_id"),
         cosineScore(col("embedding"), col("cell_emb")).as("aff"))
@@ -175,18 +203,20 @@ object Ann {
       .select(col("vec_id"), col("embedding"),
         col("m.cell_id").as("cell_id"), col("m.aff").as("aff"))
       .cache()
-    val x = assigned.select(col("cell_id"), col("vec_id").as("a"),
+    val (reps, forcedDrops) = refineCells(assigned, thresholdQ, maxCellSize)
+    val x = reps.select(col("pair_key"), col("vec_id").as("a"),
       col("embedding").as("ea"), col("aff").as("affa"))
-    val y = assigned.select(col("cell_id"), col("vec_id").as("b"),
+    val y = reps.select(col("pair_key"), col("vec_id").as("b"),
       col("embedding").as("eb"), col("aff").as("affb"))
     // a < b throughout, so on an aff tie the higher id (b) is dropped —
     // the scalar CASE is the (aff, vec_id) lexicographic key
-    val dropped = x.join(y, Seq("cell_id"))
+    val mined = x.join(y, Seq("pair_key"))
       .where(col("a") < col("b"))
       .where(Det.r4q(VectorFunctions.cosine(col("ea"), col("eb"))) >=
         thresholdQ)
       .select(when(col("affa") > col("affb"), col("a")).otherwise(col("b"))
         .as("vec_id"))
+    val dropped = forcedDrops.fold(mined)(mined.unionByName(_))
       .distinct()
       .withColumn("d", lit(1L))
     val result = assigned
@@ -194,6 +224,131 @@ object Ann {
       .select(col("vec_id"), col("cell_id"),
         coalesce(col("d"), lit(0L)).as("dropped"))
     graft.core.CacheHygiene.unpersistAfterFirstUse(assigned, result)
+  }
+
+  /** Hot-cell cap for [[semDedup]]: pair work per cell is c²/2 exact
+    * cosines, so 16384 bounds a cell at ~1.3e8 dot products — minutes
+    * of one executor, not a runaway stage. Dial up with executor size.
+    */
+  val DefaultMaxCellSize: Long = 16384L
+
+  private val SemSplitK = 8
+  private val SemSplitIters = 4
+  private val SemSplitMaxDepth = 4
+
+  /** The hot-cell repair pass of [[semDedup]] (exposed for AnnSpec):
+    * returns (reps, forcedDrops) where reps carries every surviving
+    * pair-mining participant with its refinement key `pair_key` (==
+    * cell_id as string when nothing was hot — the zero-cost common
+    * case, one count aggregation and no plan change) and forcedDrops
+    * is the exact-duplicate non-representatives already known dropped.
+    * Guarantees on return: every pair_key population <= maxCellSize,
+    * or an IllegalStateException named the irreducible cells.
+    */
+  private[graft] def refineCells(assigned: DataFrame, thresholdQ: Long,
+      maxCellSize: Long): (DataFrame, Option[DataFrame]) = {
+    require(maxCellSize >= 16, s"maxCellSize=$maxCellSize too small to split")
+    var reps = assigned.withColumn("pair_key", col("cell_id").cast("string"))
+    def hotOf(df: DataFrame): Array[(String, Long)] =
+      df.groupBy(col("pair_key")).agg(count(lit(1)).as("n"))
+        .where(col("n") > maxCellSize)
+        .collect().map(r => (r.getString(0), r.getLong(1)))
+    var hot = hotOf(reps)
+    if (hot.isEmpty) return (reps, None)
+
+    // Stage 1 — exact-duplicate collapse within hot cells. Sound only
+    // when identical vectors are guaranteed above the cut: r4q of an
+    // identical nonzero pair is 10000 (zero-norm cosines are NaN and
+    // never compare true, so zero vectors stay individual reps).
+    var forced: Option[DataFrame] = None
+    if (thresholdQ <= 10000L) {
+      val isHot = col("pair_key").isInCollection(hot.map(_._1))
+      val nz = VectorFunctions.dot(col("embedding"), col("embedding")) > 0
+      val dupW = Window.partitionBy(col("pair_key"), col("embedding"))
+        .orderBy(col("vec_id"))
+      val ranked = reps.where(isHot && nz)
+        .withColumn("rn", row_number().over(dupW))
+      forced = Some(ranked.where(col("rn") > 1).select(col("vec_id")))
+      reps = reps.where(!isHot || !nz)
+        .unionByName(ranked.where(col("rn") === 1).drop("rn"))
+      hot = hotOf(reps)
+    }
+
+    // Stage 2 — keyed Lloyd splits, all hot cells per round at once.
+    var depth = 0
+    while (hot.nonEmpty && depth < SemSplitMaxDepth) {
+      val isHot = col("pair_key").isInCollection(hot.map(_._1))
+      reps = reps.where(!isHot)
+        .unionByName(splitHotCells(reps.where(isHot)))
+      depth += 1
+      hot = hotOf(reps)
+    }
+    if (hot.nonEmpty) {
+      val worst = hot.sortBy(-_._2).take(5)
+        .map { case (k, n) => s"$k($n)" }.mkString(", ")
+      throw new IllegalStateException(
+        s"semDedup: ${hot.length} cell(s) still above maxCellSize=" +
+          s"$maxCellSize after exact-duplicate collapse and " +
+          s"$SemSplitMaxDepth sub-k-means splits (worst: $worst) — " +
+          "members are indistinguishable at r4 distance resolution but " +
+          "not identical. Retrain/extend the centroid set " +
+          "(Ann.kmeansTrain), raise maxCellSize, or pre-quantize the " +
+          "embeddings.")
+    }
+    (reps, forced)
+  }
+
+  /** Keyed Lloyd sub-split: partition every hot pair_key SemSplitK ways
+    * in ONE distributed pass per iteration — sub-centroids for ALL hot
+    * cells ride a single broadcast (|hot| * SemSplitK rows), so there
+    * is no per-cell driver loop and, crucially, no shuffle of the hot
+    * members BY the hot key (that shuffle would recreate the very skew
+    * being repaired). Deterministic like [[kmeansStep]]: decimal-exact
+    * means, r4-quantized distances, sub-id tiebreak on the argmin.
+    * Seeds are each cell's SubSplitK lowest vec_ids; an empty sub-cell
+    * keeps its previous centroid.
+    */
+  private def splitHotCells(members: DataFrame): DataFrame = {
+    val embD = members.select(col("pair_key"), col("vec_id"),
+      transform(col("embedding"), _.cast("double")).as("v"))
+    def assignTo(cent: DataFrame): DataFrame = {
+      val cn = cent.withColumn("cn",
+        VectorFunctions.dot(col("cvec"), col("cvec")))
+      embD.join(broadcast(cn), Seq("pair_key"))
+        .select(col("pair_key"), col("vec_id"), col("v"), col("sub"),
+          Det.r4(lit(-2.0) * VectorFunctions.dot(col("v"), col("cvec")) +
+            col("cn")).as("dq"))
+        .groupBy(col("pair_key"), col("vec_id"))
+        .agg(first(col("v")).as("v"),
+          min(struct(col("dq"), col("sub"))).as("m"))
+    }
+    val seedW = Window.partitionBy(col("pair_key")).orderBy(col("vec_id"))
+    var cent = embD.withColumn("rn", row_number().over(seedW))
+      .where(col("rn") <= SemSplitK)
+      .select(col("pair_key"), (col("rn") - 1).cast("long").as("sub"),
+        col("v").as("cvec"))
+      .localCheckpoint()
+    for (_ <- 0 until SemSplitIters) {
+      val next = assignTo(cent)
+        .select(col("pair_key"), col("m.sub").as("sub"),
+          posexplode(col("v")).as(Seq("pos", "x")))
+        .groupBy(col("pair_key"), col("sub"), col("pos"))
+        .agg(Det.r4(
+          sum(col("x").cast("decimal(28,10)")).cast("double") /
+            count(lit(1))).as("cx"))
+        .groupBy(col("pair_key"), col("sub"))
+        .agg(transform(
+          array_sort(collect_list(struct(col("pos"), col("cx")))),
+          s => s.getField("cx")).as("cvec"))
+      cent = next.unionByName(
+        cent.join(next.select("pair_key", "sub"), Seq("pair_key", "sub"),
+          "left_anti")).localCheckpoint()
+    }
+    val asg = assignTo(cent)
+      .select(col("vec_id"), col("m.sub").as("sub"))
+    members.join(asg, Seq("vec_id"))
+      .select(col("vec_id"), col("embedding"), col("cell_id"), col("aff"),
+        concat(col("pair_key"), lit("/"), col("sub")).as("pair_key"))
   }
 
   /** Product quantization encode (Jégou et al. 2011, "Product

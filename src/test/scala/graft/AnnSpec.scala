@@ -279,4 +279,69 @@ class AnnSpec extends AnyFunSuite with BeforeAndAfterAll {
       .as[(Long, Long, Long)].collect().toSet
     assert(base == repart)
   }
+
+  // --- hot-cell bound ------------------------------------------------
+  // Fixture: 5 tight clusters of 18 vectors on a radius-10 circle plus
+  // 30 EXACT copies of vector 0 — 120 vectors, all forced into one
+  // cell. Interleaved ids (cluster = id % 5) make the lowest-id seed
+  // set span every cluster.
+  private def hotAssigned = {
+    val base = (0 until 90).map { i =>
+      val g = i % 5; val j = i / 5
+      val th = g * 2 * math.Pi / 5
+      (i.toLong, Seq(10 * math.cos(th) + 0.05 * j,
+        10 * math.sin(th) - 0.03 * j))
+    }
+    val copies = (90 until 120).map(i => (i.toLong, base.head._2))
+    (base ++ copies).toDF("vec_id", "embedding")
+      .select(col("vec_id"), col("embedding"),
+        lit(0L).as("cell_id"), lit(0.5).as("aff"))
+  }
+
+  test("refineCells is a pure pass-through below the cap") {
+    val assigned = hotAssigned
+    val (reps, forced) = Ann.refineCells(assigned, 9900L,
+      Ann.DefaultMaxCellSize)
+    assert(forced.isEmpty)
+    val keys = reps.select("pair_key").distinct().as[String].collect()
+    assert(keys.toSeq == Seq("0")) // cell_id verbatim — plan unchanged
+    assert(reps.count() == 120)
+  }
+
+  test("hot cell: duplicate collapse + keyed sub-k-means bound every " +
+      "pair-mining group under the cap") {
+    val (reps, forced) = Ann.refineCells(hotAssigned, 9900L, 16L)
+    val pops = reps.groupBy("pair_key").count().as[(String, Long)]
+      .collect()
+    assert(pops.forall(_._2 <= 16L),
+      s"pair group above cap: ${pops.filter(_._2 > 16L).mkString(", ")}")
+    // the 30 exact copies of vector 0 collapse onto rep 0 directly
+    val forcedIds = forced.get.as[Long].collect().toSet
+    assert(forcedIds == (90L until 120L).toSet)
+    assert(reps.count() + forcedIds.size == 120)
+    // every vector surfaces exactly once in the full operator output,
+    // the forced drops are dropped, and the result is reproducible
+    val cents = Seq((0L, Seq(1.0, 0.0))).toDF("cell_id", "cell_emb")
+    val emb = hotAssigned.select("vec_id", "embedding")
+    val out1 = Ann.semDedup(emb, cents, 9900L, maxCellSize = 16L)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(out1.size == 120 && out1.map(_._1).size == 120)
+    assert((90L until 120L).forall(id => out1.contains((id, 0L, 1L))))
+    val out2 = Ann.semDedup(emb, cents, 9900L, maxCellSize = 16L)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(out1 == out2)
+  }
+
+  test("hot cell of distinct-but-r4-indistinguishable vectors fails " +
+      "loudly instead of going quadratic") {
+    // distinct doubles, identical after distance quantization: no
+    // duplicate collapse applies and no split can separate them
+    val emb = (0 until 40).map(i =>
+      (i.toLong, Seq(1.0 + i * 1e-9, 2.0))).toDF("vec_id", "embedding")
+    val cents = Seq((0L, Seq(1.0, 0.0))).toDF("cell_id", "cell_emb")
+    val e = intercept[IllegalStateException] {
+      Ann.semDedup(emb, cents, 9900L, maxCellSize = 16L)
+    }
+    assert(e.getMessage.contains("maxCellSize"))
+  }
 }
