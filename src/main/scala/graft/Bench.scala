@@ -34,6 +34,32 @@ import graft.core.Sessions
   *
   * Failures are loud: a throwing query is reported in the `errors` field
   * and excluded from `queries`/the total, never silently scored as fast.
+  *
+  * LOAD SENTINEL — the run self-identifies contention instead of asking
+  * the reader to guess (round 9: a 3.15x phantom "regression"; round
+  * 10: a 3x phantom "win" — both were ambient load, provable only by
+  * re-running quiet). A fixed tiny probe job (sum of xxhash64 over a
+  * small range — scan-free, table-free, the same plan every time) runs
+  * after every timed attempt; the probe's cost under a quiet host is
+  * the run's own global minimum probe time, so each attempt carries a
+  * dimensionless load ratio (probe_after / probe_min). The JSON gains:
+  *  - "load": per query, the ratio attached to the attempt that
+  *    produced the reported min — >~1.5 means the recorded figure was
+  *    taken under contention and is an upper bound, not a cost;
+  *  - "probe_base_sec": the global-min probe cost (cross-round
+  *    comparable on the same host);
+  *  - "wall_sec": timed-phase wall clock, so wall/measured no longer
+  *    needs the driver's logs.
+  * A run contended from first probe to last would normalize its own
+  * baseline (ratios ~1), so the baseline is CROSS-RUN: the lowest
+  * probe time ever observed on this host persists in
+  * bench_probe_cal.txt (repo-tracked, self-healing — any quieter run
+  * lowers it) and the effective base is min(calibrated, this run).
+  * A uniformly loaded run therefore still shows load > 1 on every
+  * query — the round-9/-10 failure mode (sustained contention that
+  * rep-major min-of-3 cannot dodge) is now visible in the artifact
+  * itself. Reading guide: load <= ~1.15 quiet; >= ~1.4 means the
+  * reported min was taken under contention and is an upper bound.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -106,14 +132,35 @@ object Bench {
     }
     val maxReps = sys.env.getOrElse("SPARK_GRAFT_BENCH_MAX_REPS", "8").toInt
       .max(reps)
-    val samples = collection.mutable.Map.empty[String, Vector[Double]]
-      .withDefaultValue(Vector.empty)
+    // Load-sentinel probe: a fixed, scan-free job — one plan, no table,
+    // ~60 ms quiet — whose elapsed time is a pure function of ambient
+    // host load. Raw seconds are collected; ratios are computed post
+    // hoc against the run's global minimum.
+    val probeTimes = collection.mutable.ArrayBuffer.empty[Double]
+    def probe(): Double = {
+      // max, not sum: xxhash64 spans the full long range and an ANSI
+      // sum of 8M of them overflows; max keeps the identical per-row
+      // hash work without the trap.
+      import org.apache.spark.sql.functions.{col, max, xxhash64}
+      val t0 = System.nanoTime()
+      spark.range(0L, 8000000L, 1L, cpus)
+        .select(max(xxhash64(col("id")))).head()
+      val s = (System.nanoTime() - t0) / 1e9
+      probeTimes += s
+      s
+    }
+    (1 to 3).foreach(_ => probe()) // JIT/codegen warm for the probe plan
+    probeTimes.clear()
+    (1 to 3).foreach(_ => probe()) // opening baseline samples
+    val samples =
+      collection.mutable.Map.empty[String, Vector[(Double, Double)]]
+        .withDefaultValue(Vector.empty)
     val failed = collection.mutable.LinkedHashSet.empty[String]
     // A query has converged when its two best attempts agree within 15%:
     // the min is then corroborated by an independent attempt and is not
     // a lone lucky (or, under contention, a lone unlucky) sample.
     def converged(name: String): Boolean = {
-      val best = samples(name).sorted.take(2)
+      val best = samples(name).map(_._1).sorted.take(2)
       best.size >= 2 && best(1) <= best(0) * 1.15
     }
     def timeOne(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Unit = {
@@ -121,13 +168,15 @@ object Bench {
       val t0 = System.nanoTime()
       try {
         run(fn)
-        samples(name) = samples(name) :+ (System.nanoTime() - t0) / 1e9
+        val elapsed = (System.nanoTime() - t0) / 1e9
+        samples(name) = samples(name) :+ (elapsed, probe())
       } catch {
         case e: Throwable =>
           System.err.println(s"[bench] $name FAILED: $e")
           failed += name
       }
     }
+    val wallT0 = System.nanoTime()
     for (_ <- 1 to reps; (name, fn) <- qs if !failed(name)) timeOne(name, fn)
     // Convergence rounds: rep-major over the still-unconverged subset
     // only, so a mostly-quiet run doesn't re-pay the whole suite for one
@@ -136,19 +185,41 @@ object Bench {
       val pending = qs.filter { case (n, _) => !failed(n) && !converged(n) }
       if (pending.nonEmpty) pending.foreach { case (n, f) => timeOne(n, f) }
     }
+    val wallSec = (System.nanoTime() - wallT0) / 1e9
+    probe() // closing baseline sample
+    // Cross-run calibration: the quietest probe this HOST has ever
+    // shown, so a uniformly-contended run cannot normalize itself.
+    val calPath = java.nio.file.Paths.get(
+      sys.env.getOrElse("SPARK_GRAFT_PROBE_CAL", "bench_probe_cal.txt"))
+    val calibrated = try {
+      val s = new String(java.nio.file.Files.readAllBytes(calPath))
+      s.linesIterator.map(_.trim).find(l => l.nonEmpty && !l.startsWith("#"))
+        .map(_.toDouble)
+    } catch { case _: Exception => None }
+    val probeBase = (calibrated.toSeq :+ probeTimes.min).min
+    try java.nio.file.Files.write(calPath,
+      ("# graft Bench load-sentinel calibration: quietest probe seconds\n" +
+        "# observed on this host (see Bench.scala scaladoc). Self-healing:\n" +
+        "# any quieter run lowers it.\n" +
+        f"$probeBase%.4f\n").getBytes)
+    catch { case e: Exception =>
+      System.err.println(s"[bench] calibration write failed: $e") }
     val results = qs.collect {
-      case (name, _) if !failed(name) => name -> samples(name).min
+      case (name, _) if !failed(name) => name -> samples(name).minBy(_._1)
     }.toVector
     val errors = failed.toVector
     val unconverged = qs.collect {
       case (name, _) if !failed(name) && !converged(name) => name
     }.toVector
-    val qJson = results.map { case (k, v) => "\"" + k + f"""\":$v%.3f""" }
+    val qJson = results.map { case (k, (v, _)) => "\"" + k + f"""\":$v%.3f""" }
+      .mkString("{", ",", "}")
+    val loadJson = results
+      .map { case (k, (_, p)) => "\"" + k + f"""\":${p / probeBase}%.2f""" }
       .mkString("{", ",", "}")
     val errJson = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
     val uncJson = unconverged.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val total = results.map(_._2).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qJson,"errors":$errJson,"unconverged":$uncJson,"sf":"$sfDir"}""")
+    val total = results.map(_._2._1).sum
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qJson,"errors":$errJson,"unconverged":$uncJson,"load":$loadJson,"probe_base_sec":$probeBase%.4f,"wall_sec":$wallSec%.1f,"sf":"$sfDir"}""")
     spark.stop()
     if (errors.nonEmpty) sys.exit(1)
   }
