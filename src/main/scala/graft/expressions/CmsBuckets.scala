@@ -1,5 +1,7 @@
 package graft.expressions
 
+import java.security.MessageDigest
+
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
@@ -10,16 +12,25 @@ import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
 /** All `depth` Count-Min probe coordinates of a key in ONE pass:
-  * element r = the row-r counter index of the key, computed with the
-  * identical seeded FNV-1a the sketch aggregator uses
-  * (graft.functions.Aggregators.CountMinSketch.bucket). Replaces the
-  * last udf in the query catalog — estimation joins the posexploded
-  * (row, bucket) pairs of each candidate key against the broadcast grid.
+  * element r = h_r mod width with h_r = (a + r*b) mod P the md5-sliced
+  * double-hash family ([[Md5DoubleHash]]) — identical to the sketch
+  * aggregator's bucket function (graft.functions.Aggregators
+  * .CountMinSketch, pinned by SourcesSpec) AND reproducible in an
+  * external SQL engine, so the DuckDB oracle recomputes the entire
+  * grid and q_heavy_hitters is hash-compared end to end (one md5 per
+  * key plus depth add-and-wrap steps replaced the per-row seeded FNV,
+  * which no SQL engine could reproduce). Estimation joins the
+  * posexploded (row, bucket) pairs of each candidate key against the
+  * broadcast grid.
   */
 case class CmsBuckets(child: Expression, depth: Int, width: Int)
   extends UnaryExpression with CodegenFallback {
 
   require(depth > 0 && width > 0, "depth and width must be positive")
+
+  import MinHashSignature.P
+
+  @transient private lazy val md = MessageDigest.getInstance("MD5")
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case StringType => TypeCheckResult.TypeCheckSuccess
@@ -30,14 +41,16 @@ case class CmsBuckets(child: Expression, depth: Int, width: Int)
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
 
   override def nullSafeEval(input: Any): Any = {
-    val s = input.asInstanceOf[UTF8String].toString
+    md.reset()
+    val (a, b) = Md5DoubleHash.params(
+      md.digest(input.asInstanceOf[UTF8String].getBytes))
     val out = new Array[Any](depth)
+    var h = a
     var r = 0
     while (r < depth) {
-      var h = 0xcbf29ce484222325L ^ r.toLong
-      var i = 0
-      while (i < s.length) { h ^= s.charAt(i); h *= 0x100000001b3L; i += 1 }
-      out(r) = ((h >>> 1) % width).toInt
+      out(r) = (h % width).toInt
+      h += b
+      if (h >= P) h -= P
       r += 1
     }
     new GenericArrayData(out)

@@ -114,3 +114,18 @@ object MinHashSignature {
     ColumnBridge.column(
       MinHashSignature(ColumnBridge.expression(shingles), k, seed))
 }
+
+/** The md5-sliced Kirsch–Mitzenmacher double-hash family shared by the
+  * MinHash signature and the Count-Min sketch — any sketch whose
+  * hashing must be reproducible digit-for-digit in an external SQL
+  * engine: a = int48(md5 bytes 0..5) mod P, b = int48(bytes 6..11)
+  * mod (P-1) + 1, h_i = (a + i*b) mod P over P = 2^31-1. Every step is
+  * exact integer arithmetic on values < 2^49 — portable to any engine
+  * with md5 and 64-bit integers (the DuckDB twin is Det.sqlMd5Int48).
+  */
+object Md5DoubleHash {
+  import MinHashSignature.{P, int48}
+  /** (a, b) of the family for one key's md5 digest. */
+  def params(d: Array[Byte]): (Long, Long) =
+    (int48(d, 0) % P, int48(d, 6) % (P - 1) + 1)
+}

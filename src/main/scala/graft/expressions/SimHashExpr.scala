@@ -1,8 +1,10 @@
 package graft.expressions
 
+import java.security.MessageDigest
+
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graftbridge.ColumnBridge
@@ -11,15 +13,25 @@ import org.apache.spark.sql.types._
 /** 64-bit SimHash over a token array in ONE pass. The Column-composed
   * formulation built 64 separate `aggregate` subtrees — each an
   * interpreted lambda scan of the array, and (no CSE across lambdas)
-  * each recomputing every token's xxhash — O(64 x tokens) interpreted
-  * work per row. This expression hashes each token once with the exact
-  * same XXH64 (seed 42, UTF-8 bytes — bit-identical to Spark's
-  * `xxhash64`) and updates all 64 sign counters in a tight loop.
+  * each recomputing every token's hash — O(64 x tokens) interpreted
+  * work per row. This expression hashes each token once and updates
+  * all 64 sign counters in a tight loop.
   *
-  * Null tokens hash to the seed, matching `xxhash64(null)`.
+  * The per-token bit source is ENGINE-PORTABLE: the first 8 bytes of
+  * the token's md5 read as a big-endian long (equivalently: signature
+  * bit j is bit (j mod 4) of md5 hex digit (63-j)/4 + 1), so an
+  * external SQL engine with md5 rebuilds every signature — and every
+  * downstream 16-bit pigeonhole block and Hamming distance —
+  * digit-for-digit, making q_simhash hash-compared end to end. The
+  * former xxhash64 bit source had no SQL twin (rows-only check); md5
+  * costs ~2-3x per token, the price of the oracle. A tied or empty
+  * counter leaves its bit 0; null tokens are ignored (token arrays
+  * here never contain nulls — TextFunctions.tokens filters empties).
   */
 case class SimHashExpr(child: Expression)
   extends UnaryExpression with CodegenFallback {
+
+  @transient private lazy val md = MessageDigest.getInstance("MD5")
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
@@ -35,17 +47,17 @@ case class SimHashExpr(child: Expression)
     val n = arr.numElements()
     var k = 0
     while (k < n) {
-      val h =
-        if (arr.isNullAt(k)) 42L
-        else {
-          val t = arr.getUTF8String(k)
-          XXH64.hashUnsafeBytes(t.getBaseObject, t.getBaseOffset,
-            t.numBytes, 42L)
+      if (!arr.isNullAt(k)) {
+        md.reset()
+        val d = md.digest(arr.getUTF8String(k).getBytes)
+        var h = 0L
+        var i = 0
+        while (i < 8) { h = (h << 8) | (d(i) & 0xffL); i += 1 }
+        var j = 0
+        while (j < 64) {
+          if (((h >>> j) & 1L) == 1L) counts(j) += 1 else counts(j) -= 1
+          j += 1
         }
-      var j = 0
-      while (j < 64) {
-        if (((h >>> j) & 1L) == 1L) counts(j) += 1 else counts(j) -= 1
-        j += 1
       }
       k += 1
     }

@@ -57,9 +57,15 @@ object Aggregators {
 
   /** Count-Min Sketch over strings: fixed (depth x width) counter grid,
     * mergeable by elementwise addition — the classic distributed
-    * heavy-hitter sketch. Depth rows use xxhash-style independent seeds
-    * (FNV-1a with per-row seed). Estimate = min over rows (always an
-    * OVERcount; error <= 2N/width with prob 1 - 2^-depth).
+    * heavy-hitter sketch. The depth row hashes are the md5-sliced
+    * Kirsch–Mitzenmacher double-hash family (expressions.Md5DoubleHash,
+    * shared with the MinHash signature): one md5 per key plus depth
+    * add-and-wrap steps — cheaper than the former per-row seeded FNV
+    * (which rescanned the key once per row) and, the point,
+    * reproducible digit-for-digit in the DuckDB oracle, so
+    * q_heavy_hitters is hash-compared end to end. Estimate = min over
+    * rows (always an OVERcount; error <= 2N/width with prob
+    * 1 - 2^-depth).
     *
     * Buffer is a flat Array[Long] (depth*width) — constant size
     * regardless of input cardinality, which is the point: the shuffle
@@ -69,22 +75,41 @@ object Aggregators {
     extends Aggregator[String, Array[Long], Array[Long]] {
     require(depth > 0 && width > 0)
 
-    /** Row r's counter index for key s — public so estimation can run as
-      * a distributed join against the exploded grid rather than a
-      * driver-side probe (PipelineQueries.q_heavy_hitters).
+    import graft.expressions.MinHashSignature.P
+
+    @transient private lazy val md =
+      java.security.MessageDigest.getInstance("MD5")
+
+    /** All depth counter indices of key s in one digest pass — public so
+      * estimation can run as a distributed join against the exploded
+      * grid rather than a driver-side probe
+      * (PipelineQueries.q_heavy_hitters).
       */
-    def bucket(row: Int, s: String): Int = {
-      var h = 0xcbf29ce484222325L ^ row.toLong
-      var i = 0
-      while (i < s.length) { h ^= s.charAt(i); h *= 0x100000001b3L; i += 1 }
-      ((h >>> 1) % width).toInt
+    def buckets(s: String): Array[Int] = {
+      md.reset()
+      val (a, b) = graft.expressions.Md5DoubleHash.params(
+        md.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+      val out = new Array[Int](depth)
+      var h = a
+      var r = 0
+      while (r < depth) {
+        out(r) = (h % width).toInt
+        h += b
+        if (h >= P) h -= P
+        r += 1
+      }
+      out
     }
+
+    /** Row r's counter index for key s (single-row convenience). */
+    def bucket(row: Int, s: String): Int = buckets(s)(row)
 
     override def zero: Array[Long] = new Array[Long](depth * width)
 
     override def reduce(b: Array[Long], s: String): Array[Long] = {
+      val bs = buckets(s)
       var r = 0
-      while (r < depth) { b(r * width + bucket(r, s)) += 1; r += 1 }
+      while (r < depth) { b(r * width + bs(r)) += 1; r += 1 }
       b
     }
 
@@ -103,10 +128,11 @@ object Aggregators {
 
     /** Point-estimate a key's count from a finished sketch. */
     def estimate(sketch: Array[Long], s: String): Long = {
+      val bs = buckets(s)
       var best = Long.MaxValue
       var r = 0
       while (r < depth) {
-        best = math.min(best, sketch(r * width + bucket(r, s)))
+        best = math.min(best, sketch(r * width + bs(r)))
         r += 1
       }
       best

@@ -16,6 +16,11 @@ object PipelineQueries {
   private val oracleTokens =
     """list_filter(regexp_split_to_array(text, '\s+'), t -> len(t) > 0)"""
 
+  // Count-Min grid shape shared by q_heavy_hitters' Spark plan and its
+  // DuckDB twin.
+  private val CmsDepth = 4
+  private val CmsWidth = 2048
+
   def defs: Map[String, QueryDef] = Map(
     // Heavy hitters: top-k vocabulary with deterministic tiebreak.
     "q_top_tokens" -> QueryDef(
@@ -35,35 +40,54 @@ object PipelineQueries {
     // finished grid posexplodes to (row, bucket, count) rows (8192 of
     // them), each distinct candidate token emits its depth probe
     // coordinates in one pass of the native CmsBuckets expression
-    // (bucket-identical to the aggregator's seeded FNV — pinned by
-    // SourcesSpec), and min-over-rows is a plain groupBy. Everything is
-    // one lazy plan — no job runs until an action (the r4 fix of the
-    // construction-time head() that baked the sketch into a closure) —
-    // and no row ever carries the whole grid. CMS guarantees est >=
-    // exact with error <= 2N/width w.h.p.; AnalyticsSpec pins the
-    // bounds and the top-20 overlap vs exact q_top_tokens. Seeded
-    // sketch hashing is not SQL-expressible -> rows-only check.
+    // (bucket-identical to the aggregator — pinned by SourcesSpec), and
+    // min-over-rows is a plain groupBy. Everything is one lazy plan —
+    // no job runs until an action (the r4 fix of the construction-time
+    // head() that baked the sketch into a closure) — and no row ever
+    // carries the whole grid. CMS guarantees est >= exact with error
+    // <= 2N/width w.h.p.; AnalyticsSpec pins the bounds and the top-20
+    // overlap vs exact q_top_tokens. FULLY ORACLED (round 11): the row
+    // hashes are the md5-sliced double-hash family (Md5DoubleHash, the
+    // q_minhash_lsh recipe), so the oracle below rebuilds the ENTIRE
+    // grid — every counter, every probe, the min — in exact BIGINT
+    // arithmetic and the sketch is hash-compared end to end.
     "q_heavy_hitters" -> QueryDef(
       (s, dir) => {
         import s.implicits._
-        val (depth, width) = (4, 2048)
-        val cms = Aggregators.countMin(depth, width)
+        val cms = Aggregators.countMin(CmsDepth, CmsWidth)
         val toks = Tables.load(s, dir, "documents")
           .select(explode(TextFunctions.tokens(col("text"))).as("token"))
         val grid = toks.as[String].select(cms.toColumn.name("grid"))
           .select(posexplode(col("grid")).as(Seq("pos", "cnt")))
-          .select(expr(s"pos div $width").cast("int").as("r"),
-            expr(s"pos % $width").cast("int").as("b"), col("cnt"))
+          .select(expr(s"pos div $CmsWidth").cast("int").as("r"),
+            expr(s"pos % $CmsWidth").cast("int").as("b"), col("cnt"))
         toks.distinct()
           .select(col("token"),
             posexplode(graft.expressions.CmsBuckets(col("token"),
-              depth, width)).as(Seq("r", "b")))
+              CmsDepth, CmsWidth)).as(Seq("r", "b")))
           .join(broadcast(grid), Seq("r", "b"))
           .groupBy("token").agg(min(col("cnt")).as("est_n"))
           .orderBy(col("est_n").desc, col("token"))
           .limit(20)
       },
-      None),
+      Some {
+        val p = graft.expressions.MinHashSignature.P
+        s"""WITH toks AS (
+            SELECT unnest($oracleTokens) AS token FROM documents),
+          hp AS (SELECT token,
+              ${Det.sqlMd5Int48("token", 1)} % $p AS a,
+              ${Det.sqlMd5Int48("token", 13)} % ${p - 1} + 1 AS b
+            FROM toks),
+          hb AS (SELECT token, r.r AS r, (a + r.r * b) % $p % $CmsWidth AS bkt
+            FROM hp,
+              (SELECT unnest(generate_series(0, ${CmsDepth - 1})) AS r) r),
+          grid AS (SELECT r, bkt, count(*) AS cnt FROM hb GROUP BY r, bkt),
+          cand AS (SELECT DISTINCT token, r, bkt FROM hb),
+          est AS (SELECT token, min(cnt) AS est_n
+            FROM cand JOIN grid USING (r, bkt) GROUP BY token)
+          SELECT token, est_n FROM est
+          ORDER BY est_n DESC, token LIMIT 20"""
+      }),
 
     // Deterministic stratified sample: 3 docs per source, selected by
     // content-hash order (md5 — reproducible in any engine; no RNG).

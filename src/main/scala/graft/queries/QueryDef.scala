@@ -55,6 +55,18 @@ object Det {
     */
   def sqlR4q(expr: String): String =
     s"CAST(floor(($expr) * 10000 + 0.5) AS BIGINT)"
+
+  /** Integer value of 12 hex digits of md5(`expr`) starting at 1-based
+    * hex position `start` — 48 bits, exact in BIGINT (and inside the
+    * double `power(16, 11)` = 2^44 < 2^53). The SQL twin of
+    * expressions.MinHashSignature.int48 / Md5DoubleHash: start=1 reads
+    * digest bytes 0..5 (the `a` slice), start=13 bytes 6..11 (`b`).
+    */
+  def sqlMd5Int48(expr: String, start: Int): String =
+    s"""CAST(list_sum(list_transform(generate_series(0, 11),
+       j -> CAST(instr('0123456789abcdef',
+              substr(md5($expr), $start + j, 1)) - 1 AS BIGINT)
+            * CAST(power(16, 11 - j) AS BIGINT))) AS BIGINT)"""
 }
 
 object Tables {

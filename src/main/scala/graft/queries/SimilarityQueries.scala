@@ -233,6 +233,55 @@ object SimilarityQueries {
     WHERE ${Det.sqlR4q("CAST(inter AS DOUBLE) / (na + nb - inter)")} >= $JaccardThresholdQ"""
   }
 
+  /** DuckDB twin of the FULL SimHash pipeline: per-token 64-bit hash
+    * from the first 16 md5 hex digits (bit j of the big-endian value =
+    * bit (j mod 4) of hex digit (63-j)/4 + 1 — SimHashExpr's mapping),
+    * per-doc sign-counter vote per bit, 16-bit pigeonhole blocks from
+    * the bit vector (small positive ints, no signed-shift gymnastics),
+    * block-collision candidates, exact Hamming verify. Token-less docs
+    * get the all-zero signature on both engines (the CROSS JOIN over
+    * documents keeps them; their sign counters are empty sums).
+    */
+  private def simhashOracle: String = {
+    val toks =
+      """list_filter(regexp_split_to_array(text, '\s+'), t -> len(t) > 0)"""
+    s"""WITH tb AS (
+        SELECT doc_id, md5(tok) AS mh FROM
+          (SELECT doc_id, unnest($toks) AS tok FROM documents)),
+      bits AS (
+        SELECT d.doc_id, j.j AS j,
+          coalesce(sum(CASE WHEN (instr('0123456789abcdef',
+                substr(tb.mh, (63 - j.j) // 4 + 1, 1)) - 1)
+              // CAST(power(2, j.j % 4) AS BIGINT) % 2 = 1
+            THEN 1 ELSE -1 END), 0) AS c
+        FROM documents d
+        CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS j) j
+        LEFT JOIN tb ON tb.doc_id = d.doc_id
+        GROUP BY d.doc_id, j.j),
+      sig AS (
+        SELECT doc_id,
+          list(CASE WHEN c > 0 THEN 1 ELSE 0 END ORDER BY j) AS bv
+        FROM bits GROUP BY doc_id),
+      blocks AS (
+        SELECT doc_id, i.i AS blk,
+          CAST(list_sum(list_transform(generate_series(1, 16),
+            k -> bv[16 * i.i + k] * CAST(power(2, k - 1) AS BIGINT)))
+            AS BIGINT) AS v
+        FROM sig, (SELECT unnest(generate_series(0, 3)) AS i) i),
+      cand AS (
+        SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+        FROM blocks x JOIN blocks y
+          ON x.blk = y.blk AND x.v = y.v AND x.doc_id < y.doc_id),
+      scored AS (
+        SELECT a, b, CAST(list_sum(list_transform(generate_series(1, 64),
+            j -> CASE WHEN sa.bv[j] <> sb.bv[j] THEN 1 ELSE 0 END))
+            AS INTEGER) AS dist
+        FROM cand
+        JOIN sig sa ON a = sa.doc_id
+        JOIN sig sb ON b = sb.doc_id)
+      SELECT a, b, dist FROM scored WHERE dist <= 3"""
+  }
+
   /** DuckDB double dot product with the same left-to-right fold order as
     * VectorFunctions.dot.
     */
@@ -562,6 +611,11 @@ object SimilarityQueries {
     // SimHash near-dup: 64-bit signatures; pairs within Hamming distance 3
     // found by exact match on 4 16-bit sub-blocks (pigeonhole: distance <=3
     // leaves >=1 of 4 blocks identical) — LSH-style banding, no O(n^2).
+    // FULLY ORACLED (round 11): the per-token bit source is the first 16
+    // md5 hex digits (SimHashExpr scaladoc), so the oracle rebuilds every
+    // signature bit, 16-bit block, candidate pair, and Hamming distance
+    // below — hash-compared end to end, closing the last sketch in the
+    // near-dup family (MinHash landed round 10 with the same recipe).
     "q_simhash" -> QueryDef(
       (s, dir) => {
         val sigs = Tables.load(s, dir, "documents")
@@ -583,7 +637,7 @@ object SimilarityQueries {
           .where(col("dist") <= 3)
         graft.core.CacheHygiene.unpersistAfterFirstUse(sigs, result)
       },
-      None),
+      Some(simhashOracle)),
 
     // Brute-force cosine top-10 ANN for 8 query vectors against the whole
     // corpus: broadcast the tiny query side; scores rounded to 4 decimals
