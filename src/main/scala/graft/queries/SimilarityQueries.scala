@@ -905,6 +905,62 @@ object SimilarityQueries {
         WHERE rn <= 10"""),
       bench = true),
 
+    // PQ + exact re-rank (Ann.rerankTopK) — the full production
+    // retrieval chain: ADC top-20 recalls candidates from the compact
+    // code index, then ONE exact quantized cosine per surviving
+    // (query, candidate) pair re-ranks to the final top-5. The raw
+    // vectors are touched O(q x 20) times, never corpus-wide — the
+    // precision tail rides the approximate stage's pruning. Every
+    // stage (codes, integer ADC sum, candidate cut, exact cosine,
+    // final rank) is recomputed by the oracle: hash-compared end to
+    // end.
+    "q_pq_rerank" -> QueryDef(
+      (s, dir) => {
+        val emb = Tables.load(s, dir, "embeddings")
+        val cb = pqCodebooks(emb)
+        val q = emb.where(col("vec_id") < 8)
+          .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+        val cand = graft.operators.Ann.pqTopK(
+          graft.operators.Ann.pqEncode(emb, cb, PqM), q, cb,
+          PqM, PqCodes, 20)
+        graft.operators.Ann.rerankTopK(cand, emb, q, 5)
+      },
+      Some(s"""WITH $pqOracleCtes,
+        q AS (SELECT vec_id AS q_id, embedding AS q_emb
+          FROM embeddings WHERE vec_id < 8),
+        dt AS (
+          SELECT q.q_id, c.sub, c.code,
+            CAST(floor(${oracleL2sq(
+              "list_slice(q.q_emb, c.sub * 8 + 1, c.sub * 8 + 8)",
+              "c.cvec")} * 10000 + 0.5) AS BIGINT) AS dd
+          FROM q, cb c),
+        adc AS (
+          SELECT dt.q_id, codes.vec_id,
+            CAST(sum(dt.dd) AS BIGINT) AS dist
+          FROM codes JOIN dt ON codes.sub = dt.sub AND codes.code = dt.code
+          GROUP BY dt.q_id, codes.vec_id),
+        cand AS (
+          SELECT q_id, vec_id FROM (
+            SELECT *, row_number() OVER (
+              PARTITION BY q_id ORDER BY dist, vec_id) AS rn
+            FROM adc) t
+          WHERE rn <= 20),
+        rr AS (
+          SELECT c.q_id, c.vec_id,
+            floor(${oracleDot("q.q_emb", "e.embedding")} /
+              (sqrt(${oracleDot("q.q_emb", "q.q_emb")}) *
+               sqrt(${oracleDot("e.embedding", "e.embedding")}))
+              * 10000 + 0.5) / 10000 AS score
+          FROM cand c
+          JOIN embeddings e ON c.vec_id = e.vec_id
+          JOIN q ON c.q_id = q.q_id)
+        SELECT q_id, vec_id, score, rn FROM (
+          SELECT *, row_number() OVER (
+            PARTITION BY q_id ORDER BY score DESC, vec_id) AS rn
+          FROM rr) t
+        WHERE rn <= 5"""),
+      bench = true),
+
     // Embedding near-dup via multi-band random-hyperplane LSH (16 bands x
     // 8 bits), then exact cosine verification on candidates
     // (Ann.nearDupPairs; recall semantics pinned by NearDupSpec with
