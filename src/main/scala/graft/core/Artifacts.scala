@@ -30,6 +30,7 @@ object Artifacts {
   val EvalBucketsName = "decontamination_buckets"
   val DriftBaselineName = "drift_baseline"
   val CentroidsName = "ann_centroids"
+  val IvfCellsName = "ann_ivf_cells"
   val ClassifierName = "quality_classifier"
   val NgramClassifierName = "quality_classifier_ngram"
   val PqCodebooksName = "pq_codebooks"
@@ -150,6 +151,32 @@ object Artifacts {
       version: Option[Int] = None): DataFrame =
     loadCentroids(spark, root, version)
       .select(col("cluster_id").as("cell_id"), col("cvec").as("cell_emb"))
+
+  /** IVF cell assignment (vec_id, cell_id, embedding) —
+    * `Ann.assignCells`' output, the once-per-corpus-snapshot pass the
+    * AnnStream scaladoc says to "persist like any artifact" (now an
+    * actual codec, not an exercise for the caller): assign on corpus
+    * publish, save here, and every later query session —
+    * `Ann.ivfTopKFromCells` batch calls or an
+    * `AnnStream.ivfQueryRelay` — serves from the LOADED frame with no
+    * corpus-wide pass of its own. Corpus-sized like the PQ codes: the
+    * artifact store is a parquet table directory, so the frame scans,
+    * prunes, and broadcasts exactly like any other table.
+    */
+  def saveIvfCells(spark: SparkSession, root: String, version: Int,
+      cells: DataFrame): String = {
+    require(Set("vec_id", "cell_id", "embedding")
+      .subsetOf(cells.columns.toSet),
+      s"IVF cell frame must carry (vec_id, cell_id, embedding), " +
+        s"got ${cells.columns.mkString(", ")}")
+    save(cells.select("vec_id", "cell_id", "embedding"), root,
+      IvfCellsName, version)
+  }
+
+  def loadIvfCells(spark: SparkSession, root: String,
+      version: Option[Int] = None): DataFrame =
+    load(spark, root, IvfCellsName, version)
+      .select("vec_id", "cell_id", "embedding")
 
   /** PQ codebook frame (sub, code, cvec) — `Ann.pqTrain`'s output,
     * `Ann.pqEncode`/`pqTopK`'s input: train the subspace codebooks

@@ -12,7 +12,10 @@ import graft.operators.Ann
   *  - TRAIN once offline: `Ann.kmeansTrain` -> `Artifacts.saveCentroids`.
   *  - ASSIGN once per corpus snapshot: `Ann.assignCells(corpus,
   *    centroids)` — the only corpus-wide pass, amortized over every
-  *    query the stream will ever carry (persist it like any artifact).
+  *    query the stream will ever carry. Persist it via
+  *    `Artifacts.saveIvfCells`; a fresh query session then feeds
+  *    `loadIvfCells` straight into the relay (AnnStreamSpec pins
+  *    loaded-vs-assigned hit equality).
   *  - QUERY forever: embedding queries arrive on a topic; each
   *    micro-batch runs `Ann.ivfTopKFromCells` — probe-pruned broadcast
   *    centroids (`Artifacts.loadIvfCentroids` feeds `centroids`

@@ -116,6 +116,60 @@ class AnnStreamSpec extends AnyFunSuite with BeforeAndAfterAll {
     ps.close()
   }
 
+  test("ivfQueryRelay serves a wave from Artifacts-LOADED cells with " +
+      "hits identical to the in-memory assignment") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val centroids = emb.where(col("vec_id") % 37 === 0 &&
+        col("vec_id") < 37L * 64)
+      .select((col("vec_id") / 37).cast("long").as("cell_id"),
+        col("embedding").as("cell_emb"))
+      .cache()
+    val assigned = Ann.assignCells(emb, centroids)
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-ivfcells").toString
+    graft.core.Artifacts.saveIvfCells(spark, root, 1, assigned)
+    // a "fresh query session": everything the relay serves comes from
+    // the artifact store, no corpus-wide assignment pass of its own
+    val cells = graft.core.Artifacts.loadIvfCells(spark, root)
+
+    val qvecs = emb.where(col("vec_id") < 8)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble))
+      .toMap
+    val ps = new PubSub(spark)
+    val in = ps.topic[VecQuery]("ann-queries-loaded")
+    val out = ps.topic[AnnHit]("ann-hits-loaded")
+    val got = scala.collection.mutable.ArrayBuffer
+      .empty[EventEnvelope[AnnHit]]
+    val sink = out.stream.writeStream.outputMode("append")
+      .foreachBatch {
+        (b: org.apache.spark.sql.Dataset[EventEnvelope[AnnHit]], _: Long) =>
+          got.synchronized { got ++= b.collect() }; ()
+      }.start()
+    val relay = AnnStream.ivfQueryRelay(in, out, cells, centroids,
+      k = 5, nprobe = 4)
+    val ids = (0L until 8L).toSeq
+    in.publish(ids.map(id => EventEnvelope.at(
+      new Timestamp(1700000300000L + id), VecQuery(id, qvecs(id)))))
+    relay.processAllAvailable()
+    sink.processAllAvailable()
+
+    import spark.implicits._
+    val queries = ids.map(id => (id, qvecs(id))).toDF("q_id", "q_emb")
+    val expected = Ann
+      .ivfTopKFromCells(assigned, queries, centroids, 5, 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getLong(3))).toSet
+    val streamed = got.synchronized(got.toList)
+      .map(e => (e.content.qId, e.content.vecId, e.content.score,
+        e.content.rn)).toSet
+    assert(streamed.nonEmpty && streamed == expected)
+
+    relay.stop()
+    sink.stop()
+    ps.close()
+  }
+
   test("semDedupGate: first arrival wins within and across micro-batches, " +
       "cells are independent, stamps ride through") {
     import graft.streaming.AnnStream.VecDoc

@@ -97,6 +97,34 @@ class ArtifactsSpec extends AnyFunSuite with BeforeAndAfterAll {
         trained.withColumnRenamed("cvec", "v")))
   }
 
+  test("IVF cell assignment persists and serves ivfTopKFromCells " +
+      "identically to the in-memory assignment (assign-once)") {
+    val emb = spark.read.parquet(s"$SfDir/embeddings.parquet")
+    val centroids = emb.where(col("vec_id") % 37 === 0 &&
+        col("vec_id") < 37L * 8)
+      .select((col("vec_id") / 37).cast("long").as("cell_id"),
+        col("embedding").as("cell_emb"))
+    val assigned = graft.operators.Ann.assignCells(emb, centroids)
+    Artifacts.saveIvfCells(spark, root, 1, assigned)
+
+    val loaded = Artifacts.loadIvfCells(spark, root)
+    assert(loaded.select("vec_id", "cell_id").collect().map(_.toSeq).toSet
+      == assigned.select("vec_id", "cell_id").collect().map(_.toSeq).toSet)
+    val queries = emb.where(col("vec_id") < 8)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    def hits(cells: org.apache.spark.sql.DataFrame) =
+      graft.operators.Ann.ivfTopKFromCells(cells, queries, centroids, 5, 2)
+        .collect().map(_.toSeq).sortBy(_.toString).toSeq
+    val fromArtifact = hits(loaded)
+    assert(fromArtifact.nonEmpty && fromArtifact == hits(assigned))
+
+    // shape guard: the embedding column is load-bearing (the in-cell
+    // exact scoring needs it) — a codes-only frame is refused
+    intercept[IllegalArgumentException](
+      Artifacts.saveIvfCells(spark, root, 2,
+        assigned.drop("embedding")))
+  }
+
   test("classifier weights round-trip and the streaming model gate " +
       "built from the LOADED artifact keeps/drops as the batch scorer") {
     import spark.implicits._
