@@ -2,12 +2,12 @@ package graft.streaming
 
 import java.util.concurrent.atomic.AtomicReference
 
-import org.apache.spark.sql.Dataset
+import org.apache.spark.sql.{Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.StreamingQuery
 
 import graft.core.{Artifacts, EventEnvelope}
-import graft.operators.QualityModel
+import graft.operators.{Decontamination, Importance, QualityModel}
 
 /** Hot artifact refresh on the LIVE ingest plane.
   *
@@ -21,14 +21,14 @@ import graft.operators.QualityModel
   * plan; the Spark-native seam is `foreachBatch`, whose body constructs
   * a fresh BATCH plan every epoch.
   *
-  * `classifierGateRelay` is that seam packaged as a topic-to-topic
-  * component: subscribe to `in`, and each micro-batch (a) re-resolves
-  * the LATEST artifact version with one filesystem listing (the weight
-  * frame is re-read only when the version actually changed), (b) scores
-  * the batch with the same r4-quantized cut as
-  * `TypedOps.qualityModelGate` — a distributed batch job whose plan
-  * embeds the current weights as literals — and (c) publishes survivors
-  * to `out`. Swap semantics fall out of the epoch structure, with no
+  * [[gateRelay]] is that seam packaged as a GENERIC topic-to-topic
+  * component, parameterized by the artifact codec and the gate
+  * predicate: subscribe to `in`, and each micro-batch (a) re-resolves
+  * the LATEST artifact version with one filesystem listing (the
+  * artifact is re-read only when the version actually changed),
+  * (b) gates the batch with a distributed batch job whose plan embeds
+  * the current artifact as literals, and (c) publishes survivors to
+  * `out`. Swap semantics fall out of the epoch structure, with no
   * barrier protocol at all:
   *
   *  - version resolution happens exactly ONCE per epoch, so a bump
@@ -42,61 +42,102 @@ import graft.operators.QualityModel
   *    listing: either the directory is the new latest or it is not yet
   *    visible) is the whole control action — no RPC to the consumer.
   *
-  * The same relay shape hot-swaps any Artifacts-backed gate (importance
-  * LM, decontamination buckets, hashed-bigram classifier): only the
-  * load call and the gate expression change. Compare
-  * `PubSub.migrateTopic`, which swaps a topic's CONFIG under a drain
-  * barrier — that path mutates shared topic state, so it needs the
-  * monitor; this path swaps nothing shared (each epoch owns its plan),
-  * so draining is unnecessary.
+  * Shipped instantiations cover the three Artifacts-backed stateless
+  * gates: [[classifierGateRelay]] (quality weights),
+  * [[importanceGateRelay]] (DSIR LM), [[decontaminationGateRelay]]
+  * (eval-bucket set) — each is one load call plus one gate expression,
+  * which is the whole point of the seam. Compare `PubSub.migrateTopic`,
+  * which swaps a topic's CONFIG under a drain barrier — that path
+  * mutates shared topic state, so it needs the monitor; this path swaps
+  * nothing shared (each epoch owns its plan), so draining is
+  * unnecessary.
   */
 object HotSwap {
 
   /** Handle on a running hot-swappable gate relay. */
-  final class HotGate private[streaming] (
+  final class HotGate[A] private[streaming] (
       val query: StreamingQuery,
-      state: AtomicReference[(Int, QualityModel.Weights)]) {
+      state: AtomicReference[(Int, A)]) {
 
-    /** The artifact version the most recent epoch scored with (-1
+    /** The artifact version the most recent epoch gated with (-1
       * before the first non-empty epoch).
       */
     def currentVersion: Int =
       Option(state.get()).map(_._1).getOrElse(-1)
   }
 
-  /** Start the relay: `in` -> classifier gate at the LATEST
-    * `Artifacts.ClassifierName` version under `root`, re-resolved per
-    * micro-batch -> `out`. The artifact must exist before the first
-    * event arrives (a gate with no model must fail loudly, not pass
-    * everything).
+  /** Start a hot-swappable gate relay: `in` -> gate under the LATEST
+    * `artifactName` version beneath `root`, re-resolved per
+    * micro-batch -> `out`. `loadVersion` materializes one artifact
+    * version (cached until the version changes); `gate` filters an
+    * epoch's batch under that artifact. The artifact must exist before
+    * the first event arrives (a gate with no model must fail loudly,
+    * not pass everything).
     */
-  def classifierGateRelay(in: Topic[String], out: Topic[String],
-      root: String, minScore: Double): HotGate = {
-    val minQ = math.round(minScore * 10000)
-    val state = new AtomicReference[(Int, QualityModel.Weights)](null)
+  def gateRelay[A](in: Topic[String], out: Topic[String], root: String,
+      artifactName: String, loadVersion: (SparkSession, Int) => A)(
+      gate: (Dataset[EventEnvelope[String]], A) =>
+        Dataset[EventEnvelope[String]]): HotGate[A] = {
+    val state = new AtomicReference[(Int, A)](null)
     val query = in.stream.writeStream.outputMode("append")
       .foreachBatch { (batch: Dataset[EventEnvelope[String]], _: Long) =>
         val spark = batch.sparkSession
-        val latest = Artifacts
-          .versions(spark, root, Artifacts.ClassifierName).lastOption
+        val latest = Artifacts.versions(spark, root, artifactName).lastOption
           .getOrElse(throw new NoSuchElementException(
-            s"no ${Artifacts.ClassifierName} artifact under $root — " +
+            s"no $artifactName artifact under $root — " +
               "fit and save one before starting the relay"))
         val cached = state.get()
-        val w =
+        val a =
           if (cached != null && cached._1 == latest) cached._2
           else {
-            val loaded = Artifacts.loadClassifier(spark, root, Some(latest))
+            val loaded = loadVersion(spark, latest)
             state.set((latest, loaded))
             loaded
           }
-        val kept = batch.filter(
-          floor(QualityModel.score(col("content"), w) * 10000 + 0.5)
-            >= minQ).collect()
-        out.publish(kept.toSeq)
+        out.publish(gate(batch, a).collect().toSeq)
         ()
       }
       .start()
     new HotGate(query, state)
   }
+
+  /** Quality-classifier instantiation: the r4-quantized sigmoid cut of
+    * `TypedOps.qualityModelGate` over the latest
+    * `Artifacts.ClassifierName` weights.
+    */
+  def classifierGateRelay(in: Topic[String], out: Topic[String],
+      root: String, minScore: Double): HotGate[QualityModel.Weights] = {
+    val minQ = math.round(minScore * 10000)
+    gateRelay(in, out, root, Artifacts.ClassifierName,
+      (s, v) => Artifacts.loadClassifier(s, root, Some(v))) { (batch, w) =>
+      batch.filter(
+        floor(QualityModel.score(col("content"), w) * 10000 + 0.5) >= minQ)
+    }
+  }
+
+  /** DSIR importance-LM instantiation: `TypedOps.importanceGate`'s
+    * log-weight cut over the latest `Artifacts.ImportanceLmName` LM —
+    * re-fit the proxy LM on fresh target data, save a version, and
+    * every relay picks it up at its next epoch.
+    */
+  def importanceGateRelay(in: Topic[String], out: Topic[String],
+      root: String, minLogw: Double): HotGate[Importance.Lm] =
+    gateRelay(in, out, root, Artifacts.ImportanceLmName,
+      (s, v) => Artifacts.loadImportanceLm(s, root, Some(v))) { (batch, lm) =>
+      batch.filter(Importance.logw(col("content"), lm) >= minLogw)
+    }
+
+  /** Decontamination instantiation: `TypedOps.decontaminationGate`'s
+    * shared-bucket cut over the latest `Artifacts.EvalBucketsName` set
+    * — grow the eval suite, save a version, and newly-contaminated
+    * documents are blocked from the next epoch on.
+    */
+  def decontaminationGateRelay(in: Topic[String], out: Topic[String],
+      root: String, nGram: Int = 3, minShared: Int = 2)
+      : HotGate[Set[Long]] =
+    gateRelay(in, out, root, Artifacts.EvalBucketsName,
+      (s, v) => Artifacts.loadEvalBuckets(s, root, Some(v))) { (batch, bk) =>
+      batch.filter(
+        Decontamination.hitCount(col("content"), bk, nGram) < minShared)
+    }
 }

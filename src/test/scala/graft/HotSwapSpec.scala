@@ -84,6 +84,103 @@ class HotSwapSpec extends AnyFunSuite with BeforeAndAfterAll {
     ps.close()
   }
 
+  test("gateRelay generalizes: bumping the importance LM flips a " +
+      "RUNNING gate at a batch boundary with the same no-loss pins") {
+    val root =
+      java.nio.file.Files.createTempDirectory("graft-hotswap-lm").toString
+    // bucket-free LMs: every token takes the default log-ratio, so the
+    // cut at 0.0 is unambiguous for any non-empty text
+    val keepLm = graft.operators.Importance.Lm(Map.empty, 1000L)
+    val dropLm = graft.operators.Importance.Lm(Map.empty, -1000L)
+    Artifacts.saveImportanceLm(spark, root, 1, keepLm)
+    val ps = new PubSub(spark)
+    val in = ps.topic[String]("hotswap-lm-in")
+    val out = ps.topic[String]("hotswap-lm-out")
+    val seen = scala.collection.mutable.ArrayBuffer.empty[String]
+    val sink = out.stream.writeStream.outputMode("append")
+      .foreachBatch {
+        (b: org.apache.spark.sql.Dataset[EventEnvelope[String]], _: Long) =>
+          seen.synchronized { seen ++= b.collect().map(_.content) }; ()
+      }.start()
+    val gate = HotSwap.importanceGateRelay(in, out, root, minLogw = 0.0)
+    val base = 1700000000000L
+    def publish(tags: String*): Unit =
+      in.publish(tags.zipWithIndex.map { case (t, i) =>
+        EventEnvelope.at(new Timestamp(base + i), t)
+      })
+    def drain(): Unit = {
+      gate.query.processAllAvailable()
+      sink.processAllAvailable()
+    }
+
+    publish("a1", "a2")
+    drain()
+    assert(seen.synchronized(seen.toList.sorted) == List("a1", "a2"))
+    assert(gate.currentVersion == 1)
+
+    Artifacts.saveImportanceLm(spark, root, 2, dropLm)
+    publish("b1", "b2")
+    drain()
+    assert(seen.synchronized(seen.toList.sorted) == List("a1", "a2"),
+      "v2 (drop-all LM) must gate out the second batch")
+    assert(gate.currentVersion == 2)
+
+    Artifacts.saveImportanceLm(spark, root, 3, keepLm)
+    publish("c1")
+    drain()
+    assert(seen.synchronized(seen.toList.sorted) == List("a1", "a2", "c1"))
+    assert(gate.currentVersion == 3)
+
+    gate.query.stop()
+    sink.stop()
+    ps.close()
+  }
+
+  test("decontamination-bucket hot swap: a doc passing under the v1 " +
+      "eval suite is blocked once v2 adds its shingles") {
+    import spark.implicits._
+    val root =
+      java.nio.file.Files.createTempDirectory("graft-hotswap-dc").toString
+    val planted = "the planted evaluation answer rides these exact words"
+    val unrelated = "completely different ingest content about columnar " +
+      "shuffles"
+    def bucketsOf(text: String): Set[Long] =
+      graft.operators.Decontamination.fitBuckets(
+        Seq(text).toDF("text"), org.apache.spark.sql.functions.col("text"))
+    // v1 eval suite shares nothing with either doc
+    Artifacts.saveEvalBuckets(spark, root, 1,
+      bucketsOf("orthogonal benchmark sentences live here instead"))
+    val ps = new PubSub(spark)
+    val in = ps.topic[String]("hotswap-dc-in")
+    val out = ps.topic[String]("hotswap-dc-out")
+    val seen = scala.collection.mutable.ArrayBuffer.empty[String]
+    val sink = out.stream.writeStream.outputMode("append")
+      .foreachBatch {
+        (b: org.apache.spark.sql.Dataset[EventEnvelope[String]], _: Long) =>
+          seen.synchronized { seen ++= b.collect().map(_.content) }; ()
+      }.start()
+    val gate = HotSwap.decontaminationGateRelay(in, out, root)
+
+    in.publish(Seq(EventEnvelope.at(new Timestamp(1700000000000L), planted)))
+    gate.query.processAllAvailable(); sink.processAllAvailable()
+    assert(seen.synchronized(seen.toList) == List(planted),
+      "under v1 the planted doc is uncontaminated and must pass")
+
+    // the eval suite grows to include the planted doc's shingles
+    Artifacts.saveEvalBuckets(spark, root, 2, bucketsOf(planted))
+    in.publish(Seq(
+      EventEnvelope.at(new Timestamp(1700000000100L), planted),
+      EventEnvelope.at(new Timestamp(1700000000101L), unrelated)))
+    gate.query.processAllAvailable(); sink.processAllAvailable()
+    assert(seen.synchronized(seen.toList) == List(planted, unrelated),
+      "v2 must block the now-contaminated doc and pass the unrelated one")
+    assert(gate.currentVersion == 2)
+
+    gate.query.stop()
+    sink.stop()
+    ps.close()
+  }
+
   test("the relay fails loudly when no classifier artifact exists") {
     val root =
       java.nio.file.Files.createTempDirectory("graft-hotswap-empty").toString
