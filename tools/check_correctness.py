@@ -5,6 +5,7 @@ scale-factor tables, and compares (schema by sorted column names, values
 as sorted row multisets). Usage: check_correctness.py <sfDir> <outDir>.
 """
 import json
+import os
 import sys
 
 import duckdb
@@ -13,7 +14,11 @@ sfdir, outdir = sys.argv[1], sys.argv[2]
 con = duckdb.connect()
 for t in ("region nation customer supplier part orders lineitem events "
           "documents embeddings").split():
-    con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sfdir}/{t}.parquet'")
+    # driver fixtures are single parquet files; ScaleFixture (mult=N)
+    # tables are Spark directory-parquet — glob those
+    p = f"{sfdir}/{t}.parquet"
+    pat = f"{p}/*.parquet" if os.path.isdir(p) else p
+    con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{pat}'")
 
 oracle = json.load(open(f"{outdir}/oracle_sql.json"))
 ok = bad = 0
