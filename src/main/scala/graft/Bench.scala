@@ -60,6 +60,12 @@ import graft.core.Sessions
   * rep-major min-of-3 cannot dodge) is now visible in the artifact
   * itself. Reading guide: load <= ~1.15 quiet; >= ~1.4 means the
   * reported min was taken under contention and is an upper bound.
+  *
+  * When the suite-MEDIAN load ratio exceeds 1.5 the run does not stop at
+  * labeling itself contaminated: it re-sweeps the whole suite (up to
+  * SPARK_GRAFT_BENCH_RETRIES extra passes, default 2), accumulating
+  * attempts so minima only improve, and publishes "retries" and
+  * "load_median" so the artifact records whether the dodge succeeded.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -149,7 +155,14 @@ object Bench {
       probeTimes += s
       s
     }
-    (1 to 3).foreach(_ => probe()) // JIT/codegen warm for the probe plan
+    // JIT/codegen warm for the probe plan: the probe floor keeps
+    // dropping for the first handful of executions (C2 compilation of
+    // the generated code), and the contention-retry decision below
+    // compares against the CROSS-RUN floor — under-warmed probes read
+    // as phantom 2x "load" on an idle host (observed on a focused run:
+    // mid-run medians 2.1-2.3, final converged 1.36). Eight executions
+    // puts the plan at steady state for ~0.5 s.
+    (1 to 8).foreach(_ => probe())
     probeTimes.clear()
     (1 to 3).foreach(_ => probe()) // opening baseline samples
     val samples =
@@ -176,6 +189,30 @@ object Bench {
           failed += name
       }
     }
+    // Cross-run calibration: the quietest probe this HOST has ever
+    // shown, so a uniformly-contended run cannot normalize itself.
+    // (Read before the timed phase: the contention-retry loop below
+    // needs the calibrated base to judge its own pass.)
+    val calPath = java.nio.file.Paths.get(
+      sys.env.getOrElse("SPARK_GRAFT_PROBE_CAL", "bench_probe_cal.txt"))
+    val calibrated = try {
+      val s = new String(java.nio.file.Files.readAllBytes(calPath))
+      s.linesIterator.map(_.trim).find(l => l.nonEmpty && !l.startsWith("#"))
+        .map(_.toDouble)
+    } catch { case _: Exception => None }
+    def probeBaseNow: Double = (calibrated.toSeq :+ probeTimes.min).min
+    // Median load ratio attached to the CURRENT per-query min attempts —
+    // the run-level contention verdict (per-query ratios catch a burst;
+    // the median catches the round-8 failure mode, sustained contention
+    // across the whole wall).
+    def medianLoad: Double = {
+      val loads = qs.collect {
+        case (n, _) if !failed(n) && samples(n).nonEmpty =>
+          samples(n).minBy(_._1)._2 / probeBaseNow
+      }.sorted
+      if (loads.isEmpty) 1.0
+      else loads(loads.size / 2)
+    }
     val wallT0 = System.nanoTime()
     for (_ <- 1 to reps; (name, fn) <- qs if !failed(name)) timeOne(name, fn)
     // Convergence rounds: rep-major over the still-unconverged subset
@@ -185,18 +222,31 @@ object Bench {
       val pending = qs.filter { case (n, _) => !failed(n) && !converged(n) }
       if (pending.nonEmpty) pending.foreach { case (n, f) => timeOne(n, f) }
     }
+    // Contention auto-retry: when the suite-median load ratio says the
+    // whole run was contended (>1.5 — every min is an upper bound, not
+    // a cost), re-sweep the full suite instead of publishing the
+    // contaminated pass. All attempts accumulate, so the retry can only
+    // lower minima; it stops as soon as the medians say quiet. The
+    // retry count is published ("retries") so a reader of a still-hot
+    // artifact knows the run already tried to dodge the load and the
+    // figures are bounds.
+    val retriesMax =
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_RETRIES", "2").toInt.max(0)
+    // One rep-major pass per retry (not `reps` passes): each pass gives
+    // every query one fresh shot at a quieter min, and bounding the
+    // retry at one pass keeps worst-case wall at (reps + retriesMax)
+    // suite passes instead of reps * (1 + retriesMax).
+    var retries = 0
+    while (retries < retriesMax && medianLoad > 1.5) {
+      retries += 1
+      System.err.println(
+        f"[bench] median load ${medianLoad}%.2f > 1.5 — contended run, " +
+          s"retry $retries/$retriesMax")
+      for ((name, fn) <- qs if !failed(name)) timeOne(name, fn)
+    }
     val wallSec = (System.nanoTime() - wallT0) / 1e9
     probe() // closing baseline sample
-    // Cross-run calibration: the quietest probe this HOST has ever
-    // shown, so a uniformly-contended run cannot normalize itself.
-    val calPath = java.nio.file.Paths.get(
-      sys.env.getOrElse("SPARK_GRAFT_PROBE_CAL", "bench_probe_cal.txt"))
-    val calibrated = try {
-      val s = new String(java.nio.file.Files.readAllBytes(calPath))
-      s.linesIterator.map(_.trim).find(l => l.nonEmpty && !l.startsWith("#"))
-        .map(_.toDouble)
-    } catch { case _: Exception => None }
-    val probeBase = (calibrated.toSeq :+ probeTimes.min).min
+    val probeBase = probeBaseNow
     try java.nio.file.Files.write(calPath,
       ("# graft Bench load-sentinel calibration: quietest probe seconds\n" +
         "# observed on this host (see Bench.scala scaladoc). Self-healing:\n" +
@@ -219,7 +269,7 @@ object Bench {
     val errJson = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
     val uncJson = unconverged.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.map(_._2._1).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qJson,"errors":$errJson,"unconverged":$uncJson,"load":$loadJson,"probe_base_sec":$probeBase%.4f,"wall_sec":$wallSec%.1f,"sf":"$sfDir"}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qJson,"errors":$errJson,"unconverged":$uncJson,"load":$loadJson,"load_median":$medianLoad%.2f,"retries":$retries,"probe_base_sec":$probeBase%.4f,"wall_sec":$wallSec%.1f,"sf":"$sfDir"}""")
     spark.stop()
     if (errors.nonEmpty) sys.exit(1)
   }

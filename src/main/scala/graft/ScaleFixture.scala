@@ -66,8 +66,11 @@ object ScaleFixture {
     val spark: SparkSession = Sessions.tune(
       SparkSession.builder().master(s"local[$cpus]"), cpus).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // events carries TIMESTAMP(NANOS): read as nano longs (the same
-    // convention Tables.load expects) and write the long back
+    // events.ts round-trips in whatever unit the source carries:
+    // nanosAsLong lets a NANOS-era fixture read (as nano longs, written
+    // back as longs); a native-MICROS fixture passes through as
+    // TIMESTAMP_NTZ. Tables.load dispatches on the observed type at
+    // query time, so both round-trips are equivalent downstream.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     new java.io.File(out).mkdirs()
 

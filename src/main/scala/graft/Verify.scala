@@ -19,11 +19,24 @@ object Verify {
       case Some(names) => SparkEntry.queries.view.filterKeys(names).toMap
       case None => SparkEntry.queries
     }
+    // A query that throws must NOT vanish from the ledger (r11 lost 32
+    // queries silently this way): dump a one-row parquet whose only
+    // column is `__error`, so the driver's compare reports a loud
+    // schema/row mismatch instead of an absent entry, and collect the
+    // messages into errors.json for humans.
+    val failed = scala.collection.mutable.LinkedHashMap.empty[String, String]
     qs.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        val msg = s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("")}"
+        System.err.println(s"[verify] $name FAILED: $msg")
+        failed(name) = msg
+        try {
+          import spark.implicits._
+          Seq(msg.take(2000)).toDF("__error")
+            .coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+        } catch { case _: Throwable => () }
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
@@ -42,6 +55,13 @@ object Verify {
       .filter { case (k, _) => only.forall(_(k)) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    val errJson = failed
+      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/errors.json"), errJson)
+    if (failed.nonEmpty)
+      System.err.println(
+        s"[verify] ${failed.size}/${qs.size} queries FAILED: " +
+        failed.keys.mkString(", "))
     spark.stop()
   }
 }

@@ -248,13 +248,23 @@ object Ann {
   private[graft] def refineCells(assigned: DataFrame, thresholdQ: Long,
       maxCellSize: Long): (DataFrame, Option[DataFrame]) = {
     require(maxCellSize >= 16, s"maxCellSize=$maxCellSize too small to split")
-    var reps = assigned.withColumn("pair_key", col("cell_id").cast("string"))
     def hotOf(df: DataFrame): Array[(String, Long)] =
       df.groupBy(col("pair_key")).agg(count(lit(1)).as("n"))
         .where(col("n") > maxCellSize)
-        .collect().map(r => (r.getString(0), r.getLong(1)))
+        .collect().map(r => (r.get(0).toString, r.getLong(1)))
+    // Cheap common path: probe populations with pair_key as a ZERO-COST
+    // long alias of cell_id, so when nothing is hot the returned plan is
+    // byte-identical to the unbounded version (the pair-mining self-join
+    // shuffles on the original long key — no per-row string cast, no
+    // string-keyed shuffle). The probe itself rides the cached
+    // assignment it was going to materialize anyway; its only extra
+    // work is one count shuffle over (cell_id) pairs.
+    var reps = assigned.withColumn("pair_key", col("cell_id"))
     var hot = hotOf(reps)
     if (hot.isEmpty) return (reps, None)
+    // Something is hot: move to string refinement keys ("cell/sub/...")
+    // for the split machinery below.
+    reps = assigned.withColumn("pair_key", col("cell_id").cast("string"))
 
     // Stage 1 — exact-duplicate collapse within hot cells. Sound only
     // when identical vectors are guaranteed above the cut: r4q of an

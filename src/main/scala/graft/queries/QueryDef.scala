@@ -70,18 +70,40 @@ object Det {
 }
 
 object Tables {
-  /** Load one fixture table. The `events` table carries TIMESTAMP(NANOS)
-    * parquet timestamps, which Spark cannot read natively — read them as
-    * nano longs and truncate to microseconds (integer `div`, matching
-    * DuckDB's ns->us truncation exactly).
+  import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+  import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+
+  /** Load one fixture table, normalizing `events.ts` to session-local
+    * TimestampType REGARDLESS of the fixture's parquet encoding. The
+    * driver has shipped this column as both TIMESTAMP(NANOS) (readable
+    * only via the nanosAsLong legacy long shim) and native
+    * TIMESTAMP(MICROS) (which Spark infers as TIMESTAMP_NTZ for
+    * isAdjustedToUTC=false), so dispatch on the OBSERVED type rather
+    * than assuming a unit:
+    *   - LongType        → nano long; truncate ns→us (integer `div`,
+    *                       matching DuckDB's ns->us truncation exactly)
+    *   - TimestampNTZType→ cast; session tz is UTC (Sessions.tune), so
+    *                       wall time == epoch micros, i.e. lossless
+    *   - TimestampType   → already what every query expects
+    * nanosAsLong is set unconditionally: it only affects NANOS columns,
+    * and setting it before the read is what makes a NANOS fixture load
+    * at all instead of throwing "Illegal Parquet type".
     */
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
     if (name == "events") {
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      spark.read.parquet(s"$dir/$name.parquet")
-        .withColumn("ts",
-          org.apache.spark.sql.functions.timestamp_micros(
-            org.apache.spark.sql.functions.expr("ts div 1000")))
+      val df = spark.read.parquet(s"$dir/$name.parquet")
+      df.schema("ts").dataType match {
+        case LongType =>
+          df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        case TimestampNTZType =>
+          df.withColumn("ts", col("ts").cast(TimestampType))
+        case TimestampType => df
+        case other => sys.error(
+          s"events.ts: unexpected fixture type $other — Tables.load " +
+          "knows nanos-as-long, TIMESTAMP_NTZ (micros), and TIMESTAMP; " +
+          "the driver's testdata encoding changed again")
+      }
     } else {
       spark.read.parquet(s"$dir/$name.parquet")
     }

@@ -35,6 +35,87 @@ object TokenizerQueries {
         agg AS (SELECT l, r, CAST(sum(cnt) AS BIGINT) AS n
                 FROM p GROUP BY 1, 2)"""
 
+  /** Unrolled DuckDB training rounds for the TRAINED-table oracles
+    * (q_bpe_vocab / q_bpe_encode). Each round k is three CTEs over the
+    * previous round's sentinel-encoded vocabulary:
+    *   p_k  — adjacent pair counts (every symbol is exactly ONE char:
+    *          original corpus chars or the private-use sentinels
+    *          chr(0xE000+j) minted by earlier rounds, so substr pair
+    *          extraction stays valid round over round);
+    *   b_k  — the argmax merge, tie-broken on the DECODED symbol
+    *          strings (count desc, left asc, right asc — the trainer's
+    *          exact (n, l, r) order; sentinel codepoints would order
+    *          differently, hence the sym_k decode table);
+    *   w_k  — the merge applied via `replace` (left-to-right
+    *          non-overlapping == BpeMergeAdjacent's greedy consumption,
+    *          the q_bpe_encode_small argument, valid here because both
+    *          pattern chars are single symbols);
+    *   sym_k — decode table grown by one row (sentinel -> symbol
+    *          string).
+    * MATERIALIZED is load-bearing: w_{k-1} is referenced twice per
+    * round, so inlining (DuckDB's default for single-reference CTEs)
+    * would go exponential in nMerges.
+    *
+    * An exhausted vocabulary (empty p_k) degrades exactly like the
+    * trainer's early stop: b_k is empty, the LEFT JOIN keeps words
+    * unchanged, and the vocab UNION contributes no rank-k row.
+    */
+  private val BpeNMerges = 32
+  private val SentBase = 0xE000 // private-use area; fixture-free (checked)
+
+  private def bpeRoundCtes: String = {
+    val sb = new StringBuilder
+    sb ++= """wc AS MATERIALIZED (
+        SELECT word, count(*) AS cnt FROM w GROUP BY 1),
+      w0 AS MATERIALIZED (SELECT word AS orig, word AS enc, cnt FROM wc),
+      sym0 AS (SELECT '' AS c, '' AS s WHERE 1=0)"""
+    for (k <- 1 to BpeNMerges) {
+      val sent = SentBase + k
+      sb ++= s""",
+      p$k AS MATERIALIZED (
+        SELECT substr(enc, CAST(i AS INTEGER), 1) AS l,
+               substr(enc, CAST(i AS INTEGER) + 1, 1) AS r,
+               CAST(sum(cnt) AS BIGINT) AS n
+        FROM w${k - 1}, unnest(generate_series(1, len(enc) - 1)) AS t(i)
+        WHERE len(enc) >= 2 GROUP BY 1, 2),
+      b$k AS MATERIALIZED (
+        SELECT p.l, p.r,
+          coalesce((SELECT sy.s FROM sym${k - 1} sy WHERE sy.c = p.l), p.l) AS dl,
+          coalesce((SELECT sy.s FROM sym${k - 1} sy WHERE sy.c = p.r), p.r) AS dr
+        FROM p$k p
+        ORDER BY p.n DESC, dl ASC, dr ASC LIMIT 1),
+      w$k AS MATERIALIZED (
+        SELECT orig,
+          replace(enc, coalesce(b.l || b.r, chr(58000) || chr(58001)),
+                  chr($sent)) AS enc,
+          cnt
+        FROM w${k - 1} LEFT JOIN b$k b ON true),
+      sym$k AS MATERIALIZED (
+        SELECT * FROM sym${k - 1}
+        UNION ALL SELECT chr($sent) AS c, b.dl || b.dr AS s FROM b$k b)"""
+    }
+    sb.toString
+  }
+
+  private def bpeVocabOracle: String = {
+    val ranks = (1 to BpeNMerges).map(k =>
+      s"""SELECT CAST(${k - 1} AS BIGINT) AS "rank", dl AS "left",
+          dr AS "right", dl || dr AS merged FROM b$k""")
+      .mkString("\n        UNION ALL ")
+    s"""WITH w AS ($oracleWords),
+      $bpeRoundCtes
+      $ranks"""
+  }
+
+  private def bpeEncodeOracle: String =
+    s"""WITH w AS ($oracleWords),
+      $bpeRoundCtes,
+      per AS (
+        SELECT w.doc_id, sum(len(f.enc)) AS n
+        FROM w JOIN w$BpeNMerges f ON f.orig = w.word GROUP BY 1)
+      SELECT d.doc_id, CAST(coalesce(p.n, 0) AS BIGINT) AS n_bpe_tokens
+      FROM documents d LEFT JOIN per p USING (doc_id)"""
+
   def defs: Map[String, QueryDef] = Map(
     // Round-0 adjacent-pair counts weighted by word frequency — the
     // exact frame Bpe.train aggregates before its first argmax.
@@ -122,18 +203,20 @@ object TokenizerQueries {
     // via the production trainLocal path (one collect of the
     // Heaps-bounded vocabulary, in-memory indexed training, zero
     // per-merge jobs — BpeSpec pins trainLocal == train merge-for-
-    // merge). no_oracle: the round-over-round argmax is inherently
-    // iterative; BpeSpec pins the trainer against an in-spec reference
-    // implementation on both a hand-checked fixture and this corpus.
+    // merge). Oracled by UNROLLING the 32 training rounds as DuckDB
+    // CTEs (bpeRoundCtes): the round-over-round argmax isn't
+    // expressible as one relational query, but a fixed merge budget is
+    // a fixed number of rounds, and each round IS relational.
     "q_bpe_vocab" -> QueryDef(
       (s, dir) => {
         val merges = Bpe.trainLocal(
-          Bpe.wordCounts(Tables.load(s, dir, "documents"), col("text")), 32)
+          Bpe.wordCounts(Tables.load(s, dir, "documents"), col("text")),
+          BpeNMerges)
         s.createDataFrame(merges.map(m =>
           (m.rank.toLong, m.left, m.right, m.merged)))
           .toDF("rank", "left", "right", "merged")
       },
-      None),
+      Some(bpeVocabOracle)),
 
     // Greedy BPE encode under a FIXED 4-merge table, fully DuckDB-
     // oracled — the cross-engine anchor for BpeEncode's rank-priority
@@ -175,18 +258,22 @@ object TokenizerQueries {
         FROM documents d LEFT JOIN per p USING (doc_id)""")),
 
     // End-to-end encode with the trained table: per-document BPE token
-    // counts (map-only scan once training is done). no_oracle (greedy
-    // rank-priority apply isn't SQL-expressible for a trained table);
-    // BpeSpec pins encode against the reference implementation, and
-    // q_bpe_encode_small above anchors the greedy-apply semantics
-    // cross-engine on a fixed table.
+    // counts (map-only scan once training is done). Oracled via the
+    // same unrolled-training CTE chain as q_bpe_vocab: the final
+    // round's sentinel-encoded vocabulary w32 IS the encoded form of
+    // every distinct word (greedy rank-priority apply == rank-
+    // sequential exhaustive apply for a valid-training-order table —
+    // the q_bpe_encode_small argument — and training itself applies
+    // merges rank-sequentially), so per-doc token counts are one join
+    // of word occurrences against len(w32.enc).
     "q_bpe_encode" -> QueryDef(
       (s, dir) => {
         val docs = Tables.load(s, dir, "documents")
-        val merges = Bpe.trainLocal(Bpe.wordCounts(docs, col("text")), 32)
+        val merges = Bpe.trainLocal(Bpe.wordCounts(docs, col("text")),
+          BpeNMerges)
         docs.select(col("doc_id"),
           size(Bpe.encodeTokens(col("text"), merges)).cast("long")
             .as("n_bpe_tokens"))
       },
-      None))
+      Some(bpeEncodeOracle)))
 }

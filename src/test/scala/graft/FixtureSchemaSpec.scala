@@ -1,0 +1,88 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.types._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.core.Sessions
+
+/** Fixture-drift tripwire. Round 11 lost 32 queries, 10 bench headliners
+  * and 9 tests to a SILENT driver-side change of `events.ts` from
+  * TIMESTAMP(NANOS) to TIMESTAMP(MICROS): nothing asserted the fixture
+  * schema, so the breakage surfaced as scattered analysis errors instead
+  * of one named test. This spec pins the POST-LOAD schema of every
+  * fixture table (what the 116 queries actually consume, i.e. after
+  * Tables.load's ts normalization), so the next encoding drift fails
+  * here first with a message naming the table and column.
+  */
+class FixtureSchemaSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark: SparkSession =
+    Sessions.tune(SparkSession.builder().master("local[4]"), 4).getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private val SfDir = "/root/testdata/sf0.001"
+
+  // Post-load contract: (name -> type) per table. Timestamps in the raw
+  // TPC-H-ish tables arrive as parquet MICROS with isAdjustedToUTC=false,
+  // which Spark reads as TIMESTAMP_NTZ; `events.ts` alone is normalized
+  // to TimestampType by Tables.load (every window/join query depends on
+  // it). If the driver re-encodes a fixture, exactly the rows below
+  // change — the assertion message says which.
+  private val Expected: Map[String, Seq[(String, DataType)]] = Map(
+    "region" -> Seq("r_regionkey" -> IntegerType, "r_name" -> StringType),
+    "nation" -> Seq("n_nationkey" -> IntegerType, "n_name" -> StringType,
+      "n_regionkey" -> IntegerType),
+    "customer" -> Seq("c_custkey" -> LongType, "c_name" -> StringType,
+      "c_nationkey" -> IntegerType, "c_acctbal" -> DoubleType,
+      "c_mktsegment" -> StringType),
+    "supplier" -> Seq("s_suppkey" -> LongType, "s_name" -> StringType,
+      "s_nationkey" -> IntegerType, "s_acctbal" -> DoubleType),
+    "part" -> Seq("p_partkey" -> LongType, "p_name" -> StringType,
+      "p_brand" -> StringType, "p_type" -> StringType,
+      "p_size" -> IntegerType, "p_retailprice" -> DoubleType),
+    "orders" -> Seq("o_orderkey" -> LongType, "o_custkey" -> LongType,
+      "o_orderstatus" -> StringType, "o_totalprice" -> DoubleType,
+      "o_orderdate" -> TimestampNTZType, "o_orderpriority" -> StringType),
+    "lineitem" -> Seq("l_orderkey" -> LongType, "l_partkey" -> LongType,
+      "l_suppkey" -> LongType, "l_linenumber" -> IntegerType,
+      "l_quantity" -> DoubleType, "l_extendedprice" -> DoubleType,
+      "l_discount" -> DoubleType, "l_tax" -> DoubleType,
+      "l_returnflag" -> StringType, "l_linestatus" -> StringType,
+      "l_shipdate" -> TimestampNTZType),
+    "events" -> Seq("event_id" -> LongType, "ts" -> TimestampType,
+      "user_id" -> LongType, "event_type" -> StringType,
+      "value" -> DoubleType, "props" -> StringType),
+    "documents" -> Seq("doc_id" -> LongType, "text" -> StringType,
+      "lang" -> StringType, "source" -> StringType,
+      "n_chars" -> LongType),
+    "embeddings" -> Seq("vec_id" -> LongType,
+      "embedding" -> ArrayType(FloatType, containsNull = true),
+      "label" -> IntegerType)
+  )
+
+  for ((table, cols) <- Expected.toSeq.sortBy(_._1)) {
+    test(s"fixture schema: $table matches the pinned post-load contract") {
+      val got = graft.queries.Tables.load(spark, SfDir, table).schema
+        .map(f => f.name -> f.dataType)
+      assert(got == cols,
+        s"FIXTURE DRIFT in $table.parquet — the driver's testdata " +
+        s"encoding changed.\n  expected: $cols\n  got:      $got\n" +
+        "If a timestamp unit moved, Tables.load (QueryDef.scala) is the " +
+        "place that absorbs it; update the pin here once load-side " +
+        "normalization is restored.")
+    }
+  }
+
+  test("events load normalizes ts without blocking pushdown on " +
+      "sibling columns (event_id reaches the scan)") {
+    val plan = graft.queries.Tables.load(spark, SfDir, "events")
+      .where("event_id % 7 = 0 AND event_id < 5000")
+      .select("event_id", "ts")
+      .queryExecution.executedPlan.toString
+    assert("PushedFilters: \\[[^\\]]*event_id".r.findFirstIn(plan).isDefined,
+      s"event_id predicate not pushed through the ts-normalized load:\n$plan")
+  }
+}

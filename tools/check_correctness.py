@@ -10,7 +10,18 @@ import sys
 
 import duckdb
 
-sfdir, outdir = sys.argv[1], sys.argv[2]
+# Optional: --json <path> writes a per-query artifact
+# ({query: {"rows": n, "match": bool, "detail": str}}) so off-gate runs
+# (e.g. the sf0.3 scale verifies in SCALE.md) leave a committed record
+# mirroring the driver's CORRECTNESS_rNN.json convention instead of an
+# ephemeral /tmp dump.
+json_out = None
+argv = list(sys.argv[1:])
+if "--json" in argv:
+    i = argv.index("--json")
+    json_out = argv[i + 1]
+    del argv[i:i + 2]
+sfdir, outdir = argv[0], argv[1]
 con = duckdb.connect()
 for t in ("region nation customer supplier part orders lineitem events "
           "documents embeddings").split():
@@ -22,6 +33,13 @@ for t in ("region nation customer supplier part orders lineitem events "
 
 oracle = json.load(open(f"{outdir}/oracle_sql.json"))
 ok = bad = 0
+report = {}
+
+
+def record(name, rows, match, detail=""):
+    report[name] = {"rows": rows, "match": match, "detail": detail}
+
+
 for name, sql in sorted(oracle.items()):
     try:
         got = con.sql(
@@ -29,18 +47,22 @@ for name, sql in sorted(oracle.items()):
         want = con.sql(sql).df()
     except Exception as e:
         print(f"FAIL {name}: {type(e).__name__}: {e}")
+        record(name, -1, False, f"{type(e).__name__}: {e}"[:300])
         bad += 1
         continue
     got = got.reindex(sorted(got.columns), axis=1)
     want = want.reindex(sorted(want.columns), axis=1)
     if list(got.columns) != list(want.columns):
         print(f"FAIL {name}: columns {list(got.columns)} != {list(want.columns)}")
+        record(name, len(got), False,
+               f"columns {list(got.columns)} != {list(want.columns)}")
         bad += 1
         continue
     g = got.sort_values(by=list(got.columns)).reset_index(drop=True)
     w = want.sort_values(by=list(want.columns)).reset_index(drop=True)
     if len(g) != len(w):
         print(f"FAIL {name}: rows {len(g)} != {len(w)}")
+        record(name, len(g), False, f"rows {len(g)} != {len(w)}")
         bad += 1
         continue
     try:
@@ -50,14 +72,20 @@ for name, sql in sorted(oracle.items()):
         pd.testing.assert_frame_equal(g, w, check_dtype=True,
                                       check_exact=True)
         print(f"ok   {name} ({len(g)} rows)")
+        record(name, len(g), True)
         ok += 1
     except AssertionError as e:
         print(f"FAIL {name}: value mismatch\n{str(e)[:500]}")
         diff = g.compare(w) if g.shape == w.shape else None
         if diff is not None and not diff.empty:
             print(diff.head(5).to_string())
+        record(name, len(g), False, f"value mismatch: {str(e)[:300]}")
         bad += 1
 
 print(f"\n{ok} ok, {bad} failed, "
       f"{len(oracle)} oracled of total declared")
+if json_out:
+    with open(json_out, "w") as f:
+        json.dump({"sf_dir": sfdir, "ok": ok, "failed": bad,
+                   "queries": report}, f, indent=1, sort_keys=True)
 sys.exit(1 if bad else 0)
