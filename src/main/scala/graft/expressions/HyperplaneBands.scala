@@ -22,13 +22,22 @@ import org.apache.spark.sql.types._
   * CodegenFallback costs one virtual call per ROW, noise next to the
   * loop it wraps (same trade as MinHashSignature).
   *
-  * The plane sequence is generated from `seed` in the exact order of the
-  * previous Column formulation (per band, per bit, `dim` gaussians), so
-  * bucket assignments for well-formed vectors are unchanged. DEGENERATE
-  * inputs differ deliberately: a null or wrong-length vector yields NULL
-  * (DotProduct's mismatch contract) and drops out at the explode, where
-  * the old composed form hashed every such vector to (band, h=0) — one
-  * giant spurious candidate clique of all malformed vectors.
+  * PLANE FAMILY: Rademacher (±1) components derived from md5, not
+  * gaussians from a JVM RNG — the same engine-portability move as the
+  * MinHash/SimHash/CMS md5 double-hash recipe. Component k of plane
+  * (b, i) is bit k of md5("hp:<seed>:<b>:<i>:<k/128>") (hex digit
+  * k/4, bits high-to-low within the digit), so ANY engine with an md5
+  * can reproduce the matrix exactly — the DuckDB oracle for
+  * q_embed_neardup builds the identical signs in SQL. Sign-projection
+  * LSH only needs a symmetric component distribution for
+  * P(collision) = 1 - θ/π; ±1 entries keep that property (this is
+  * SimHash's own plane family) while making multiplication EXACT
+  * (±v[k] is a sign flip, no rounding), which together with
+  * index-order summation on both engines makes the projections
+  * bit-for-bit reproducible cross-engine. DEGENERATE inputs: a null or
+  * wrong-length vector yields NULL (DotProduct's mismatch contract)
+  * and drops out at the explode — never a spurious all-malformed
+  * candidate clique at (band, h=0).
   */
 case class HyperplaneBands(child: Expression, dim: Int, nBands: Int,
     bitsPerBand: Int, seed: Long)
@@ -36,10 +45,8 @@ case class HyperplaneBands(child: Expression, dim: Int, nBands: Int,
 
   require(dim > 0 && nBands > 0 && bitsPerBand > 0 && bitsPerBand <= 63)
 
-  @transient private lazy val planes: Array[Array[Double]] = {
-    val rng = new scala.util.Random(seed)
-    Array.fill(nBands * bitsPerBand)(Array.fill(dim)(rng.nextGaussian()))
-  }
+  @transient private lazy val planes: Array[Array[Double]] =
+    HyperplaneBands.signPlanes(dim, nBands, bitsPerBand, seed)
 
   override def nullable: Boolean = true
 
@@ -100,4 +107,29 @@ object HyperplaneBands {
       seed: Long): Column =
     ColumnBridge.column(HyperplaneBands(
       ColumnBridge.expression(vec), dim, nBands, bitsPerBand, seed))
+
+  /** The md5-derived ±1 plane matrix (see class scaladoc) — exposed so
+    * a spec can pin the exact bit-extraction recipe the DuckDB oracle
+    * re-derives in SQL. One digest covers 128 components; higher dims
+    * chain digests via the trailing chunk index.
+    */
+  private[graft] def signPlanes(dim: Int, nBands: Int, bitsPerBand: Int,
+      seed: Long): Array[Array[Double]] =
+    Array.tabulate(nBands * bitsPerBand) { p =>
+      val b = p / bitsPerBand
+      val i = p % bitsPerBand
+      val hex = new Array[String]((dim + 127) / 128)
+      Array.tabulate(dim) { k =>
+        val c = k / 128
+        if (hex(c) == null) {
+          val md = java.security.MessageDigest.getInstance("MD5")
+          hex(c) = md.digest(s"hp:$seed:$b:$i:$c".getBytes("UTF-8"))
+            .map(x => f"$x%02x").mkString
+        }
+        val kk = k % 128
+        val digit =
+          Integer.parseInt(hex(c).charAt(kk / 4).toString, 16)
+        if (((digit >> (3 - kk % 4)) & 1) == 1) 1.0 else -1.0
+      }
+    }
 }

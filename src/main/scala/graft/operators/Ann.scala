@@ -93,11 +93,17 @@ object Ann {
       .select(col("x.vec_id").as("a"), col("y.vec_id").as("b"))
       .distinct()
     val vecs = emb.select(col("vec_id"), col("embedding"))
+    // Integer-quantized cut (r4q vs round(threshold*1e4)) — the exact
+    // cut the oracled twin queries use; score itself is score_q/10000,
+    // bit-identical to Det.r4(cosine) (see Det.r4q scaladoc).
+    val thresholdQ = math.round(threshold * 10000)
     val result = cands
       .join(vecs.select(col("vec_id").as("a"), col("embedding").as("ea")), "a")
       .join(vecs.select(col("vec_id").as("b"), col("embedding").as("eb")), "b")
-      .select(col("a"), col("b"), cosineScore(col("ea"), col("eb")).as("score"))
-      .where(col("score") >= threshold)
+      .select(col("a"), col("b"),
+        Det.r4q(VectorFunctions.cosine(col("ea"), col("eb"))).as("score_q"))
+      .where(col("score_q") >= thresholdQ)
+      .select(col("a"), col("b"), (col("score_q") / 10000).as("score"))
     // release the banded cache once the pair frame first materializes —
     // a long-lived session calling this repeatedly must not accumulate
     // executor storage (the cache exists only to share the projection

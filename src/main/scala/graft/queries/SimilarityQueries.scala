@@ -968,12 +968,54 @@ object SimilarityQueries {
     // fixture corpus contains no true near-duplicates (max pairwise
     // cosine ~0.51), so the query runs the identical plan at threshold
     // 0.4 — "most-similar pair mining" — to keep the evidence non-vacuous
-    // (rows > 0, deterministic under the fixed plane seed). Seeded planes
-    // aren't DuckDB-reproducible -> rows-only check.
+    // (rows > 0, deterministic under the fixed plane seed).
+    //
+    // FULLY ORACLED since the plane family moved to md5-derived ±1
+    // signs (HyperplaneBands scaladoc): the SQL below re-derives the
+    // identical plane matrix — component k of plane (band, bit) is bit
+    // k of md5('hp:42:band:bit:0'), hex digit k/4, bits high-to-low —
+    // and computes the same sign projections (±v[k] is exact, list_sum
+    // sums in index order like the native loop — the same order-match
+    // every dot-product oracle in this file already relies on), the
+    // same per-band bucket longs, the same bucket-equality candidate
+    // pairs, and the same r4q-cut cosine verification.
     "q_embed_neardup" -> QueryDef(
       (s, dir) => graft.operators.Ann.nearDupPairs(
         Tables.load(s, dir, "embeddings"), dim = 64, threshold = 0.4),
-      None,
+      Some(s"""WITH planesig AS (
+          SELECT tb.band, ti.bit,
+            md5('hp:42:' || tb.band || ':' || ti.bit || ':0') AS dg
+          FROM generate_series(0, 15) tb(band),
+               generate_series(0, 7) ti(bit)),
+        proj AS (
+          SELECT e.vec_id, p.band, p.bit,
+            list_sum(list_transform(generate_series(1, 64), k ->
+              CASE WHEN ((instr('0123456789abcdef',
+                    substr(p.dg, CAST(1 + (k - 1) // 4 AS INTEGER), 1)) - 1)
+                  >> CAST(3 - ((k - 1) % 4) AS INTEGER)) & 1 = 1
+                THEN CAST(e.embedding[k] AS DOUBLE)
+                ELSE -CAST(e.embedding[k] AS DOUBLE) END)) AS s
+          FROM embeddings e CROSS JOIN planesig p),
+        bands AS (
+          SELECT vec_id, band,
+            CAST(sum(CASE WHEN s >= 0
+              THEN (CAST(1 AS BIGINT) << CAST(bit AS INTEGER))
+              ELSE 0 END) AS BIGINT) AS h
+          FROM proj GROUP BY 1, 2),
+        cand AS (
+          SELECT DISTINCT x.vec_id AS a, y.vec_id AS b
+          FROM bands x JOIN bands y
+            ON x.band = y.band AND x.h = y.h AND x.vec_id < y.vec_id)
+        SELECT a, b, score_q / 10000 AS score FROM (
+          SELECT c.a, c.b,
+            ${Det.sqlR4q(s"""${oracleDot("ex.embedding", "ey.embedding")} /
+              (sqrt(${oracleDot("ex.embedding", "ex.embedding")}) *
+               sqrt(${oracleDot("ey.embedding", "ey.embedding")}))""")}
+              AS score_q
+          FROM cand c
+          JOIN embeddings ex ON ex.vec_id = c.a
+          JOIN embeddings ey ON ey.vec_id = c.b) t
+        WHERE score_q >= 4000"""),
       bench = true),
 
     // Exact-cosine pair mining over a deterministic FIXED-COUNT cohort

@@ -84,6 +84,26 @@ class ExpressionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(sqlRow.isNullAt(0))
   }
 
+  test("hyperplane_bands: md5 sign-plane recipe matches the external " +
+      "derivation the DuckDB oracle re-implements") {
+    // Pinned against an INDEPENDENT implementation (python hashlib):
+    // component k of plane (band, bit) is bit k of
+    // md5("hp:<seed>:<band>:<bit>:0") — hex digit k/4, bits high-to-low
+    // within the digit. If this recipe drifts, q_embed_neardup's SQL
+    // twin silently diverges from the native expression; this pin fails
+    // first and names the plane.
+    val planes = graft.expressions.HyperplaneBands
+      .signPlanes(dim = 8, nBands = 16, bitsPerBand = 8, seed = 42L)
+    val expected = Map(
+      (0, 0) -> Seq(1.0, -1.0, -1.0, -1.0, 1.0, 1.0, 1.0, 1.0),
+      (0, 1) -> Seq(1.0, -1.0, -1.0, 1.0, -1.0, -1.0, 1.0, -1.0),
+      (1, 0) -> Seq(-1.0, 1.0, -1.0, 1.0, -1.0, -1.0, -1.0, -1.0),
+      (15, 7) -> Seq(1.0, 1.0, -1.0, -1.0, 1.0, -1.0, -1.0, -1.0))
+    for (((b, i), want) <- expected)
+      assert(planes(b * 8 + i).toSeq == want,
+        s"plane (band=$b, bit=$i) diverged from the md5 recipe")
+  }
+
   test("hyperplane_bands: deterministic, float/double parity, " +
       "dimension mismatch yields null") {
     val dim = 8
