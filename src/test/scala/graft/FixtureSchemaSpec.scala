@@ -63,16 +63,23 @@ class FixtureSchemaSpec extends AnyFunSuite with BeforeAndAfterAll {
       "label" -> IntegerType)
   )
 
+  // All three scale factors: the gate runs at sf0.01 and the bench at
+  // sf0.1, so a drift in EITHER must fail here, not at plan time deep
+  // inside a query. Schema reads are parquet-footer-only — cheap.
   for ((table, cols) <- Expected.toSeq.sortBy(_._1)) {
-    test(s"fixture schema: $table matches the pinned post-load contract") {
-      val got = graft.queries.Tables.load(spark, SfDir, table).schema
-        .map(f => f.name -> f.dataType)
-      assert(got == cols,
-        s"FIXTURE DRIFT in $table.parquet — the driver's testdata " +
-        s"encoding changed.\n  expected: $cols\n  got:      $got\n" +
-        "If a timestamp unit moved, Tables.load (QueryDef.scala) is the " +
-        "place that absorbs it; update the pin here once load-side " +
-        "normalization is restored.")
+    test(s"fixture schema: $table matches the pinned post-load contract " +
+        "at every scale factor") {
+      for (sf <- Seq("sf0.001", "sf0.01", "sf0.1")) {
+        val got = graft.queries.Tables
+          .load(spark, s"/root/testdata/$sf", table).schema
+          .map(f => f.name -> f.dataType)
+        assert(got == cols,
+          s"FIXTURE DRIFT in $sf/$table.parquet — the driver's testdata " +
+          s"encoding changed.\n  expected: $cols\n  got:      $got\n" +
+          "If a timestamp unit moved, Tables.load (QueryDef.scala) is " +
+          "the place that absorbs it; update the pin here once " +
+          "load-side normalization is restored.")
+      }
     }
   }
 
