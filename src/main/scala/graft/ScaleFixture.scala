@@ -66,6 +66,16 @@ object ScaleFixture {
     val spark: SparkSession = Sessions.tune(
       SparkSession.builder().master(s"local[$cpus]"), cpus).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    run(spark, src, out, mult)
+    println(s"""{"scale_fixture":{"src":"$src","out":"$out","mult":$mult}}""")
+    spark.stop()
+  }
+
+  /** The multiply-and-write body, session supplied by the caller (main
+    * owns its session and stops it; FixtureSchemaSpec drives this with
+    * the shared test session).
+    */
+  def run(spark: SparkSession, src: String, out: String, mult: Int): Unit = {
     // events.ts round-trips in whatever unit the source carries:
     // nanosAsLong lets a NANOS-era fixture read (as nano longs, written
     // back as longs); a native-MICROS fixture passes through as
@@ -101,7 +111,5 @@ object ScaleFixture {
           java.nio.file.Paths.get(s"$out/$t.parquet"),
           java.nio.file.StandardCopyOption.REPLACE_EXISTING)
     }
-    println(s"""{"scale_fixture":{"src":"$src","out":"$out","mult":$mult}}""")
-    spark.stop()
   }
 }

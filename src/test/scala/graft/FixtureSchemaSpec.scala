@@ -83,6 +83,24 @@ class FixtureSchemaSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("ScaleFixture round-trips events through the unit-agnostic " +
+      "loader (mult=2 replica fixture loads with the same contract)") {
+    // The sf0.3 scale verifies in SCALE.md depend on ScaleFixture
+    // output loading EXACTLY like driver fixtures. Build a tiny mult=2
+    // replica of sf0.001 and assert the post-load events schema matches
+    // the same pin — whatever unit the source fixture carried.
+    val out = java.nio.file.Files
+      .createTempDirectory("scale-fixture-rt").toString
+    graft.ScaleFixture.run(spark, SfDir, out, 2)
+    val got = graft.queries.Tables.load(spark, out, "events").schema
+      .map(f => f.name -> f.dataType)
+    assert(got == Expected("events"),
+      s"ScaleFixture events round-trip broke the load contract: $got")
+    val n = graft.queries.Tables.load(spark, out, "events").count()
+    val n0 = graft.queries.Tables.load(spark, SfDir, "events").count()
+    assert(n == 2 * n0, s"mult=2 expected ${2 * n0} events, got $n")
+  }
+
   test("events load normalizes ts without blocking pushdown on " +
       "sibling columns (event_id reaches the scan)") {
     val plan = graft.queries.Tables.load(spark, SfDir, "events")
