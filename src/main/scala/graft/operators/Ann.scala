@@ -75,7 +75,8 @@ object Ann {
     * see VectorFunctions.hyperplaneBands). Expects emb(vec_id, embedding).
     */
   def nearDupPairs(emb: DataFrame, dim: Int, threshold: Double,
-      nBands: Int = 16, bitsPerBand: Int = 8, seed: Long = 42L): DataFrame = {
+      nBands: Int = 16, bitsPerBand: Int = 8, seed: Long = 42L,
+      maxBucket: Long = DefaultMaxBucket): DataFrame = {
     // Materialize the banded projection before the self-join: the
     // HyperplaneBands expression evaluates per reference — uncached,
     // each join side would recompute the full nBands x bitsPerBand x dim
@@ -87,6 +88,41 @@ object Ann {
           col("embedding"), dim, nBands, bitsPerBand, seed)).as("bh"))
       .select(col("vec_id"), col("bh.band").as("band"), col("bh.h").as("h"))
       .cache()
+    // Hot-bucket guard — LOUD, never a silent quadratic (the semDedup
+    // principle). Two distinct causes land here and NEITHER has a
+    // silent repair: (a) under-resolved LSH — for fixed bitsPerBand
+    // the expected bucket is N/2^bits, so candidate pairs grow
+    // N²/2^bits with the corpus; the fix is retuning bits to corpus
+    // size, a caller decision. (b) a genuinely dense near-identical
+    // cluster — which OWES c²/2 output pairs under this operator's
+    // all-pairs contract, so unlike semDedup's hot cells there is no
+    // semantics-preserving split, and silently dropping the bucket
+    // (the shingle-DF-cap move) would lose exactly the densest
+    // duplicate clusters, the ones dedup exists for. The probe rides
+    // the cache the self-join was about to materialize anyway
+    // (measured on semDedup: the count itself is noise; it was the
+    // string keys that cost 1.8x there).
+    val hot = banded.groupBy(col("band"), col("h"))
+      .agg(count(lit(1)).as("n"))
+      .where(col("n") > maxBucket)
+      .orderBy(col("n").desc).limit(5)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    if (hot.nonEmpty) {
+      val worst = hot.map { case (b, h, n) => s"band=$b h=$h ($n)" }
+        .mkString(", ")
+      throw new IllegalStateException(
+        s"nearDupPairs: LSH bucket(s) above maxBucket=$maxBucket " +
+          s"(worst: $worst). Expected bucket size is ~N/2^bitsPerBand, " +
+          "so candidate pairs grow ~N²/2^bits for FIXED bits — at this " +
+          "corpus size the LSH is under-resolved. Fixes, in order: " +
+          "(1) raise bitsPerBand to ~log2(N/1024) (more resolution per " +
+          "band; add bands to hold recall); (2) for genuinely dense " +
+          "near-identical clusters — which owe c²/2 output pairs by " +
+          "this operator's CONTRACT and cannot be split away — use the " +
+          "keeper-form dedup (Ann.semDedup / q_dedup_keepers); " +
+          "(3) raise maxBucket to opt into the quadratic output " +
+          "deliberately.")
+    }
     val cands = banded.as("x").join(banded.as("y"),
         col("x.band") === col("y.band") && col("x.h") === col("y.h") &&
           col("x.vec_id") < col("y.vec_id"))
@@ -237,6 +273,14 @@ object Ann {
     * of one executor, not a runaway stage. Dial up with executor size.
     */
   val DefaultMaxCellSize: Long = 16384L
+
+  /** Hot-bucket bound for [[nearDupPairs]]' band self-join — same c²/2
+    * rationale as [[DefaultMaxCellSize]], but the guard THROWS instead
+    * of repairing (see the inline comment: all-pairs output over a
+    * dense bucket is quadratic by contract). Fixture max bucket is 31
+    * at sf0.1; production dense clusters belong in keeper-form dedup.
+    */
+  val DefaultMaxBucket: Long = 16384L
 
   private val SemSplitK = 8
   private val SemSplitIters = 4

@@ -79,6 +79,26 @@ class AnnSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"banded cache still pinned: ${spark.sparkContext.getPersistentRDDs}")
   }
 
+  test("nearDupPairs hot-bucket guard fails loudly, naming the bucket " +
+      "and the keeper-form escape hatch") {
+    // 40 IDENTICAL vectors: every band bucket holds all 40, far over a
+    // cap of 16 — the dense-cluster case whose all-pairs output is
+    // quadratic by contract.
+    val v = Seq.fill(16)(1.0f)
+    val dense = (0L until 40L).map(i => (i, v)).toDF("vec_id", "embedding")
+    val e = intercept[IllegalStateException] {
+      Ann.nearDupPairs(dense, dim = 16, threshold = 0.9, maxBucket = 16)
+        .collect()
+    }
+    assert(e.getMessage.contains("maxBucket=16") &&
+      e.getMessage.contains("semDedup") &&
+      e.getMessage.contains("bitsPerBand"),
+      s"guard message missing diagnosis/remedies: ${e.getMessage}")
+    // under the default cap the same corpus mines all 780 pairs
+    val n = Ann.nearDupPairs(dense, dim = 16, threshold = 0.9).count()
+    assert(n == 40L * 39 / 2)
+  }
+
   test("bucketed tables co-locate the join: no shuffle exchange") {
     val a = (0L until 1000L).map(i => (i, i * 2)).toDF("k", "va")
     val b = (0L until 1000L).map(i => (i, i * 3)).toDF("k", "vb")
