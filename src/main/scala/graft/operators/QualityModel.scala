@@ -197,13 +197,16 @@ object QualityModel {
   //    bucket's count doubling as the row count N (one corpus pass,
   //    nothing else). DECIMAL(28,10) sums keep the learned weights
   //    exactly partition-invariant.
-  //  - SCORING: map-only — the <= 256-double weight vector embeds in the
-  //    plan as a literal array and the per-document dot product is a
-  //    left-to-right fold over the bigram buckets (deterministic
+  //  - SCORING: map-only — the <= 256-double weight vector rides as
+  //    per-expression constant state in a native one-pass kernel
+  //    (expressions.NgramScore; the earlier literal-array-in-lambda
+  //    form re-materialized the array per bigram per row, interpreted —
+  //    the round-12 radar's 29.7 s catch) and the per-document fold is
+  //    left-to-right over the bigram buckets (deterministic
   //    accumulation order). At a 2^20-bucket production configuration
-  //    the literal-array trick still works (8 MB plan) but a broadcast
-  //    join against the exploded bigrams is the better shape; 256
-  //    buckets is the oracle-exact anchor configuration.
+  //    the constant-state trick still works (8 MB of expression state)
+  //    but a broadcast join against the exploded bigrams is the better
+  //    shape; 256 buckets is the oracle-exact anchor configuration.
 
   /** Hashed-bigram bucket count (md5 first two hex digits: 16^2). */
   val NgramBuckets = 256
@@ -228,24 +231,22 @@ object QualityModel {
     * yields an empty array — the slice length is clamped at 0 because
     * Spark rejects negative slice lengths outright.
     */
-  def bigramBuckets(text: Column): Column = {
-    val toks = graft.functions.TextFunctions.tokens(text)
-    val n = greatest(size(toks) - 1, lit(0))
-    val pairs = zip_with(
-      slice(toks, lit(1), n),
-      slice(toks, lit(2), n),
-      (a, b) => concat(a, lit(" "), b))
-    transform(pairs, bg =>
-      conv(substring(md5(bg.cast("binary")), 1, 2), 16, 10).cast("long"))
-  }
+  def bigramBuckets(text: Column): Column =
+    graft.expressions.NgramBucketIds(graft.functions.TextFunctions.tokens(text))
 
-  /** Map-only score: sigmoid(bias + sum over bigrams of w(bucket)). */
-  def ngramScore(text: Column, weights: NgramWeights): Column = {
-    val warr = array(weights.w.map(lit): _*)
-    val z = lit(weights.bias) + aggregate(bigramBuckets(text), lit(0.0),
-      (acc, b) => acc + element_at(warr, (b + 1).cast("int")))
-    lit(1.0) / (lit(1.0) + exp(-z))
-  }
+  /** Map-only score: sigmoid(bias + sum over bigrams of w(bucket)),
+    * as ONE native expression pass (graft.expressions.NgramScore). The
+    * previous Column form embedded the 256-double weight literal inside
+    * an `aggregate` lambda — no codegen/CSE in lambdas, so the literal
+    * re-materialized per bigram per row, interpreted (29.7 s for one
+    * sf0.1 gradient step; the round-12 radar catch). Numerics are
+    * bit-identical (same fold order, same md5-byte bucket, same
+    * sigmoid op order) — the oracle and spec pins did not move.
+    */
+  def ngramScore(text: Column, weights: NgramWeights): Column =
+    graft.expressions.NgramScore(
+      graft.functions.TextFunctions.tokens(text),
+      weights.bias, weights.w.toArray)
 
   /** One sparse logistic-loss gradient: mean((sigmoid(z) - y) * x_b)
     * per bucket, x_b = the document's bigram count in bucket b, plus
@@ -255,10 +256,18 @@ object QualityModel {
     */
   def ngramGradient(docs: DataFrame, text: Column, label: Column,
       weights: NgramWeights): NgramWeights = {
-    val err = (ngramScore(text, weights) - label.cast("double")).as("err")
+    // Materialize the bucket array ONCE (withColumn barrier): both the
+    // error term and the exploded sparse features consume it, and
+    // fusing them over a shared column means one tokenize+md5 pass per
+    // document instead of two (NgramScoreFromBuckets is the
+    // weight-lookup-only face of the scorer).
+    val err = (graft.expressions.NgramScoreFromBuckets(
+        col("__bb"), weights.bias, weights.w.toArray)
+      - label.cast("double")).as("err")
     val rows = trainable(docs, text, label)
+      .withColumn("__bb", bigramBuckets(text))
       .select(err,
-        explode(concat(array(lit(-1L)), bigramBuckets(text))).as("b"))
+        explode(concat(array(lit(-1L)), col("__bb"))).as("b"))
       .groupBy("b")
       .agg(sum(col("err").cast("decimal(28,10)")).cast("double").as("s"),
         count(lit(1)).as("c"))

@@ -209,12 +209,17 @@ object TextQueries {
         import graft.operators.QualityModel
         val docs = Tables.load(s, dir, "documents")
           .where(col("text").isNotNull && col("source").isNotNull)
-        val err = (QualityModel.ngramScore(col("text"),
-            QualityModel.NgramWeights.zero)
+        // one tokenize+md5 pass: bucket ids materialize once and feed
+        // both the error term and the exploded sparse features (see
+        // QualityModel.ngramGradient — this is the same fused frame)
+        val zeroW = QualityModel.NgramWeights.zero
+        val err = (graft.expressions.NgramScoreFromBuckets(
+            col("__bb"), zeroW.bias, zeroW.w.toArray)
           - (col("source") === "src0").cast("double")).as("err")
         val g = docs
+          .withColumn("__bb", QualityModel.bigramBuckets(col("text")))
           .select(err, explode(concat(array(lit(-1L)),
-            QualityModel.bigramBuckets(col("text")))).as("b"))
+            col("__bb"))).as("b"))
           .groupBy("b")
           .agg(sum(col("err").cast("decimal(28,10)")).cast("double").as("s"),
             count(lit(1)).as("c"))
