@@ -77,6 +77,7 @@ object Bench {
     val spark: SparkSession = Sessions.tune(
       SparkSession.builder().master(s"local[$cpus]"), cpus).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    graft.core.Sessions.quietSupersededCheckpointWarnings()
 
     // Force FULL evaluation of every output column via the noop sink:
     // count() lets Catalyst prune the final projections, so a query

@@ -64,6 +64,7 @@ object Verify {
     val spark = graft.core.Sessions.tune(
       SparkSession.builder().master(s"local[$cpus]"), cpus).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    graft.core.Sessions.quietSupersededCheckpointWarnings()
     new java.io.File(outDir).mkdirs()
     // SPARK_GRAFT_VERIFY_ONLY=q_a,q_b narrows the dump for focused
     // iteration (tools/check_correctness.py compares whatever is dumped).

@@ -27,6 +27,19 @@ object Sessions {
       .config("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
       .config("spark.ui.enabled", "false")
 
+  /** Quiet the "RDD was locally checkpointed, its lineage has been
+    * truncated and cannot be recomputed after unpersisting" WARN spam.
+    * The two-generation checkpoint discipline (Components / Bpe /
+    * CacheHygiene) unpersists SUPERSEDED generations on purpose — the
+    * data is never referenced again, so the warning describes intended
+    * behavior, and at bench scale it floods the tail of the log the
+    * driver captures. Scoped to the org.apache.spark.rdd category only
+    * (scheduler/storage warnings stay on).
+    */
+  def quietSupersededCheckpointWarnings(): Unit =
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.rdd", org.apache.logging.log4j.Level.ERROR)
+
   /** Streaming-at-scale add-on: RocksDB state store. The default in-memory
     * (HDFS-backed) provider holds all keyed state on-heap — fine for tests,
     * fatal for 100 TB keyed counting windows / stream joins. RocksDB spills
