@@ -31,7 +31,10 @@ import org.apache.spark.sql.types._
   * bias is added LAST (bias + ((0+w1)+w2)+...), the bucket is the
   * first md5 byte of the UTF-8 bytes of "tokA tokB" (= md5 hex digits
   * 1-2 via conv(...,16,10)), and the sigmoid is 1.0/(1.0+exp(-z)) in
-  * that operation order. A null token array yields null; a null
+  * that operation order — with StrictMath.exp, because Spark's Exp
+  * expression evaluates via StrictMath (platform-stable), and
+  * Math.exp diverges from it by an ulp on some inputs (caught by the
+  * differential spec under random weights). A null token array yields null; a null
   * ELEMENT yields null (the old form's concat/md5/element_at null
   * chain collapsed the whole aggregate to null) — unreachable from
   * whitespace tokenization, pinned for parity anyway.
@@ -74,7 +77,7 @@ case class NgramScore(child: Expression, bias: Double,
       i += 1
     }
     val z = bias + s
-    1.0 / (1.0 + math.exp(-z))
+    1.0 / (1.0 + StrictMath.exp(-z))
   }
 
   override protected def withNewChildInternal(
@@ -123,7 +126,7 @@ case class NgramScoreFromBuckets(child: Expression, bias: Double,
       i += 1
     }
     val z = bias + s
-    1.0 / (1.0 + math.exp(-z))
+    1.0 / (1.0 + StrictMath.exp(-z))
   }
 
   override protected def withNewChildInternal(

@@ -133,6 +133,61 @@ class QualityModelSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"content features must beat the 5 profile ratios: ngram $sn vs 5-dim $s5")
   }
 
+  test("native ngram kernels are BIT-IDENTICAL to the legacy Column " +
+      "formulation under random weights") {
+    // The round-12 native rewrite (NgramScore / NgramBucketIds /
+    // NgramScoreFromBuckets) claims exact numeric parity with the
+    // lambda-composed form it replaced (same fold order, same md5-byte
+    // bucket, same sigmoid op order). The DuckDB oracle only exercises
+    // zero weights; this differential pin exercises RANDOM weights and
+    // random multi-token docs against the legacy formulation rebuilt
+    // inline, requiring == on raw doubles (no tolerance).
+    import spark.implicits._
+    import org.apache.spark.sql.Column
+    import org.apache.spark.sql.functions.{aggregate => agg_}
+    def legacyBuckets(text: Column): Column = {
+      val toks = graft.functions.TextFunctions.tokens(text)
+      val n = greatest(size(toks) - 1, lit(0))
+      val pairs = zip_with(slice(toks, lit(1), n), slice(toks, lit(2), n),
+        (a, b) => concat(a, lit(" "), b))
+      transform(pairs, bg =>
+        conv(substring(md5(bg.cast("binary")), 1, 2), 16, 10).cast("long"))
+    }
+    def legacyScore(text: Column, w: QualityModel.NgramWeights): Column = {
+      val warr = array(w.w.map(lit): _*)
+      val z = lit(w.bias) + agg_(legacyBuckets(text), lit(0.0),
+        (acc, b) => acc + element_at(warr, (b + 1).cast("int")))
+      lit(1.0) / (lit(1.0) + exp(-z))
+    }
+    val rng = new scala.util.Random(4242)
+    val w = QualityModel.NgramWeights(rng.nextGaussian(),
+      IndexedSeq.fill(QualityModel.NgramBuckets)(rng.nextGaussian()))
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "x1", "émile",
+      "多言", "z")
+    val randomDocs = (0 until 200).map { i =>
+      (i.toLong, Seq.fill(rng.nextInt(40))(vocab(rng.nextInt(vocab.size)))
+        .mkString(" "))
+    }.toDF("id", "text")
+    val rows = randomDocs.select(
+      QualityModel.ngramScore(col("text"), w).as("native"),
+      legacyScore(col("text"), w).as("legacy"),
+      QualityModel.bigramBuckets(col("text")).as("nb"),
+      legacyBuckets(col("text")).as("lb"),
+      graft.expressions.NgramScoreFromBuckets(
+        QualityModel.bigramBuckets(col("text")), w.bias, w.w.toArray)
+        .as("fused"))
+      .collect()
+    rows.foreach { r =>
+      assert(r.getSeq[Long](2) == r.getSeq[Long](3),
+        "bucket ids diverged from the legacy md5 recipe")
+      assert(r.getDouble(0) == r.getDouble(1),
+        s"native != legacy score (buckets ${r.getSeq[Long](2)}): " +
+          s"${r.getDouble(0)} vs ${r.getDouble(1)}")
+      assert(r.getDouble(4) == r.getDouble(1),
+        s"fused != legacy score: ${r.getDouble(4)} vs ${r.getDouble(1)}")
+    }
+  }
+
   test("hashed-bigram learned weights are EXACTLY partition-invariant") {
     val a = QualityModel.fitNgram(docs, col("text"), distill, iters = 4)
     val b = QualityModel.fitNgram(docs.repartition(13), col("text"),
