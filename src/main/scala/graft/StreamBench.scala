@@ -49,10 +49,14 @@ object StreamBench {
       java.nio.file.Paths.get("/root/testdata/sf0.1/events.parquet"),
       java.nio.file.Paths.get(f"$lakeDir/part-$i%03d.parquet")))
     val lakeRows = spark.read.parquet(lakeDir).count()
-    val lake = graft.sources.EventSources.parquetStream(spark, lakeDir, 64)
-      .withColumn("ets",
-        org.apache.spark.sql.functions.timestamp_micros(
-          org.apache.spark.sql.functions.expr("ts div 1000")))
+    // ts arrives in whatever unit the driver fixture carries (nanos
+    // longs historically, native micros since r11) — dispatch on the
+    // observed type exactly like Tables.load (r12: this main was the
+    // one remaining copy of the hard-coded nanos shim, caught only by
+    // running it, since StreamBench is outside the sbt-test gate).
+    val lakeRaw = graft.sources.EventSources.parquetStream(spark, lakeDir, 64)
+    val lake = lakeRaw
+      .withColumn("ets", graft.queries.Tables.normalizedTs(lakeRaw, "ts"))
       .withWatermark("ets", "0 seconds")
       .groupBy(org.apache.spark.sql.functions.window(
         org.apache.spark.sql.functions.col("ets"), "300 seconds"))

@@ -93,18 +93,24 @@ object Tables {
     if (name == "events") {
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val df = spark.read.parquet(s"$dir/$name.parquet")
-      df.schema("ts").dataType match {
-        case LongType =>
-          df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-        case TimestampNTZType =>
-          df.withColumn("ts", col("ts").cast(TimestampType))
-        case TimestampType => df
-        case other => sys.error(
-          s"events.ts: unexpected fixture type $other — Tables.load " +
-          "knows nanos-as-long, TIMESTAMP_NTZ (micros), and TIMESTAMP; " +
-          "the driver's testdata encoding changed again")
-      }
+      df.withColumn("ts", normalizedTs(df, "ts"))
     } else {
       spark.read.parquet(s"$dir/$name.parquet")
+    }
+
+  /** The unit dispatch itself, usable on ANY frame carrying the events
+    * `ts` column — StreamBench's lake-tail stream normalizes with the
+    * same rule (a streaming DF can't go through `load`).
+    */
+  def normalizedTs(df: DataFrame, colName: String)
+      : org.apache.spark.sql.Column =
+    df.schema(colName).dataType match {
+      case LongType => timestamp_micros(expr(s"$colName div 1000"))
+      case TimestampNTZType => col(colName).cast(TimestampType)
+      case TimestampType => col(colName)
+      case other => sys.error(
+        s"events.$colName: unexpected fixture type $other — Tables " +
+        "knows nanos-as-long, TIMESTAMP_NTZ (micros), and TIMESTAMP; " +
+        "the driver's testdata encoding changed again")
     }
 }
