@@ -17,7 +17,13 @@ object RunQuery {
     args.foreach { name =>
       println(s"\n========== $name ==========")
       val t0 = System.nanoTime()
-      val df = SparkEntry.queries(name)(spark, sfDir)
+      val df = SparkEntry.queries.getOrElse(name, {
+        val near = SparkEntry.queries.keys
+          .filter(_.contains(name.stripPrefix("q_"))).toSeq.sorted
+        sys.error(s"unknown query '$name'" + (
+          if (near.nonEmpty) s" — did you mean: ${near.mkString(", ")}?"
+          else s" — ${SparkEntry.queries.size} known, see SparkEntry"))
+      })(spark, sfDir)
       val n = df.count()
       println(f"rows: $n  (${(System.nanoTime() - t0) / 1e9}%.2f s)")
       df.show(20, truncate = false)
