@@ -114,6 +114,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         strLit(cs(1), "graft_quality_model", "weights"))
       graft.operators.QualityModel.scoreExpr(cs(0), w)
     })
+
+    // hashed-bigram classifier, SQL face: tokens + the serialized
+    // NgramWeights artifact ("bias,w0,...,w255") — the same native
+    // kernels the Scala QualityModel.ngramScore path runs
+    inject("graft_ngram_score", classOf[NgramScore], 2, cs => {
+      val w = graft.operators.QualityModel.NgramWeights.parse(
+        strLit(cs(1), "graft_ngram_score", "weights"))
+      NgramScore(cs(0), w.bias, w.w.toArray)
+    })
+
+    inject("graft_ngram_buckets", classOf[NgramBucketIds], 1,
+      cs => NgramBucketIds(cs(0)))
   }
 }
 

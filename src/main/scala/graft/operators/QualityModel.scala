@@ -222,6 +222,23 @@ object QualityModel {
   object NgramWeights {
     val zero: NgramWeights =
       NgramWeights(0.0, IndexedSeq.fill(NgramBuckets)(0.0))
+
+    /** Serialized-artifact form, the SQL-surface / Artifacts currency:
+      * "bias,w0,w1,...,w255" — same shortest-round-trip double text as
+      * Weights.serialize (Double.toString/parseDouble are exact
+      * inverses, so the round trip is bit-lossless).
+      */
+    def parse(s: String): NgramWeights = {
+      val parts = s.split(",", -1).toSeq.map(_.trim)
+      require(parts.size == NgramBuckets + 1,
+        s"ngram weights must carry ${NgramBuckets + 1} comma-separated " +
+          s"values (bias first), got ${parts.size}")
+      NgramWeights(java.lang.Double.parseDouble(parts.head),
+        parts.tail.map(java.lang.Double.parseDouble).toIndexedSeq)
+    }
+
+    def serialize(w: NgramWeights): String =
+      (w.bias +: w.w).mkString(",")
   }
 
   /** array<long> of md5-derived buckets, one per adjacent token pair

@@ -94,6 +94,31 @@ class SqlFunctionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(mismatches === 0L)
   }
 
+  test("graft_ngram_score / graft_ngram_buckets == the Scala " +
+      "QualityModel kernels (serialized-weights round trip included)") {
+    import graft.operators.QualityModel
+    val rng = new scala.util.Random(77)
+    val w = QualityModel.NgramWeights(rng.nextGaussian(),
+      IndexedSeq.fill(QualityModel.NgramBuckets)(rng.nextGaussian()))
+    val ser = QualityModel.NgramWeights.serialize(w)
+    assert(QualityModel.NgramWeights.parse(ser) == w,
+      "serialize/parse must round-trip bit-lossless")
+    // SQL-side tokens: the exact TextFunctions.tokens tree in SQL form
+    val sqlToks = "CASE WHEN length(trim(text)) = 0 " +
+      "THEN CAST(array() AS ARRAY<STRING>) " +
+      "ELSE split(trim(text), '\\\\s+') END"
+    val mismatches = spark.table("documents")
+      .select(
+        expr(s"graft_ngram_score($sqlToks, '$ser')").as("s_sql"),
+        QualityModel.ngramScore(col("text"), w).as("s_dsl"),
+        expr(s"graft_ngram_buckets($sqlToks)").as("b_sql"),
+        QualityModel.bigramBuckets(col("text")).as("b_dsl"))
+      .where(not(col("s_sql") <=> col("s_dsl")) ||
+        not(col("b_sql") <=> col("b_dsl")))
+      .count()
+    assert(mismatches === 0L)
+  }
+
   test("graft_cms_buckets matches the aggregator's probe coordinates") {
     assertParity("graft_cms_buckets(text, 4, 2048)",
       ColumnBridge.column(graft.expressions.CmsBuckets(
