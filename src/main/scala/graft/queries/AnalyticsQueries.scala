@@ -87,32 +87,72 @@ object AnalyticsQueries {
       bench = true),
 
     // Approximate distinct (HLL++): the sketch every 100 TB pipeline uses
-    // instead of count(DISTINCT). Engines' sketches differ, so the oracle
-    // is rows-only; AnalyticsSpec bounds the error against exact.
+    // instead of count(DISTINCT). Engines' sketches differ, so the raw
+    // estimate isn't oracle-able — but the ERROR BOUND is: the compared
+    // frame is (group, exact_users, n, within_bound) where Spark computes
+    // both the sketch and the exact count and emits the bound verdict
+    // (|approx−exact|/exact < 0.05, the AnalyticsSpec ε = 5× the rsd),
+    // while DuckDB computes the same exact figures and asserts the
+    // verdict constant-true. A sketch drifting out of bound flips the
+    // BIGINT verdict column and the hash goes red — the check is exact
+    // even though the sketch isn't.
     "q_approx_distinct" -> QueryDef(
       (s, dir) => Tables.load(s, dir, "events")
         .groupBy("event_type")
         .agg(approx_count_distinct(col("user_id"), 0.01).as("approx_users"),
-          count(lit(1)).as("n")),
-      None),
+          countDistinct(col("user_id")).as("exact_users"),
+          count(lit(1)).as("n"))
+        .select(col("event_type"), col("exact_users"), col("n"),
+          (abs(col("approx_users") - col("exact_users"))
+            .cast("double") / col("exact_users") < 0.05)
+            .cast("long").as("within_bound")),
+      Some("""SELECT event_type, count(DISTINCT user_id) AS exact_users,
+        count(*) AS n, CAST(1 AS BIGINT) AS within_bound
+        FROM events GROUP BY event_type""")),
 
     // Approximate quantiles (Greenwald-Khanna sketch) — completes the
     // sketch family next to HLL distinct and CMS heavy hitters: at
     // 100 TB the exact `percentile` holds per-group value multisets,
     // the GK sketch is constant-memory and mergeable (one partial-agg
-    // pass, same plan shape as any sum). Sketches aren't
-    // engine-portable, so the check is rows-only; AnalyticsSpec bounds
-    // the estimates against the exact q_quantiles figures.
+    // pass, same plan shape as any sum). The estimates aren't
+    // engine-portable, but the GK RANK guarantee is: rank(estimate)
+    // must sit within n/accuracy (+1 for the discrete convention) of
+    // the target rank q*n. Spark verifies its own estimates — the
+    // one-row-per-group estimate frame broadcasts back onto events and
+    // conditional counts recover each estimate's exact rank (one extra
+    // broadcast-join pass, no second shuffle of the corpus) — and
+    // DuckDB asserts the three verdicts constant-true over the same
+    // groups. Same shape as AnalyticsSpec's in-JVM bound, now
+    // hash-checked cross-engine per round.
     "q_approx_quantiles" -> QueryDef(
-      (s, dir) => Tables.load(s, dir, "events")
-        .groupBy("event_type")
-        .agg(percentile_approx(col("value"),
-          array(lit(0.5), lit(0.95), lit(0.99)), lit(10000)).as("qs"))
-        .select(col("event_type"),
-          col("qs").getItem(0).as("p50"),
-          col("qs").getItem(1).as("p95"),
-          col("qs").getItem(2).as("p99")),
-      None),
+      (s, dir) => {
+        val ev = Tables.load(s, dir, "events")
+          .select(col("event_type"), col("value"))
+        val est = ev.groupBy("event_type")
+          .agg(percentile_approx(col("value"),
+            array(lit(0.5), lit(0.95), lit(0.99)), lit(10000)).as("qs"),
+            count(lit(1)).as("n"))
+        def okCol(rank: org.apache.spark.sql.Column, q: Double) =
+          (abs(rank.cast("double") - lit(q) * col("n")) <=
+            col("n") / lit(10000.0) + lit(1.0)).cast("long")
+        ev.join(broadcast(est), "event_type")
+          .groupBy(col("event_type"), col("n"))
+          .agg(
+            sum(when(col("value") <= col("qs").getItem(0), 1L)
+              .otherwise(0L)).as("r50"),
+            sum(when(col("value") <= col("qs").getItem(1), 1L)
+              .otherwise(0L)).as("r95"),
+            sum(when(col("value") <= col("qs").getItem(2), 1L)
+              .otherwise(0L)).as("r99"))
+          .select(col("event_type"), col("n"),
+            okCol(col("r50"), 0.5).as("ok_p50"),
+            okCol(col("r95"), 0.95).as("ok_p95"),
+            okCol(col("r99"), 0.99).as("ok_p99"))
+      },
+      Some("""SELECT event_type, count(*) AS n,
+        CAST(1 AS BIGINT) AS ok_p50, CAST(1 AS BIGINT) AS ok_p95,
+        CAST(1 AS BIGINT) AS ok_p99
+        FROM events GROUP BY event_type""")),
 
     // Rollup (subtotals + grand total) — one of the grouping-set shapes
     // the reference lacks and Spark gives for free (SURVEY §2.2

@@ -39,6 +39,15 @@ class AnalyticsSpec extends AnyFunSuite with BeforeAndAfterAll {
       countDistinct(col("user_id"))).as[(Long, Long)].head()
     assert(math.abs(approx - exact).toDouble / exact < 0.05,
       s"approx=$approx exact=$exact")
+    // the oracled query form emits the same bound per event_type as a
+    // BIGINT verdict column — pin it green over the real fixture
+    val out = SparkEntry.queries("q_approx_distinct")(
+      spark, "/root/testdata/sf0.01").collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(r.getAs[Long]("within_bound") == 1L,
+        s"${r.getString(0)}: sketch out of bound (exact=${r.getAs[Long]("exact_users")})")
+    }
   }
 
   test("q_heavy_hitters: CMS estimates bound the exact token counts") {
@@ -109,15 +118,31 @@ class AnalyticsSpec extends AnyFunSuite with BeforeAndAfterAll {
   test("approx quantiles respect the GK rank-error bound against the " +
       "exact data") {
     val dir = "/root/testdata/sf0.01"
-    val approx = SparkEntry.queries("q_approx_quantiles")(spark, dir)
+    // the query now emits the bound VERDICT itself (the oracled frame);
+    // first pin that every verdict is green over the real fixture...
+    val out = SparkEntry.queries("q_approx_quantiles")(spark, dir)
       .collect().map(r => r.getString(0) ->
-        Seq(r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+        ((r.getLong(1), Seq(r.getLong(2), r.getLong(3), r.getLong(4)))))
+      .toMap
     val byType = graft.queries.Tables.load(spark, dir, "events")
       .select(col("event_type"), col("value"))
       .as[(String, Double)].collect().groupBy(_._1)
       .map { case (k, vs) => k -> vs.map(_._2).sorted }
-    assert(approx.keySet == byType.keySet)
-    for ((tpe, est) <- approx; (q, v) <- Seq(0.5, 0.95, 0.99).zip(est)) {
+    assert(out.keySet == byType.keySet)
+    for ((tpe, (n, oks)) <- out) {
+      assert(n == byType(tpe).length, s"$tpe n=$n")
+      assert(oks == Seq(1L, 1L, 1L), s"$tpe verdicts $oks")
+    }
+    // ...then re-derive the verdict independently: fresh GK estimates,
+    // driver-side exact ranks, the same n/accuracy (+1) bound — so the
+    // query's distributed rank recovery can't drift from the definition
+    // without this going red.
+    val est = graft.queries.Tables.load(spark, dir, "events")
+      .groupBy("event_type")
+      .agg(percentile_approx(col("value"),
+        array(lit(0.5), lit(0.95), lit(0.99)), lit(10000)).as("qs"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Double](1)).toMap
+    for ((tpe, vs) <- est; (q, v) <- Seq(0.5, 0.95, 0.99).zip(vs)) {
       val sorted = byType(tpe)
       val n = sorted.length
       // GK guarantee at accuracy a: the returned value's rank is within

@@ -15,12 +15,17 @@ import duckdb
 # (e.g. the sf0.3 scale verifies in SCALE.md) leave a committed record
 # mirroring the driver's CORRECTNESS_rNN.json convention instead of an
 # ephemeral /tmp dump.
+USAGE = "usage: check_correctness.py <sfDir> <outDir> [--json <path>]"
 json_out = None
 argv = list(sys.argv[1:])
 if "--json" in argv:
     i = argv.index("--json")
+    if i + 1 >= len(argv):
+        sys.exit(f"--json needs a path\n{USAGE}")
     json_out = argv[i + 1]
     del argv[i:i + 2]
+if len(argv) != 2:
+    sys.exit(USAGE)
 sfdir, outdir = argv[0], argv[1]
 con = duckdb.connect()
 for t in ("region nation customer supplier part orders lineitem events "
