@@ -30,7 +30,10 @@ case class CmsBuckets(child: Expression, depth: Int, width: Int)
 
   import MinHashSignature.P
 
-  @transient private lazy val md = MessageDigest.getInstance("MD5")
+  // one digest per thread — see MinHashSignature's note
+  @transient private lazy val md5 =
+    ThreadLocal.withInitial[MessageDigest](() =>
+      MessageDigest.getInstance("MD5"))
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case StringType => TypeCheckResult.TypeCheckSuccess
@@ -41,6 +44,7 @@ case class CmsBuckets(child: Expression, depth: Int, width: Int)
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
 
   override def nullSafeEval(input: Any): Any = {
+    val md = md5.get()
     md.reset()
     val (a, b) = Md5DoubleHash.params(
       md.digest(input.asInstanceOf[UTF8String].getBytes))

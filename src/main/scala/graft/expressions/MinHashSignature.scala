@@ -49,10 +49,13 @@ case class MinHashSignature(child: Expression, k: Int, seed: Long)
 
   import MinHashSignature.P
 
-  // Provider lookup is surprisingly costly; hoist the digest to one
-  // instance per task (expression instances are task-confined) and
-  // reset() per shingle, matching ImportanceLogw in this package.
-  @transient private lazy val md = MessageDigest.getInstance("MD5")
+  // Provider lookup is surprisingly costly; hoist the digest out of the
+  // loop — ONE PER THREAD (the ImportanceLogw pattern), because a plan
+  // fragment shared across concurrently-running tasks in one JVM would
+  // silently interleave a per-instance digest.
+  @transient private lazy val md5 =
+    ThreadLocal.withInitial[MessageDigest](() =>
+      MessageDigest.getInstance("MD5"))
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
@@ -64,6 +67,7 @@ case class MinHashSignature(child: Expression, k: Int, seed: Long)
 
   override def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[ArrayData]
+    val md = md5.get()
     val mins = Array.fill(k)(P) // sentinel: out of the [0, P) hash range
     val n = arr.numElements()
     var e = 0

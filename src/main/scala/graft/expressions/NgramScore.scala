@@ -56,10 +56,16 @@ case class NgramScore(child: Expression, bias: Double,
 
   override def dataType: DataType = DoubleType
 
-  @transient private lazy val md = MessageDigest.getInstance("MD5")
+  // MessageDigest is stateful — one per thread (the ImportanceLogw
+  // pattern): a plan fragment evaluated concurrently by two tasks in
+  // one JVM must not interleave digests
+  @transient private lazy val md5 =
+    ThreadLocal.withInitial[MessageDigest](() =>
+      MessageDigest.getInstance("MD5"))
 
   override def nullSafeEval(input: Any): Any = {
     val toks = input.asInstanceOf[ArrayData]
+    val md = md5.get()
     val n = toks.numElements()
     var s = 0.0
     var i = 0
@@ -164,10 +170,14 @@ case class NgramBucketIds(child: Expression)
   override def dataType: DataType =
     ArrayType(LongType, containsNull = false)
 
-  @transient private lazy val md = MessageDigest.getInstance("MD5")
+  // one digest per thread — see NgramScore's note
+  @transient private lazy val md5 =
+    ThreadLocal.withInitial[MessageDigest](() =>
+      MessageDigest.getInstance("MD5"))
 
   override def nullSafeEval(input: Any): Any = {
     val toks = input.asInstanceOf[ArrayData]
+    val md = md5.get()
     val n = toks.numElements()
     val out = new Array[Long](math.max(n - 1, 0))
     var i = 0

@@ -31,7 +31,10 @@ import org.apache.spark.sql.types._
 case class SimHashExpr(child: Expression)
   extends UnaryExpression with CodegenFallback {
 
-  @transient private lazy val md = MessageDigest.getInstance("MD5")
+  // one digest per thread — see MinHashSignature's note
+  @transient private lazy val md5 =
+    ThreadLocal.withInitial[MessageDigest](() =>
+      MessageDigest.getInstance("MD5"))
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
@@ -43,6 +46,7 @@ case class SimHashExpr(child: Expression)
 
   override def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[ArrayData]
+    val md = md5.get()
     val counts = new Array[Int](64)
     val n = arr.numElements()
     var k = 0

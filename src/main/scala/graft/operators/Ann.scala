@@ -108,6 +108,12 @@ object Ann {
       .orderBy(col("n").desc).limit(5)
       .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
     if (hot.nonEmpty) {
+      // the probe collect above has already materialized the cache; the
+      // guard must release it before aborting or every trip in a
+      // long-lived session pins one banded projection in executor
+      // storage forever (the exact accumulation the unpersist-after-
+      // first-use contract below exists to prevent)
+      banded.unpersist()
       val worst = hot.map { case (b, h, n) => s"band=$b h=$h ($n)" }
         .mkString(", ")
       throw new IllegalStateException(
@@ -245,7 +251,12 @@ object Ann {
       .select(col("vec_id"), col("embedding"),
         col("m.cell_id").as("cell_id"), col("m.aff").as("aff"))
       .cache()
-    val (reps, forcedDrops) = refineCells(assigned, thresholdQ, maxCellSize)
+    // refineCells' population probes materialize the cache before its
+    // irreducible-cell guard can throw — release on the failure path or
+    // each guard trip pins one assignment frame in executor storage
+    val (reps, forcedDrops) =
+      try refineCells(assigned, thresholdQ, maxCellSize)
+      catch { case e: Throwable => assigned.unpersist(); throw e }
     val x = reps.select(col("pair_key"), col("vec_id").as("a"),
       col("embedding").as("ea"), col("aff").as("affa"))
     val y = reps.select(col("pair_key"), col("vec_id").as("b"),

@@ -61,7 +61,12 @@ object TokenizerQueries {
     * unchanged, and the vocab UNION contributes no rank-k row.
     */
   private val BpeNMerges = 32
-  private val SentBase = 0xE000 // private-use area; fixture-free (checked)
+  // Private-use area, fixture-free — AND the corpus must stay BMP-only:
+  // DuckDB's tie-break collation (code points) and substr (one symbol
+  // per supplementary char) diverge from the trainer's UTF-16 compare
+  // outside the BMP. Both assumptions are tripwired per scale factor by
+  // FixtureSchemaSpec's documents.text rlike check.
+  private val SentBase = 0xE000
 
   private def bpeRoundCtes: String = {
     val sb = new StringBuilder

@@ -86,6 +86,7 @@ class AnnSpec extends AnyFunSuite with BeforeAndAfterAll {
     // quadratic by contract.
     val v = Seq.fill(16)(1.0f)
     val dense = (0L until 40L).map(i => (i, v)).toDF("vec_id", "embedding")
+    val before = spark.sparkContext.getPersistentRDDs.size
     val e = intercept[IllegalStateException] {
       Ann.nearDupPairs(dense, dim = 16, threshold = 0.9, maxBucket = 16)
         .collect()
@@ -94,6 +95,13 @@ class AnnSpec extends AnyFunSuite with BeforeAndAfterAll {
       e.getMessage.contains("semDedup") &&
       e.getMessage.contains("bitsPerBand"),
       s"guard message missing diagnosis/remedies: ${e.getMessage}")
+    // the probe collect materialized the banded cache before the throw;
+    // the guard must release it (unpersist is async — poll)
+    val deadline = System.nanoTime() + 15e9.toLong
+    while (spark.sparkContext.getPersistentRDDs.size > before &&
+      System.nanoTime() < deadline) Thread.sleep(50)
+    assert(spark.sparkContext.getPersistentRDDs.size <= before,
+      s"guard trip leaked the banded cache: ${spark.sparkContext.getPersistentRDDs}")
     // under the default cap the same corpus mines all 780 pairs
     val n = Ann.nearDupPairs(dense, dim = 16, threshold = 0.9).count()
     assert(n == 40L * 39 / 2)
@@ -359,9 +367,17 @@ class AnnSpec extends AnyFunSuite with BeforeAndAfterAll {
     val emb = (0 until 40).map(i =>
       (i.toLong, Seq(1.0 + i * 1e-9, 2.0))).toDF("vec_id", "embedding")
     val cents = Seq((0L, Seq(1.0, 0.0))).toDF("cell_id", "cell_emb")
+    val before = spark.sparkContext.getPersistentRDDs.size
     val e = intercept[IllegalStateException] {
       Ann.semDedup(emb, cents, 9900L, maxCellSize = 16L)
     }
     assert(e.getMessage.contains("maxCellSize"))
+    // refineCells' probes materialized the assignment cache before the
+    // throw; the failure path must release it (async — poll)
+    val deadline = System.nanoTime() + 15e9.toLong
+    while (spark.sparkContext.getPersistentRDDs.size > before &&
+      System.nanoTime() < deadline) Thread.sleep(50)
+    assert(spark.sparkContext.getPersistentRDDs.size <= before,
+      s"guard trip leaked the assignment cache: ${spark.sparkContext.getPersistentRDDs}")
   }
 }

@@ -83,6 +83,34 @@ class FixtureSchemaSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("documents.text stays BMP-only and clear of the BPE oracle's " +
+      "private-use sentinel range, at every scale factor") {
+    // Two TokenizerQueries oracle assumptions become silent divergence
+    // if the fixture corpus ever drifts:
+    //   1. chr(0xE000+k) merge sentinels must not collide with corpus
+    //      text (SentBase's "fixture-free (checked)" — this IS the
+    //      check);
+    //   2. the DuckDB tie-break ORDER BY dl, dr collates by CODE POINT
+    //      and substr counts a supplementary-plane char as ONE symbol,
+    //      while Bpe.trainLocal compares UTF-16 code units and sees two
+    //      chars — identical only inside the BMP.
+    // A single distributed rlike-count per scale factor trips loudly on
+    // either. (Java regex matches by code point, so the supplementary
+    // plane needs \x{...} classes, not surrogate ranges.)
+    for (sf <- Seq("sf0.001", "sf0.01", "sf0.1")) {
+      val bad = graft.queries.Tables
+        .load(spark, s"/root/testdata/$sf", "documents")
+        .where(org.apache.spark.sql.functions.col("text")
+          .rlike("[\\x{E000}-\\x{F8FF}]|[\\x{10000}-\\x{10FFFF}]"))
+        .count()
+      assert(bad == 0L,
+        s"$sf/documents.text: $bad row(s) contain private-use or " +
+        "supplementary-plane codepoints — the BPE DuckDB oracle's " +
+        "sentinel encoding and code-point collation no longer match " +
+        "the UTF-16 trainer (TokenizerQueries.bpeRoundCtes)")
+    }
+  }
+
   test("ScaleFixture round-trips events through the unit-agnostic " +
       "loader (mult=2 replica fixture loads with the same contract)") {
     // The sf0.3 scale verifies in SCALE.md depend on ScaleFixture
