@@ -57,17 +57,55 @@ object ScaleFixture {
       case r => replica(df, r)
     }.reduce(_.unionByName(_))
 
+  /** Id range reserved for planted vectors — above every replica offset
+    * a sane mult can produce, so planted ids never collide.
+    */
+  val HotIdBase: Long = 900000000L
+
+  /** Planted dense near-duplicate cluster for skew-torture runs
+    * (SkewTortureSpec + the SCALE.md skew measurements): `n` vectors
+    * within `noise` of the e0 axis, pairwise cosine ~1 − O(noise²) —
+    * one genuinely hot LSH bucket / IVF cell, the shape the
+    * nearDupPairs guard and semDedup's sub-split repair exist for.
+    *
+    * Perturbations are per-(row, dim) deterministic (xxhash64 of the
+    * flat index — no RNG, reproducible across sessions and
+    * partitionings). The default noise 0.1 threads two needles at once:
+    *  - SEPARABLE by the sub-k-means split: what the split quantizes is
+    *    the BETWEEN-CENTROID squared-L2 difference, which scales like
+    *    noise² (−2v·(c1−c2) with |c1−c2| ~ noise) — 0.1 gives hundreds
+    *    of r4 levels, whereas 0.01 gives ~6 and the quantized argmin
+    *    tie-clumps into one sub-cell until the depth limit throws
+    *    (semDedup's documented indistinguishable-at-r4 failure, a
+    *    DIFFERENT path than the repair this cluster exists to drive);
+    *  - STABLE under the hyperplane LSH: a sign flip needs
+    *    |noise·h·u| > |h·e0| = 1, and at noise 0.1, dim 64 the flip
+    *    probability is ~1e-5 per bit — the cluster stays one bucket.
+    * Pairwise cosines sit ~0.98-0.999: use a dup threshold of 0.95
+    * (thresholdQ 9500) when mining a planted cluster.
+    */
+  def plantHotCluster(spark: SparkSession, dim: Int, n: Long,
+      noise: Double = 0.1, idBase: Long = HotIdBase): DataFrame =
+    spark.range(n).select(
+      (col("id") + idBase).as("vec_id"),
+      transform(sequence(lit(0), lit(dim - 1)), j =>
+        (when(j === 0, 1.0).otherwise(0.0) +
+          lit(noise) * (pmod(xxhash64(col("id") * dim + j), lit(1000))
+            .cast("double") / 1000 - 0.5)).cast("float")).as("embedding"),
+      lit(-1).as("label"))
+
   def main(args: Array[String]): Unit = {
     val src = args(0)
     val out = args(1)
     val mult = if (args.length > 2) args(2).toInt else 3
+    val hotN = if (args.length > 3) args(3).toInt else 0
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       Runtime.getRuntime.availableProcessors().toString).toInt
     val spark: SparkSession = Sessions.tune(
       SparkSession.builder().master(s"local[$cpus]"), cpus).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    run(spark, src, out, mult)
-    println(s"""{"scale_fixture":{"src":"$src","out":"$out","mult":$mult}}""")
+    run(spark, src, out, mult, hotN)
+    println(s"""{"scale_fixture":{"src":"$src","out":"$out","mult":$mult,"hot_n":$hotN}}""")
     spark.stop()
   }
 
@@ -75,7 +113,8 @@ object ScaleFixture {
     * owns its session and stops it; FixtureSchemaSpec drives this with
     * the shared test session).
     */
-  def run(spark: SparkSession, src: String, out: String, mult: Int): Unit = {
+  def run(spark: SparkSession, src: String, out: String, mult: Int,
+      hotN: Int = 0): Unit = {
     // events.ts round-trips in whatever unit the source carries:
     // nanosAsLong lets a NANOS-era fixture read (as nano longs, written
     // back as longs); a native-MICROS fixture passes through as
@@ -91,11 +130,21 @@ object ScaleFixture {
         .withColumn("n_chars", length(col("text")))
     }.write.mode("overwrite").parquet(s"$out/documents.parquet")
 
-    multiplied(spark.read.parquet(s"$src/embeddings.parquet"), mult) {
+    val embSrc = spark.read.parquet(s"$src/embeddings.parquet")
+    val embMult = multiplied(embSrc, mult) {
       (df, r) => df
         .withColumn("vec_id", col("vec_id") + lit(r * IdOffset))
         .withColumn("embedding", signFlip(r))
-    }.write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+    }
+    // hotN > 0 plants a dense near-dup cluster on top of the multiplied
+    // table — skew-torture fixtures ONLY (a planted cluster changes
+    // every embedding query's answer, so correctness-artifact fixtures
+    // must keep hotN = 0)
+    val emb = if (hotN > 0)
+      embMult.unionByName(plantHotCluster(spark,
+        embSrc.head().getSeq[Float](1).length, hotN))
+    else embMult
+    emb.write.mode("overwrite").parquet(s"$out/embeddings.parquet")
 
     multiplied(spark.read.parquet(s"$src/events.parquet"), mult) {
       (df, r) => df

@@ -87,7 +87,11 @@ object PipelineQueries {
             FROM cand JOIN grid USING (r, bkt) GROUP BY token)
           SELECT token, est_n FROM est
           ORDER BY est_n DESC, token LIMIT 20"""
-      }),
+      },
+      // promoted to the timed headliner set (round 13): the full-catalog
+      // radar saw it as a top residual cost; a regression here must not
+      // hide between rounds
+      bench = true),
 
     // Deterministic stratified sample: 3 docs per source, selected by
     // content-hash order (md5 — reproducible in any engine; no RNG).
@@ -384,7 +388,9 @@ object PipelineQueries {
         CAST(row_number() OVER (
           PARTITION BY instr('0123456789abcdef', substr(md5(text), 1, 1))
           ORDER BY md5(text), doc_id) AS BIGINT) AS rk
-        FROM documents""")),
+        FROM documents"""),
+      // headliner since round 13 (full-catalog-radar top residual)
+      bench = true),
 
     // Domain mixing: per-source deterministic sampling rates (the
     // data-mixture step of a pretraining pipeline). The keep decision is

@@ -410,7 +410,9 @@ object SimilarityQueries {
           SELECT a, a FROM edges
           UNION
           SELECT e.a, r.lab FROM edges e JOIN reach r ON e.b = r.doc_id)
-        SELECT doc_id, min(lab) AS component_id FROM reach GROUP BY doc_id""")),
+        SELECT doc_id, min(lab) AS component_id FROM reach GROUP BY doc_id"""),
+      // headliner since round 13 (full-catalog-radar top residual)
+      bench = true),
 
     // The dedup DECISION artifact: the kept corpus after near-dup
     // consolidation — drop every document that is in a duplicate

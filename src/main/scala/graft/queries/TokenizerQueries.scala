@@ -221,7 +221,9 @@ object TokenizerQueries {
           (m.rank.toLong, m.left, m.right, m.merged)))
           .toDF("rank", "left", "right", "merged")
       },
-      Some(bpeVocabOracle)),
+      Some(bpeVocabOracle),
+      // headliner since round 13 (full-catalog-radar top residual)
+      bench = true),
 
     // Greedy BPE encode under a FIXED 4-merge table, fully DuckDB-
     // oracled — the cross-engine anchor for BpeEncode's rank-priority
