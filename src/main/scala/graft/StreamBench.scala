@@ -147,15 +147,25 @@ object StreamBench {
     // Permissive thresholds keep rows flowing into the stateful stage
     // (the expensive path) — this measures the full-pipeline worst case,
     // not gate selectivity.
-    val ingestN = math.max(n / 25, 2000)
-    val fixDocs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    // SPARK_GRAFT_INGEST_DOCS points the ingest pipelines at a bigger
+    // corpus (e.g. a mult=10 ScaleFixture dir) — more DISTINCT documents
+    // means more live band/suppression state, the dimension the RocksDB
+    // run exists to measure. The driver-side text pool is capped: the
+    // stream cycles up to 50k distinct docs, the state the engine holds
+    // is what's measured, not the driver's memory.
+    val ingestN = sys.env.get("SPARK_GRAFT_INGEST_N").map(_.toInt)
+      .getOrElse(math.max(n / 25, 2000))
+    val ingestDocs = sys.env.getOrElse("SPARK_GRAFT_INGEST_DOCS",
+      "/root/testdata/sf0.001")
+    val fixDocs = spark.read.parquet(s"$ingestDocs/documents.parquet")
     val lmFit = graft.operators.Importance.fit(fixDocs,
       org.apache.spark.sql.functions.col("text"),
       org.apache.spark.sql.functions.col("source") === "src0")
     val evalB = graft.operators.Decontamination.fitBuckets(
       fixDocs.where(org.apache.spark.sql.functions.col("source") === "src19"),
       org.apache.spark.sql.functions.col("text"))
-    val texts = fixDocs.select("text").collect().map(_.getString(0))
+    val texts = fixDocs.select("text").limit(50000).collect()
+      .map(_.getString(0))
     val t5 = ps.topic[String]("bench-ingest")
     val ing = TypedOps.corpusIngestSelective("5 seconds", lmFit, evalB,
       minQuality = 0.2, minLogw = -1e6, minShared = 1000000)(t5.stream)

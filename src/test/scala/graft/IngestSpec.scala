@@ -147,4 +147,55 @@ class IngestSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!buf.contains(junk) && !buf.contains(docANear) &&
       !buf.contains(docB), s"a planted reject passed: $buf")
   }
+
+  test("restart from checkpoint recovers the near-dup BAND state: a " +
+      "near-duplicate arriving after restart is still suppressed") {
+    // The EwmaStreamSpec/TopKStreamSpec recovery pins cover
+    // mapGroupsWithState; this covers the dedup gate's OTHER state —
+    // dropDuplicatesWithinWatermark's band claims plus the windowed
+    // claim-count aggregation. Sequence: docA's 16 band claims enter
+    // state pre-restart (watermark behind, nothing emitted), the query
+    // stops, a NEW query resumes from the checkpoint, and docA's
+    // near-duplicate arrives. Lost band state would let the near-dup
+    // claim its own bands and emit; recovered state suppresses it and
+    // emits docA exactly once, original stamp.
+    val ps = new PubSub(spark)
+    val t = ps.topic[String](s"ingest-rec-${System.nanoTime()}")
+    val kept = TypedOps.nearDupWithinWatermark("5 seconds").apply(t.stream)
+    val ckpt = s"/tmp/graft-ingest-rec-ckpt-${System.nanoTime()}"
+    val buf = mutable.Buffer.empty[EventEnvelope[String]]
+    def start() = kept.writeStream.outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (b: Dataset[EventEnvelope[String]], _: Long) =>
+        buf.synchronized { buf ++= b.collect() }; ()
+      }.start()
+
+    val q1 = start()
+    t.publish(Seq(EventEnvelope.at(ts(0), docA)))
+    q1.processAllAvailable()
+    q1.stop()
+    assert(buf.isEmpty,
+      s"claim window emitted before the watermark passed: $buf")
+
+    val q2 = start()
+    t.publish(Seq(
+      EventEnvelope.at(ts(3), docANear), // near-dup of pre-restart docA
+      EventEnvelope.at(ts(3), docA))) // exact repeat
+    q2.processAllAvailable()
+    t.publish(Seq(EventEnvelope.at(ts(60),
+      "flush marker document with enough words to pass the quality gate " +
+      "and the shingle threshold for the long branch of the pipeline")))
+    q2.processAllAvailable()
+    q2.stop()
+    ps.close()
+
+    val contents = buf.map(_.content)
+    assert(contents.count(_ == docA) == 1,
+      s"docA must survive the restart exactly once: $contents")
+    assert(!contents.contains(docANear),
+      "near-dup passed after restart — band state was lost with the " +
+        "checkpoint")
+    assert(buf.find(_.content == docA).get.stamp.start_time == ts(0),
+      "recovered emission must carry the FIRST claimant's stamp")
+  }
 }
