@@ -70,7 +70,20 @@ object SimilarityQueries {
     */
   private def jaccardPairs(s: SparkSession, dir: String): DataFrame = {
     val sets = shingleSets(s, dir).cache()
-    val ex0 = sets.select(col("doc_id"), explode(col("sh")).as("s"))
+    // Candidate generation runs on 64-BIT SHINGLE HASHES, not shingle
+    // strings: the DF count groups by hash and the self-join shuffles
+    // (doc_id, 8-byte key) rows instead of (doc_id, ~30-byte 5-gram) —
+    // at corpus scale the candidate join is the dominant shuffle and
+    // this cuts its key volume ~4x. Semantics: a hash collision could
+    // only (a) merge two shingles' DF counts at the cap (P ~ d²/2⁶⁴ per
+    // shingle pair) or (b) emit a false candidate — and false candidates
+    // are REMOVED by the exact verification below, which intersects the
+    // full STRING shingle sets. The emitted j is therefore still true
+    // string-set Jaccard; the DuckDB oracle (string DF cap, string
+    // candidates) hash-compares green at every measured SF, pinning the
+    // fixture collision-free.
+    val ex0 = sets.select(col("doc_id"), explode(col("sh")).as("s0"))
+      .select(col("doc_id"), xxhash64(col("s0")).as("s"))
     // DF cap: anti-join against the (few) hot shingles — broadcast, so
     // the cap itself never shuffles the exploded set a second time.
     val hot = ex0.groupBy("s").agg(count(lit(1)).as("df"))
