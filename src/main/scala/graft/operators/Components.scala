@@ -73,7 +73,9 @@ object Components {
     // immune to ANSI bigint-overflow traps on huge vertex sets.
     var prevSum: Option[Any] = None
     var changed = true
+    var rounds = 0
     while (changed) {
+      rounds += 1
       val obs = Observation()
       val prop = labels.as("l")
         .join(sym.as("e"), col("l.doc_id") === col("e.a"))
@@ -89,6 +91,9 @@ object Components {
       labels = prop
     }
     freeCheckpoint(sym) // the fixpoint labels no longer need the edges
+    // one line of driver-side observability: rounds = propagation
+    // diameter + 1 (the fixpoint must repeat once to be observed)
+    System.err.println(s"[components] converged in $rounds rounds")
     labels.select(col("doc_id"), col("label").as("component_id"))
   }
 }
