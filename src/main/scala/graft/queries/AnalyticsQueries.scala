@@ -96,12 +96,24 @@ object AnalyticsQueries {
     // verdict constant-true. A sketch drifting out of bound flips the
     // BIGINT verdict column and the hash goes red — the check is exact
     // even though the sketch isn't.
+    // Plan note: the sketch runs over the PRE-DEDUPED (event_type,
+    // user_id) frame, not the raw events. HLL registers are a max over
+    // hashed inputs, so duplicates never move the estimate — but Spark's
+    // single-agg rewrite of {approx_count_distinct(u), count(DISTINCT u)}
+    // keys the partial aggregate by (group, u) and allocates a partial
+    // HLL PER USER (rsd 0.01 → ~21 KB of registers each): thousands of
+    // corpus-keyed sketches built and shuffled to estimate sets of size
+    // one. Aggregating counts first and sketching the distinct frame
+    // keeps one sketch per (group × partition) — identical estimate,
+    // measured 2.5 s → 1.0 s at sf0.1, and the sketch memory is
+    // O(groups), not O(users), at any corpus size.
     "q_approx_distinct" -> QueryDef(
       (s, dir) => Tables.load(s, dir, "events")
+        .groupBy("event_type", "user_id").agg(count(lit(1)).as("c"))
         .groupBy("event_type")
         .agg(approx_count_distinct(col("user_id"), 0.01).as("approx_users"),
-          countDistinct(col("user_id")).as("exact_users"),
-          count(lit(1)).as("n"))
+          count(lit(1)).as("exact_users"),
+          sum(col("c")).as("n"))
         .select(col("event_type"), col("exact_users"), col("n"),
           (abs(col("approx_users") - col("exact_users"))
             .cast("double") / col("exact_users") < 0.05)
