@@ -141,18 +141,22 @@ object TokenizerQueries {
       (s, dir) => {
         val docs = Tables.load(s, dir, "documents")
         val top = Bpe.train(Bpe.wordCounts(docs, col("text")), nMerges = 1)
-        // empty corpus degenerates to a no-op merge pair that matches
-        // nothing; the oracle's CROSS JOIN best would yield zero rows,
-        // so keep the fixture assumption explicit instead of silent
-        require(top.nonEmpty, "q_bpe_merge1 requires a non-empty corpus")
-        val (l, r) = (top.head.left, top.head.right)
         val toks = graft.functions.TextFunctions.tokens(col("text"))
+        // a corpus with no observable pair (empty, or 1-symbol words
+        // only) has no best merge: the oracle's empty `best` CTE makes
+        // every doc's n_merged coalesce to 0, so the engine side emits
+        // the same constant instead of requiring a non-empty corpus —
+        // an empty date slice must degrade, not throw
+        // (EmptyFixtureSpec sweeps the whole catalog for this)
+        val nMerged = top.headOption match {
+          case Some(m) => aggregate(toks, lit(0L), (a, t) => a + size(
+            graft.expressions.BpeMergeAdjacent(split(t, ""), m.left, m.right)))
+          case None => lit(0L)
+        }
         docs.select(col("doc_id"),
           size(toks).cast("long").as("n_words"),
           aggregate(toks, lit(0L), (a, t) => a + length(t)).as("n_syms"),
-          aggregate(toks, lit(0L), (a, t) => a + size(
-            graft.expressions.BpeMergeAdjacent(split(t, ""), l, r)))
-            .as("n_merged"))
+          nMerged.as("n_merged"))
       },
       Some(s"""WITH w AS ($oracleWords), $oraclePairAgg,
         best AS (SELECT l, r FROM agg ORDER BY n DESC, l, r LIMIT 1),
