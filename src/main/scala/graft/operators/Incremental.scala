@@ -48,7 +48,14 @@ object Incremental {
     val ex = existing.select(col("doc_id"), col("text"))
     val dl = delta.select(col("doc_id"), col("text"))
 
-    val dh = dl.select(col("doc_id"), md5(col("text").cast("binary")).as("h"))
+    // per-doc sentinel for NULL text (the q_dedup_exact contract): a
+    // failed-extraction delta row matches nothing — the equi-join below
+    // already treats NULL as no-match, but the internal-dup window
+    // would otherwise group every NULL delta doc into one cluster and
+    // reject all but the first as exact_dup_internal
+    val dh = dl.select(col("doc_id"),
+      coalesce(md5(col("text").cast("binary")),
+        concat(lit("null:"), col("doc_id"))).as("h"))
     val exH = ex.select(md5(col("text").cast("binary")).as("h")).distinct()
     val exactExisting = dh.join(exH, "h").select("doc_id")
     val exactInternal = dh

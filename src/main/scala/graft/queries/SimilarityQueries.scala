@@ -347,12 +347,21 @@ object SimilarityQueries {
 
   def defs: Map[String, QueryDef] = Map(
     // Exact dedup on a digest key: one shuffle of (16-byte key, id).
+    // NULL text gets a PER-DOC sentinel digest: md5(NULL) is NULL and
+    // GROUP BY treats NULLs as one group, so without the sentinel every
+    // failed-extraction row in a slice would silently collapse into a
+    // single "duplicate cluster" keeping one survivor. A document with
+    // no content cannot be judged a copy of anything — it stays a
+    // singleton here and is a quality-gate problem downstream
+    // (NullRowsSpec pins this).
     "q_dedup_exact" -> QueryDef(
       (s, dir) => Tables.load(s, dir, "documents")
-        .groupBy(md5(col("text").cast("binary")).as("fp"))
+        .groupBy(coalesce(md5(col("text").cast("binary")),
+          concat(lit("null:"), col("doc_id"))).as("fp"))
         .agg(min(col("doc_id")).as("keeper"), count(lit(1)).as("n_copies")),
-      Some("SELECT md5(text) AS fp, min(doc_id) AS keeper, " +
-        "count(*) AS n_copies FROM documents GROUP BY md5(text)"),
+      Some("SELECT coalesce(md5(text), 'null:' || doc_id) AS fp, " +
+        "min(doc_id) AS keeper, " +
+        "count(*) AS n_copies FROM documents GROUP BY 1"),
       bench = true),
 
     // Distinct-text census per source (dropDuplicates shape).
@@ -470,7 +479,12 @@ object SimilarityQueries {
         import org.apache.spark.sql.expressions.Window
         val docs = Tables.load(s, dir, "documents")
         val exactKeep = docs
-          .withColumn("h", md5(col("text").cast("binary")))
+          // per-doc sentinel for NULL text: q_dedup_exact's contract —
+          // failed extractions are not copies of each other, they flow
+          // to the quality gate (which rejects them) instead of being
+          // silently absorbed as exact dups of one survivor
+          .withColumn("h", coalesce(md5(col("text").cast("binary")),
+            concat(lit("null:"), col("doc_id"))))
           .withColumn("rn",
             row_number().over(Window.partitionBy("h").orderBy("doc_id")))
           .where(col("rn") === 1)
@@ -512,7 +526,8 @@ object SimilarityQueries {
         exact AS (
           SELECT doc_id, text FROM (
             SELECT doc_id, text, row_number() OVER
-              (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+              (PARTITION BY coalesce(md5(text), 'null:' || doc_id)
+               ORDER BY doc_id) AS rn
             FROM documents) WHERE rn = 1),
         qm AS (SELECT doc_id,
           CAST(len(tk) AS BIGINT) AS nt,
@@ -569,7 +584,8 @@ object SimilarityQueries {
         exact_exist AS (SELECT DISTINCT d.doc_id FROM dl d
           JOIN ex e ON md5(d.text) = md5(e.text)),
         exact_int AS (SELECT doc_id FROM (
-            SELECT doc_id, min(doc_id) OVER (PARTITION BY md5(text)) AS mn
+            SELECT doc_id, min(doc_id) OVER
+              (PARTITION BY coalesce(md5(text), 'null:' || doc_id)) AS mn
             FROM dl) t
           WHERE doc_id <> mn),
         allx AS (SELECT doc_id, TRUE AS oe, text FROM ex
