@@ -153,6 +153,94 @@ object Ann {
     graft.core.CacheHygiene.unpersistAfterFirstUse(banded, result)
   }
 
+  /** A sized hyperplane-LSH band scheme: `bitsPerBand` resolves buckets
+    * to ~targetBucket expected members, `nBands` holds recall at the
+    * verification threshold, `expectedRecall` is the banding-formula
+    * recall the scheme actually achieves (== targetRecall unless the
+    * band cap bound it).
+    */
+  final case class LshPlan(bitsPerBand: Int, nBands: Int,
+      expectedRecall: Double)
+
+  /** Size an LSH band scheme from first principles — the executable form
+    * of the hot-bucket guard's "retune bitsPerBand to ~log2(N/bucket)"
+    * advice. Pure driver math, deterministic:
+    *
+    *  - bitsPerBand = clamp(ceil(log2(n / targetBucket)), minBits..maxBits):
+    *    expected bucket population is n/2^bits, so this pins E[bucket]
+    *    ~= targetBucket at ANY corpus size — candidate volume per band
+    *    stays ~n*targetBucket/2 (linear in n) instead of n²/2^bits
+    *    (quadratic for fixed bits, the q_embed_neardup mult=30 tail).
+    *  - nBands from the banding recall formula: a pair at cosine c
+    *    collides per bit with p = 1 - acos(c)/pi, per band with p^bits,
+    *    in >=1 of B bands with 1-(1-p^bits)^B — solve B for
+    *    targetRecall at c = threshold (pairs ABOVE the threshold only
+    *    collide more).
+    *  - if B exceeds maxBands, bits step DOWN (never below minBits)
+    *    until the recall target fits — trading candidate volume for
+    *    recall explicitly rather than silently missing duplicates; if
+    *    even minBits cannot reach the target, the plan caps at
+    *    (minBits, maxBands) and reports the achieved recall, so the
+    *    caller decides instead of discovering a recall hole later.
+    *
+    * targetBucket's default (256) keeps per-band candidate work at
+    * ~128·n comparisons — the linear-with-small-constant regime — while
+    * staying far enough above dedup cluster sizes that true duplicate
+    * groups (which owe their c²/2 pairs by contract) don't trip the
+    * bucket guard.
+    */
+  def lshPlan(n: Long, threshold: Double, targetRecall: Double = 0.999,
+      targetBucket: Long = 256L, minBits: Int = 6, maxBits: Int = 24,
+      maxBands: Int = 64): LshPlan = {
+    require(n > 0, s"lshPlan: corpus size $n must be positive")
+    require(threshold > 0.0 && threshold < 1.0,
+      s"lshPlan: threshold $threshold outside (0,1)")
+    require(targetRecall > 0.0 && targetRecall < 1.0,
+      s"lshPlan: targetRecall $targetRecall outside (0,1)")
+    require(targetBucket >= 1 && minBits >= 1 && maxBits >= minBits &&
+      maxBands >= 1, "lshPlan: degenerate bounds")
+    val p = 1.0 - math.acos(threshold) / math.Pi
+    def bandsFor(bits: Int): (Int, Double) = {
+      val pBand = math.pow(p, bits)
+      // B = ceil(ln(1-target)/ln(1-pBand)), guarded: pBand ~ 1 means one
+      // band already exceeds the target
+      val exact =
+        if (pBand >= 1.0) 1
+        else math.ceil(math.log1p(-targetRecall) / math.log1p(-pBand)).toInt
+      val b = math.min(maxBands, math.max(1, exact))
+      (b, 1.0 - math.pow(1.0 - pBand, b))
+    }
+    val fromN = math.ceil(
+      math.log(math.max(1.0, n.toDouble / targetBucket)) / math.log(2.0))
+      .toInt
+    var bits = math.min(maxBits, math.max(minBits, fromN))
+    var (bands, recall) = bandsFor(bits)
+    while (recall < targetRecall && bits > minBits) {
+      bits -= 1
+      val br = bandsFor(bits); bands = br._1; recall = br._2
+    }
+    LshPlan(bits, bands, recall)
+  }
+
+  /** [[nearDupPairs]] with the band scheme sized by [[lshPlan]] from the
+    * corpus's own count — one count() (metadata-cheap on parquet) buys a
+    * scheme whose candidate volume stays linear in n. Same verification
+    * stage, same hot-bucket guard (which after auto-sizing can only trip
+    * on a genuinely dense duplicate cluster — the case the guard's
+    * message routes to keeper-form dedup).
+    */
+  def nearDupPairsAuto(emb: DataFrame, dim: Int, threshold: Double,
+      targetRecall: Double = 0.999, targetBucket: Long = 256L,
+      seed: Long = 42L, maxBucket: Long = DefaultMaxBucket): DataFrame = {
+    val n = emb.count()
+    val plan = lshPlan(n, threshold, targetRecall, targetBucket)
+    System.err.println(s"[nearDupPairsAuto] n=$n -> bits=" +
+      s"${plan.bitsPerBand} bands=${plan.nBands} " +
+      f"expectedRecall=${plan.expectedRecall}%.4f")
+    nearDupPairs(emb, dim, threshold, plan.nBands, plan.bitsPerBand,
+      seed, maxBucket)
+  }
+
   /** IVF search: probe the nprobe highest-affinity cells per query, exact
     * top-k within the probed cells. Expects centroids(cell_id, cell_emb).
     */
