@@ -20,7 +20,12 @@ object Verify {
       : Map[String, String] = {
     val failed = scala.collection.mutable.LinkedHashMap.empty[String, String]
     qs.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+      // repartition(1), NOT coalesce(1): coalesce folds into the parent
+      // stage and collapses the whole upstream plan to ONE task, so every
+      // heavy query would compute single-threaded. repartition inserts a
+      // shuffle boundary — upstream runs at full parallelism, only the
+      // final write is one task (one file per query for the driver).
+      try fn(spark, sfDir).repartition(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         val msg = s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("")}"
