@@ -127,15 +127,22 @@ object AnalyticsQueries {
     // 100 TB the exact `percentile` holds per-group value multisets,
     // the GK sketch is constant-memory and mergeable (one partial-agg
     // pass, same plan shape as any sum). The estimates aren't
-    // engine-portable, but the GK RANK guarantee is: rank(estimate)
-    // must sit within n/accuracy (+1 for the discrete convention) of
-    // the target rank q*n. Spark verifies its own estimates — the
-    // one-row-per-group estimate frame broadcasts back onto events and
-    // conditional counts recover each estimate's exact rank (one extra
-    // broadcast-join pass, no second shuffle of the corpus) — and
-    // DuckDB asserts the three verdicts constant-true over the same
-    // groups. Same shape as AnalyticsSpec's in-JVM bound, now
-    // hash-checked cross-engine per round.
+    // engine-portable, but the GK RANK guarantee is: the returned value
+    // must have SOME rank within n/accuracy (+1 for the discrete
+    // convention) of the target rank q*n. With ties that "some rank" is
+    // an interval — a value duplicated d times occupies ranks
+    // (count(<v), count(<=v)] — so the verdict checks that the interval
+    // INTERSECTS the ±n/accuracy band, not that the max-rank count
+    // lands inside it (max-rank alone fails spuriously once a tie block
+    // wider than the slack straddles the target: ScaleFixture's 100×
+    // replication makes every value ~100-fold and found exactly this).
+    // Spark verifies its own estimates — the one-row-per-group estimate
+    // frame broadcasts back onto events and conditional counts recover
+    // each estimate's exact rank interval (one extra broadcast-join
+    // pass, no second shuffle of the corpus) — and DuckDB asserts the
+    // three verdicts constant-true over the same groups. Same shape as
+    // AnalyticsSpec's in-JVM bound, now hash-checked cross-engine per
+    // round.
     "q_approx_quantiles" -> QueryDef(
       (s, dir) => {
         val ev = Tables.load(s, dir, "events")
@@ -144,22 +151,28 @@ object AnalyticsQueries {
           .agg(percentile_approx(col("value"),
             array(lit(0.5), lit(0.95), lit(0.99)), lit(10000)).as("qs"),
             count(lit(1)).as("n"))
-        def okCol(rank: org.apache.spark.sql.Column, q: Double) =
-          (abs(rank.cast("double") - lit(q) * col("n")) <=
-            col("n") / lit(10000.0) + lit(1.0)).cast("long")
+        // rank interval of estimate i: (lo_i = count(< est), hi_i =
+        // count(<= est)]; ok iff [lo_i, hi_i] meets q*n ± (n/1e4 + 1)
+        def okCol(lo: org.apache.spark.sql.Column,
+            hi: org.apache.spark.sql.Column, q: Double) = {
+          val slack = col("n") / lit(10000.0) + lit(1.0)
+          (lo.cast("double") <= lit(q) * col("n") + slack &&
+            hi.cast("double") >= lit(q) * col("n") - slack).cast("long")
+        }
+        def cnt(op: (org.apache.spark.sql.Column, org.apache.spark.sql.Column)
+            => org.apache.spark.sql.Column, i: Int) =
+          sum(when(op(col("value"), col("qs").getItem(i)), 1L)
+            .otherwise(0L))
         ev.join(broadcast(est), "event_type")
           .groupBy(col("event_type"), col("n"))
           .agg(
-            sum(when(col("value") <= col("qs").getItem(0), 1L)
-              .otherwise(0L)).as("r50"),
-            sum(when(col("value") <= col("qs").getItem(1), 1L)
-              .otherwise(0L)).as("r95"),
-            sum(when(col("value") <= col("qs").getItem(2), 1L)
-              .otherwise(0L)).as("r99"))
+            cnt(_ < _, 0).as("lo50"), cnt(_ <= _, 0).as("hi50"),
+            cnt(_ < _, 1).as("lo95"), cnt(_ <= _, 1).as("hi95"),
+            cnt(_ < _, 2).as("lo99"), cnt(_ <= _, 2).as("hi99"))
           .select(col("event_type"), col("n"),
-            okCol(col("r50"), 0.5).as("ok_p50"),
-            okCol(col("r95"), 0.95).as("ok_p95"),
-            okCol(col("r99"), 0.99).as("ok_p99"))
+            okCol(col("lo50"), col("hi50"), 0.5).as("ok_p50"),
+            okCol(col("lo95"), col("hi95"), 0.95).as("ok_p95"),
+            okCol(col("lo99"), col("hi99"), 0.99).as("ok_p99"))
       },
       Some("""SELECT event_type, count(*) AS n,
         CAST(1 AS BIGINT) AS ok_p50, CAST(1 AS BIGINT) AS ok_p95,

@@ -27,6 +27,14 @@ object SimilarityQueries {
   private val JaccardThresholdQ = math.round(JaccardThreshold * 10000)
   private val CandidateJQ = 5000L // q_edit_distance's candidate cut (0.5)
   private val CosineThresholdQ = 3500L // q_embed_neardup_exact (0.35)
+  // q_lsh_plan's sizing grid: (threshold_q, threshold) pairs carried as
+  // exact integer/literal twins on both engines (no quantization of the
+  // threshold itself anywhere), times two targetBucket settings to
+  // exercise the initial-bits clamp at two operating points.
+  private[graft] val LshPlanThresholds: Seq[(Int, Double)] =
+    Seq(50 -> 0.50, 60 -> 0.60, 70 -> 0.70, 80 -> 0.80, 85 -> 0.85,
+      90 -> 0.90, 95 -> 0.95, 98 -> 0.98)
+  private[graft] val LshPlanBuckets: Seq[Long] = Seq(64L, 256L)
   private val QualityGateQ = 6000L // q_corpus_build's quality gate (0.6)
 
   /** Fixed-count caps for the validation cohorts below. Both are COUNTS,
@@ -991,6 +999,90 @@ object SimilarityQueries {
           FROM rr) t
         WHERE rn <= 5"""),
       bench = true),
+
+    // Cross-engine pin of Ann.lshPlan ITSELF — the auto-LSH sizing math
+    // (bits from log2(n/targetBucket) clamped 6..24, bands from the
+    // banding recall formula capped at 64, step-down when the cap binds)
+    // recomputed independently by DuckDB from the same corpus counts.
+    // The pair-mining outputs of the auto scheme are pinned by
+    // AutoLshSpec (planted duplicates) and measured by AutoNearDupBench;
+    // this query puts the SIZING DECISION in the hash-compared ledger so
+    // a drift in the plan math (the thing every auto-sized dedup run
+    // depends on) fails the gate, not just a spec.
+    //
+    // FP-boundary note: every ceil/compare/quantize in the plan sits
+    // >= 4e-7 from its decision boundary over this grid x the fixture
+    // corpus sizes at all committed scale points (LshPlanOracleSpec
+    // re-verifies the margins, including for scaled fixture counts), vs
+    // ~1e-12 worst-case cross-libm drift — so Java and DuckDB libm
+    // cannot disagree on any emitted integer. The one exact-boundary
+    // case, ln(1.0)=0 for n <= targetBucket, is exact in BOTH engines.
+    "q_lsh_plan" -> QueryDef(
+      (s, dir) => {
+        val nEmb = Tables.load(s, dir, "embeddings").count()
+        val nDoc = Tables.load(s, dir, "documents").count()
+        val rows = for {
+          (corpus, n) <- Seq(("documents", nDoc), ("embeddings", nEmb))
+          tb <- LshPlanBuckets
+          (tq, t) <- LshPlanThresholds
+        } yield {
+          // empty corpus plans like n=1 (SQL's greatest(1.0, n/tb) path
+          // makes the two cases identical); the emitted n stays raw
+          val pl = graft.operators.Ann.lshPlan(math.max(1L, n), t,
+            targetBucket = tb)
+          (corpus, n, tb, tq, pl.bitsPerBand, pl.nBands,
+            math.floor(pl.expectedRecall * 10000 + 0.5).toLong)
+        }
+        import s.implicits._
+        rows.toDF("corpus", "n", "target_bucket", "threshold_q", "bits",
+          "bands", "recall_q")
+      },
+      Some(s"""WITH corpora(corpus, n) AS (
+          SELECT 'documents', count(*) FROM documents
+          UNION ALL SELECT 'embeddings', count(*) FROM embeddings),
+        thr(tq, t) AS (VALUES ${LshPlanThresholds
+            .map { case (tq, t) => s"($tq, $t)" }.mkString(", ")}),
+        tbs(tb) AS (VALUES ${LshPlanBuckets
+            .map(b => s"(CAST($b AS BIGINT))").mkString(", ")}),
+        grid AS (
+          SELECT c.corpus, c.n, tbs.tb, thr.tq, thr.t,
+            1.0 - acos(thr.t) / pi() AS p
+          FROM corpora c, tbs, thr),
+        -- bandsFor(bits): B = min(64, max(1, ceil(ln(1-target)/ln(1-p^bits))))
+        sized AS (
+          SELECT g.*, CAST(bs.bits AS INTEGER) AS bits,
+            CASE WHEN power(g.p, bs.bits) >= 1.0 THEN 1
+              ELSE least(64, greatest(1, CAST(ceil(
+                ln(1.0 - 0.999) / ln(1.0 - power(g.p, bs.bits)))
+                AS INTEGER))) END AS bands
+          FROM grid g, generate_series(6, 24) bs(bits)),
+        sized2 AS (
+          SELECT *, 1.0 - power(1.0 - power(p, bits), bands) AS recall
+          FROM sized),
+        -- initial bits = clamp(ceil(log2(max(1, n/tb))), 6..24)
+        init AS (
+          SELECT corpus, n, tb, tq,
+            least(24, greatest(6, CAST(ceil(
+              ln(greatest(1.0, CAST(n AS DOUBLE) / CAST(tb AS DOUBLE)))
+              / ln(2.0)) AS INTEGER))) AS initbits
+          FROM grid),
+        -- the step-down loop: first bits from initbits downward whose
+        -- recall meets the target IS the max qualifying bits <= initbits;
+        -- if none qualifies the loop bottoms out at minBits = 6
+        pick AS (
+          SELECT i.corpus, i.n, i.tb, i.tq,
+            coalesce((SELECT max(s.bits) FROM sized2 s
+              WHERE s.corpus = i.corpus AND s.tb = i.tb AND s.tq = i.tq
+                AND s.bits <= i.initbits AND s.recall >= 0.999),
+              CAST(6 AS INTEGER)) AS bits
+          FROM init i)
+        SELECT p.corpus, p.n, p.tb AS target_bucket,
+          CAST(p.tq AS INTEGER) AS threshold_q, s.bits,
+          CAST(s.bands AS INTEGER) AS bands,
+          CAST(floor(s.recall * 10000 + 0.5) AS BIGINT) AS recall_q
+        FROM pick p JOIN sized2 s
+          ON s.corpus = p.corpus AND s.tb = p.tb AND s.tq = p.tq
+            AND s.bits = p.bits""")),
 
     // Embedding near-dup via multi-band random-hyperplane LSH (16 bands x
     // 8 bits), then exact cosine verification on candidates
