@@ -261,45 +261,80 @@ object SimilarityQueries {
     * the bit vector (small positive ints, no signed-shift gymnastics),
     * block-collision candidates, exact Hamming verify. Token-less docs
     * get the all-zero signature on both engines (the CROSS JOIN over
-    * documents keeps them; their sign counters are empty sums).
+    * documents keeps them; their sign counters are empty sums / NULL
+    * coalesced to 0).
+    *
+    * Written single-node-SCALE-lean (it OOM'd a 95 GB DuckDB at ~sf10
+    * in its naive form; this form finishes there in ~150 s):
+    *  - sign counters via exact algebra c = 2*ones - n, where ones
+    *    comes from per-hex-digit VALUE counts (16 rows per token, not
+    *    64) unpacked bit-parallel: bit w of hex position p is signature
+    *    bit j = 60 - 4p + w (the inverse of SimHashExpr's p=(63-j)/4,
+    *    w=j mod 4 mapping).
+    *  - the Hamming verify XORs the four 16-bit block ints
+    *    (bit_count(xor(...)) — identical to comparing the 64 bit-vector
+    *    entries) so the candidate join carries 4 smallints per side,
+    *    never the 64-element list column.
+    *  - signature-pipeline CTEs are MATERIALIZED: DuckDB inlines CTEs
+    *    by default, so both sides of the candidate self-join (and the
+    *    two verify probes) would otherwise recompute the whole corpus
+    *    tokenization — the measured cause of the OOM above.
     */
   private def simhashOracle: String = {
     val toks =
       """list_filter(regexp_split_to_array(text, '\s+'), t -> len(t) > 0)"""
-    s"""WITH tb AS (
+    s"""WITH tb AS MATERIALIZED (
         SELECT doc_id, md5(tok) AS mh FROM
           (SELECT doc_id, unnest($toks) AS tok FROM documents)),
+      ntok AS (SELECT doc_id, count(*) AS n FROM tb GROUP BY 1),
+      digc AS (
+        SELECT doc_id, p.p AS pos,
+          instr('0123456789abcdef', substr(mh, p.p + 1, 1)) - 1 AS dv,
+          count(*) AS cnt
+        FROM tb, (SELECT unnest(generate_series(0, 15)) AS p) p
+        GROUP BY 1, 2, 3),
+      bitones AS (
+        SELECT doc_id, 60 - 4 * pos + b.b AS j,
+          sum(CASE WHEN (dv // CAST(power(2, b.b) AS BIGINT)) % 2 = 1
+            THEN cnt ELSE 0 END) AS ones
+        FROM digc, (SELECT unnest(generate_series(0, 3)) AS b) b
+        GROUP BY 1, 2),
       bits AS (
         SELECT d.doc_id, j.j AS j,
-          coalesce(sum(CASE WHEN (instr('0123456789abcdef',
-                substr(tb.mh, (63 - j.j) // 4 + 1, 1)) - 1)
-              // CAST(power(2, j.j % 4) AS BIGINT) % 2 = 1
-            THEN 1 ELSE -1 END), 0) AS c
+          coalesce(2 * bo.ones - nt.n, 0) AS c
         FROM documents d
         CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS j) j
-        LEFT JOIN tb ON tb.doc_id = d.doc_id
-        GROUP BY d.doc_id, j.j),
-      sig AS (
+        LEFT JOIN bitones bo ON bo.doc_id = d.doc_id AND bo.j = j.j
+        LEFT JOIN ntok nt ON nt.doc_id = d.doc_id),
+      sig AS MATERIALIZED (
         SELECT doc_id,
           list(CASE WHEN c > 0 THEN 1 ELSE 0 END ORDER BY j) AS bv
         FROM bits GROUP BY doc_id),
-      blocks AS (
+      blocks AS MATERIALIZED (
         SELECT doc_id, i.i AS blk,
           CAST(list_sum(list_transform(generate_series(1, 16),
             k -> bv[16 * i.i + k] * CAST(power(2, k - 1) AS BIGINT)))
             AS BIGINT) AS v
         FROM sig, (SELECT unnest(generate_series(0, 3)) AS i) i),
+      sigc AS MATERIALIZED (
+        SELECT doc_id,
+          max(CASE WHEN blk = 0 THEN v END) AS v0,
+          max(CASE WHEN blk = 1 THEN v END) AS v1,
+          max(CASE WHEN blk = 2 THEN v END) AS v2,
+          max(CASE WHEN blk = 3 THEN v END) AS v3
+        FROM blocks GROUP BY doc_id),
       cand AS (
         SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
         FROM blocks x JOIN blocks y
           ON x.blk = y.blk AND x.v = y.v AND x.doc_id < y.doc_id),
       scored AS (
-        SELECT a, b, CAST(list_sum(list_transform(generate_series(1, 64),
-            j -> CASE WHEN sa.bv[j] <> sb.bv[j] THEN 1 ELSE 0 END))
+        SELECT a, b, CAST(
+            bit_count(xor(sa.v0, sb.v0)) + bit_count(xor(sa.v1, sb.v1)) +
+            bit_count(xor(sa.v2, sb.v2)) + bit_count(xor(sa.v3, sb.v3))
             AS INTEGER) AS dist
         FROM cand
-        JOIN sig sa ON a = sa.doc_id
-        JOIN sig sb ON b = sb.doc_id)
+        JOIN sigc sa ON a = sa.doc_id
+        JOIN sigc sb ON b = sb.doc_id)
       SELECT a, b, dist FROM scored WHERE dist <= 3"""
   }
 
