@@ -8,7 +8,7 @@ import graft.operators.Ann
 import graft.queries.Tables
 
 /** The fixture-embeddings contrast for the mult=100 bench's one
-  * super-linear member: q_embed_neardup runs the FIXED 16x8 band scheme
+  * super-linear member: the r13-era q_embed_neardup ran the FIXED 16x8 scheme
   * (pinned for its engine-portable oracle), whose candidate volume is
   * quadratic in the corpus — 383x for 100x data measured. This main
   * times the identical operator under the fixed scheme and under the
@@ -49,8 +49,12 @@ object AutoNearDupBench {
     val (fixedSec, fixedPairs) = minOf(
       Ann.nearDupPairs(emb, dim, threshold, nBands = 16, bitsPerBand = 8,
         maxBucket = Long.MaxValue).count())
+    // the plan computed above is the plan that RUNS (nearDupPairsPlanned
+    // takes it verbatim), so the JSON's auto_bits/auto_bands report the
+    // timed scheme by construction — no second count()/re-plan that
+    // could drift from the printed figures
     val (autoSec, autoPairs) = minOf(
-      Ann.nearDupPairsAuto(emb, dim, threshold,
+      Ann.nearDupPairsPlanned(emb, dim, threshold, plan,
         maxBucket = Long.MaxValue).count())
 
     println(s"""{"metric":"auto_neardup","sf":"$sfDir","n":$n,""" +

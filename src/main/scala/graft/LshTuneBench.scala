@@ -21,7 +21,7 @@ import graft.operators.Ann
   * UNDER-RESOLVED regime the guard's case (a) describes, not the dense-
   * cluster case (b) that no band scheme can fix.
   *
-  * Usage: runMain graft.LshTuneBench [nBase] [doublings] [dim] [anchorN]
+  * Usage: runMain graft.LshTuneBench [nBase] [quadruplings] [dim] [anchorN]
   * (defaults 50000 2 32 100000) — prints one JSON line with, per corpus
   * size, the fixed-16x8 and auto candidate volumes and schemes, plus
   * wall times for both full operators at anchorN (a size where the two
@@ -30,7 +30,7 @@ import graft.operators.Ann
 object LshTuneBench {
   def main(args: Array[String]): Unit = {
     val nBase = if (args.length > 0) args(0).toLong else 50000L
-    val doublings = if (args.length > 1) args(1).toInt else 2
+    val quadruplings = if (args.length > 1) args(1).toInt else 2
     val dim = if (args.length > 2) args(2).toInt else 32
     val anchorN = if (args.length > 3) args(3).toLong else 100000L
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
@@ -57,7 +57,7 @@ object LshTuneBench {
         .agg(sum(col("c") * (col("c") - 1) / 2).cast("long"))
         .head().getLong(0)
 
-    val sizes = (0 to doublings).map(k => nBase << (2 * k))
+    val sizes = (0 to quadruplings).map(k => nBase << (2 * k))
     val rows = sizes.map { n =>
       val emb = corpus(n).cache()
       emb.count()

@@ -35,6 +35,16 @@ object ScaleFixture {
 
   private val IdOffset = 100000000L
 
+  /** The committed scale points (fixture multipliers) the round
+    * artifacts are generated at — mult=1 is the raw driver fixture.
+    * SINGLE SOURCE OF TRUTH: LshPlanOracleSpec derives its libm-margin
+    * grid from this list, so adding a scale point here automatically
+    * extends the cross-engine drift tripwire to the new corpus counts
+    * (the r13 gap: the spec's hand-written list would have silently
+    * not covered a future mult=300 artifact).
+    */
+  val CommittedMults: Seq[Long] = Seq(1L, 3L, 10L, 30L, 100L)
+
   /** Replica word tagging: suffix every token with "~r". Order-preserving
     * and injective per replica — within-replica shingle sets are
     * isomorphic to the original's (identical jaccard structure), across

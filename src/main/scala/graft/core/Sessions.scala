@@ -13,8 +13,31 @@ object Sessions {
   def local(cores: Int = Runtime.getRuntime.availableProcessors()): SparkSession =
     tune(SparkSession.builder().master(s"local[$cores]"), cores).getOrCreate()
 
+  /** Multi-process execution override — the cheapest stand-in for a
+    * real cluster this container can run. `SPARK_GRAFT_MASTER=
+    * local-cluster[2,8,4096]` re-points ANY session built through here
+    * (Verify, Bench, every spec) at real executor JVMs launched by an
+    * in-process standalone master/worker pair: separate heaps, real
+    * closure/encoder serialization, real broadcast + shuffle transport —
+    * the bug classes `local[n]`'s single JVM structurally cannot
+    * surface. `SPARK_GRAFT_JARS` (comma-separated) ships the
+    * application — and, for specs, test — classes to those executors;
+    * `SPARK_GRAFT_EXECUTOR_MEM` sizes their heaps under the worker's
+    * memory budget (default 3g under the 4096 MB worker above).
+    * Unset env → builders pass through untouched (the normal path).
+    */
+  private def masterOverride(b: SparkSession.Builder): SparkSession.Builder =
+    sys.env.get("SPARK_GRAFT_MASTER").fold(b) { m =>
+      val withM = b.master(m)
+      val withJ = sys.env.get("SPARK_GRAFT_JARS")
+        .fold(withM)(j => withM.config("spark.jars", j))
+      withJ.config("spark.executor.memory",
+        sys.env.getOrElse("SPARK_GRAFT_EXECUTOR_MEM", "3g"))
+    }
+
   def tune(b: SparkSession.Builder, shufflePartitions: Int): SparkSession.Builder =
-    b.config("spark.sql.extensions", "graft.expressions.GraftExtensions")
+    masterOverride(b)
+      .config("spark.sql.extensions", "graft.expressions.GraftExtensions")
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

@@ -28,7 +28,8 @@ import org.apache.spark.sql.types._
   * (b, i) is bit k of md5("hp:<seed>:<b>:<i>:<k/128>") (hex digit
   * k/4, bits high-to-low within the digit), so ANY engine with an md5
   * can reproduce the matrix exactly — the DuckDB oracle for
-  * q_embed_neardup builds the identical signs in SQL, and so does its
+  * q_embed_neardup_auto builds the identical signs in SQL (at
+  * plan-sized band/bit dims), and so does its
   * big-scale twin `tools/check_embed_scale.py` (keep all three in sync
   * if the seed or digest recipe ever changes). Sign-projection
   * LSH only needs a symmetric component distribution for

@@ -170,7 +170,9 @@ object Ann {
     *    expected bucket population is n/2^bits, so this pins E[bucket]
     *    ~= targetBucket at ANY corpus size — candidate volume per band
     *    stays ~n*targetBucket/2 (linear in n) instead of n²/2^bits
-    *    (quadratic for fixed bits, the q_embed_neardup mult=30 tail).
+    *    (quadratic for fixed bits — the r13 fixed-16x8 ledger query's
+    *    measured 383.7x wall at mult=100; the ledger now rides this
+    *    auto sizing via q_embed_neardup_auto).
     *  - nBands from the banding recall formula: a pair at cosine c
     *    collides per bit with p = 1 - acos(c)/pi, per band with p^bits,
     *    in >=1 of B bands with 1-(1-p^bits)^B — solve B for
@@ -200,8 +202,25 @@ object Ann {
     require(targetBucket >= 1 && minBits >= 1 && maxBits >= minBits &&
       maxBands >= 1, "lshPlan: degenerate bounds")
     val p = 1.0 - math.acos(threshold) / math.Pi
-    def bandsFor(bits: Int): (Int, Double) = {
-      val pBand = math.pow(p, bits)
+    val fromN = math.ceil(
+      math.log(math.max(1.0, n.toDouble / targetBucket)) / math.log(2.0))
+      .toInt
+    stepDownPlan(p, fromN, targetRecall, minBits, maxBits, maxBands)
+  }
+
+  /** Shared band-solving core of the cosine and Jaccard plan forms:
+    * starting from `fromN` per-band hashes (clamped to minK..maxK),
+    * solve the band count from the banding recall formula
+    * 1-(1-pPerHash^k)^B >= targetRecall, stepping k DOWN when the
+    * band cap binds — identical algebra (and identical IEEE op
+    * sequence, which the q_lsh_plan oracle's libm-margin contract
+    * depends on) for both families; only pPerHash differs
+    * (1 - acos(t)/pi for sign planes, t itself for MinHash rows).
+    */
+  private def stepDownPlan(pPerHash: Double, fromN: Int,
+      targetRecall: Double, minK: Int, maxK: Int, maxBands: Int): LshPlan = {
+    def bandsFor(k: Int): (Int, Double) = {
+      val pBand = math.pow(pPerHash, k)
       // B = ceil(ln(1-target)/ln(1-pBand)), guarded: pBand ~ 1 means one
       // band already exceeds the target
       val exact =
@@ -210,16 +229,53 @@ object Ann {
       val b = math.min(maxBands, math.max(1, exact))
       (b, 1.0 - math.pow(1.0 - pBand, b))
     }
-    val fromN = math.ceil(
-      math.log(math.max(1.0, n.toDouble / targetBucket)) / math.log(2.0))
-      .toInt
-    var bits = math.min(maxBits, math.max(minBits, fromN))
-    var (bands, recall) = bandsFor(bits)
-    while (recall < targetRecall && bits > minBits) {
-      bits -= 1
-      val br = bandsFor(bits); bands = br._1; recall = br._2
+    var k = math.min(maxK, math.max(minK, fromN))
+    var (bands, recall) = bandsFor(k)
+    while (recall < targetRecall && k > minK) {
+      k -= 1
+      val br = bandsFor(k); bands = br._1; recall = br._2
     }
-    LshPlan(bits, bands, recall)
+    LshPlan(k, bands, recall)
+  }
+
+  /** [[lshPlan]]'s Jaccard/MinHash-banding sibling: size (rowsPerBand,
+    * nBands) for a MinHash LSH scheme from the corpus count. Identical
+    * recall algebra — a pair at Jaccard s collides per band with s^rows
+    * (each row-hash agrees with probability s), in >=1 of B bands with
+    * 1-(1-s^rows)^B — so `bitsPerBand` in the returned [[LshPlan]] is
+    * ROWS per band here.
+    *
+    * The resolution dial differs from the cosine form because MinHash
+    * band buckets have no 2^bits pigeonhole: candidate volume is driven
+    * by BACKGROUND pairs colliding, E[cands/band] ~ C(n,2)·s_bg^rows
+    * for background similarity s_bg. Holding that at ~n·targetBucket/2
+    * (the same linear-in-n regime lshPlan pins) gives
+    * rows = ceil(ln(n/targetBucket)/ln(1/s_bg)) — log-n growth, base
+    * 1/s_bg. `backgroundSim`'s default 0.1 is deliberately pessimistic
+    * for text dedup (unrelated documents share almost no shingles, so
+    * the TRUE background Jaccard is ~0 and the real volume lands well
+    * under the bound); callers with boilerplate-heavy corpora (higher
+    * background overlap) pass their measured s_bg. As in lshPlan, if
+    * the recall target cannot be held within maxBands, rows step down
+    * (trading candidate volume for recall, explicitly reported).
+    */
+  def lshPlanJaccard(n: Long, threshold: Double,
+      targetRecall: Double = 0.999, targetBucket: Long = 256L,
+      backgroundSim: Double = 0.1, minRows: Int = 2, maxRows: Int = 16,
+      maxBands: Int = 64): LshPlan = {
+    require(n > 0, s"lshPlanJaccard: corpus size $n must be positive")
+    require(threshold > 0.0 && threshold < 1.0,
+      s"lshPlanJaccard: threshold $threshold outside (0,1)")
+    require(targetRecall > 0.0 && targetRecall < 1.0,
+      s"lshPlanJaccard: targetRecall $targetRecall outside (0,1)")
+    require(backgroundSim > 0.0 && backgroundSim < threshold,
+      s"lshPlanJaccard: backgroundSim $backgroundSim outside (0,threshold)")
+    require(targetBucket >= 1 && minRows >= 1 && maxRows >= minRows &&
+      maxBands >= 1, "lshPlanJaccard: degenerate bounds")
+    val fromN = math.ceil(
+      math.log(math.max(1.0, n.toDouble / targetBucket)) /
+        math.log(1.0 / backgroundSim)).toInt
+    stepDownPlan(threshold, fromN, targetRecall, minRows, maxRows, maxBands)
   }
 
   /** [[nearDupPairs]] with the band scheme sized by [[lshPlan]] from the
@@ -233,13 +289,30 @@ object Ann {
       targetRecall: Double = 0.999, targetBucket: Long = 256L,
       seed: Long = 42L, maxBucket: Long = DefaultMaxBucket): DataFrame = {
     val n = emb.count()
-    val plan = lshPlan(n, threshold, targetRecall, targetBucket)
+    // an empty corpus plans like n=1 (the oracle SQL's greatest(1.0,
+    // n/tb) path makes the two cases identical — same convention as
+    // q_lsh_plan) and degrades to zero output pairs instead of
+    // throwing on the lshPlan precondition
+    val plan = lshPlan(math.max(1L, n), threshold, targetRecall,
+      targetBucket)
     System.err.println(s"[nearDupPairsAuto] n=$n -> bits=" +
       s"${plan.bitsPerBand} bands=${plan.nBands} " +
       f"expectedRecall=${plan.expectedRecall}%.4f")
+    nearDupPairsPlanned(emb, dim, threshold, plan, seed, maxBucket)
+  }
+
+  /** [[nearDupPairs]] under a caller-supplied [[LshPlan]] — the
+    * plan-explicit face of [[nearDupPairsAuto]]. Callers that already
+    * hold the corpus count (or must REPORT the scheme that actually
+    * ran, e.g. AutoNearDupBench's JSON) compute [[lshPlan]] once and
+    * pass it here, so the timed/printed scheme and the executed scheme
+    * cannot diverge.
+    */
+  def nearDupPairsPlanned(emb: DataFrame, dim: Int, threshold: Double,
+      plan: LshPlan, seed: Long = 42L,
+      maxBucket: Long = DefaultMaxBucket): DataFrame =
     nearDupPairs(emb, dim, threshold, plan.nBands, plan.bitsPerBand,
       seed, maxBucket)
-  }
 
   /** IVF search: probe the nprobe highest-affinity cells per query, exact
     * top-k within the probed cells. Expects centroids(cell_id, cell_emb).

@@ -152,11 +152,15 @@ object AnalyticsQueries {
             array(lit(0.5), lit(0.95), lit(0.99)), lit(10000)).as("qs"),
             count(lit(1)).as("n"))
         // rank interval of estimate i: (lo_i = count(< est), hi_i =
-        // count(<= est)]; ok iff [lo_i, hi_i] meets q*n ± (n/1e4 + 1)
+        // count(<= est)]; ok iff that HALF-OPEN interval meets
+        // q*n ± (n/1e4 + 1). The smallest rank the estimate occupies is
+        // lo_i + 1 (lo_i itself is the count of strictly-smaller values,
+        // not an occupied rank), so the left-edge test is on lo_i + 1 —
+        // a bare lo_i would admit one rank beyond the stated bound.
         def okCol(lo: org.apache.spark.sql.Column,
             hi: org.apache.spark.sql.Column, q: Double) = {
           val slack = col("n") / lit(10000.0) + lit(1.0)
-          (lo.cast("double") <= lit(q) * col("n") + slack &&
+          (lo.cast("double") + lit(1.0) <= lit(q) * col("n") + slack &&
             hi.cast("double") >= lit(q) * col("n") - slack).cast("long")
         }
         def cnt(op: (org.apache.spark.sql.Column, org.apache.spark.sql.Column)

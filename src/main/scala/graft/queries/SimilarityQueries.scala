@@ -27,6 +27,14 @@ object SimilarityQueries {
   private val JaccardThresholdQ = math.round(JaccardThreshold * 10000)
   private val CandidateJQ = 5000L // q_edit_distance's candidate cut (0.5)
   private val CosineThresholdQ = 3500L // q_embed_neardup_exact (0.35)
+  // q_embed_neardup_auto: the PRODUCTION near-dup threshold (the auto
+  // plan's recall algebra is sized at this cut) + the planted-clone
+  // construction that keeps the query non-vacuous at it. The clone id
+  // offset is odd and > every ScaleFixture replica/hot-cluster id.
+  private val NearDupAutoThreshold = 0.95
+  private val NearDupAutoThresholdQ = 9500L
+  private[graft] val CloneStride = 50
+  private[graft] val CloneIdOffset = 20000000001L
   // q_lsh_plan's sizing grid: (threshold_q, threshold) pairs carried as
   // exact integer/literal twins on both engines (no quantization of the
   // threshold itself anywhere), times two targetBucket settings to
@@ -190,6 +198,28 @@ object SimilarityQueries {
     // library use must not accumulate executor storage
     graft.core.CacheHygiene.unpersistAfterFirstUse(sets,
       graft.core.CacheHygiene.unpersistAfterFirstUse(banded, result))
+  }
+
+  /** [[minhashLshPairs]] with the banding sized by
+    * [[graft.operators.Ann.lshPlanJaccard]] from the corpus's own doc
+    * count — the text-path twin of Ann.nearDupPairsAuto. Returns the
+    * plan alongside the frame so callers (TextLshTuneBench, specs)
+    * report the scheme that actually ran. The ledger's q_minhash_lsh
+    * keeps the fixed 64-perm/16-band form (it measured SUB-linear at
+    * mult=100 — Jaccard banding degrades gracefully because background
+    * text pairs share almost no shingles); this auto face is the
+    * hardening dial for corpora where that stops being true, and its
+    * sizing algebra is spec-pinned by AutoLshSpec's Jaccard tests.
+    */
+  private[graft] def minhashLshPairsAuto(s: SparkSession, dir: String,
+      targetRecall: Double = 0.999, targetBucket: Long = 256L,
+      backgroundSim: Double = 0.1)
+      : (graft.operators.Ann.LshPlan, DataFrame) = {
+    val n = Tables.load(s, dir, "documents").count()
+    val plan = graft.operators.Ann.lshPlanJaccard(math.max(1L, n),
+      JaccardThreshold, targetRecall, targetBucket, backgroundSim)
+    (plan, minhashLshPairs(s, dir, plan.bitsPerBand * plan.nBands,
+      plan.nBands))
   }
 
   /** DuckDB twin of the FULL MinHash-LSH pipeline: per-shingle md5
@@ -1119,32 +1149,92 @@ object SimilarityQueries {
           ON s.corpus = p.corpus AND s.tb = p.tb AND s.tq = p.tq
             AND s.bits = p.bits""")),
 
-    // Embedding near-dup via multi-band random-hyperplane LSH (16 bands x
-    // 8 bits), then exact cosine verification on candidates
-    // (Ann.nearDupPairs; recall semantics pinned by NearDupSpec with
-    // PLANTED cosine>0.99 duplicates — where band recall is ~1.0). The
-    // fixture corpus contains no true near-duplicates (max pairwise
-    // cosine ~0.51), so the query runs the identical plan at threshold
-    // 0.4 — "most-similar pair mining" — to keep the evidence non-vacuous
-    // (rows > 0, deterministic under the fixed plane seed).
+    // Embedding near-dup with the band scheme SIZED FROM THE CORPUS
+    // COUNT (Ann.nearDupPairsAuto / Ann.lshPlan) — the certified path is
+    // the scale-safe path. The r13 form of this query pinned a FIXED
+    // 16x8 scheme, whose candidate volume is Sum c²/2 ~ B·n²/2^bits —
+    // quadratic in corpus size, measured 383.7x wall for 100x data —
+    // while the auto-sized repair was only spec/bench-covered; that
+    // fixed form is now demoted to specs (NearDupSpec, AutoLshSpec),
+    // and the ledger certifies the plan-derived scheme end to end:
+    // DuckDB independently recomputes bits/bands from ITS OWN count(*)
+    // of the same corpus via the identical sizing algebra the oracled
+    // q_lsh_plan pins (libm margins re-verified by LshPlanOracleSpec,
+    // which covers the augmented counts below at every committed scale
+    // point), then re-derives the md5 plane family at those dimensions.
     //
-    // FULLY ORACLED since the plane family moved to md5-derived ±1
-    // signs (HyperplaneBands scaladoc): the SQL below re-derives the
-    // identical plane matrix — component k of plane (band, bit) is bit
-    // k of md5('hp:42:band:bit:0'), hex digit k/4, bits high-to-low —
-    // and computes the same sign projections (±v[k] is exact, list_sum
-    // sums in index order like the native loop — the same order-match
-    // every dot-product oracle in this file already relies on), the
-    // same per-band bucket longs, the same bucket-equality candidate
-    // pairs, and the same r4q-cut cosine verification.
-    "q_embed_neardup" -> QueryDef(
-      (s, dir) => graft.operators.Ann.nearDupPairs(
-        Tables.load(s, dir, "embeddings"), dim = 64, threshold = 0.4),
-      Some(s"""WITH planesig AS (
+    // The corpus is AUGMENTED with planted near-duplicates: every
+    // CloneStride-th vector is cloned (id + CloneIdOffset) with its
+    // FIRST component negated — an exact sign flip on both engines, so
+    // the clone pair's cosine 1 - 2·v0²/|v|² (~0.82..0.9999 on the
+    // fixture) is bit-identical cross-engine. This keeps the evidence
+    // non-vacuous at the PRODUCTION threshold 0.95 with the production
+    // target recall (the fixture corpus itself has max pairwise cosine
+    // ~0.51): some planted pairs pass the 0.95 cut and some fail it —
+    // a live verification stage, deterministic both ways. Dim 0 is
+    // never touched by ScaleFixture's replica sign masks ((i>>(r-1))&1
+    // = 0 at i=0), so clones stay distinct from every replica and the
+    // same construction holds at all committed scale points;
+    // CloneIdOffset = 2e10+1 sits above every replica/hot-cluster id
+    // range AND off the r·1e8 replica-offset lattice, so clone ids of
+    // replica rows can never collide with other replicas' ids.
+    //
+    // Plane-matrix recipe (unchanged from r13, now at plan-sized dims):
+    // component k of plane (band, bit) is bit k of
+    // md5('hp:42:band:bit:0'), hex digit k/4, bits high-to-low; ±v[k]
+    // is exact, list_sum sums in index order like the native loop; the
+    // per-band bucket longs, bucket-equality candidates and r4q-cut
+    // cosine verify are identical on both engines. The lateral-bound
+    // restriction on DuckDB's generate_series means the plane grid is
+    // generated at its maxima (64 bands x 24 bits) and filtered by the
+    // plan CTE — same rows, engine-portable.
+    "q_embed_neardup_auto" -> QueryDef(
+      (s, dir) => {
+        val base = Tables.load(s, dir, "embeddings")
+          .select(col("vec_id"), col("embedding"))
+        val clones = base.where(col("vec_id") % CloneStride === 0)
+          .select((col("vec_id") + CloneIdOffset).as("vec_id"),
+            transform(col("embedding"),
+              (x, i) => when(i === 0, -x).otherwise(x)).as("embedding"))
+        graft.operators.Ann.nearDupPairsAuto(base.unionByName(clones),
+          dim = 64, threshold = NearDupAutoThreshold)
+      },
+      Some(s"""WITH aug AS (
+          SELECT vec_id, embedding FROM embeddings
+          UNION ALL
+          SELECT vec_id + $CloneIdOffset AS vec_id,
+            list_concat([-embedding[1]], embedding[2:64]) AS embedding
+          FROM embeddings WHERE vec_id % $CloneStride = 0),
+        nn AS (SELECT count(*) AS n FROM aug),
+        pp AS (SELECT 1.0 - acos($NearDupAutoThreshold) / pi() AS p),
+        sized AS (
+          SELECT CAST(bs.bits AS INTEGER) AS bits,
+            CASE WHEN power(pp.p, bs.bits) >= 1.0 THEN 1
+              ELSE least(64, greatest(1, CAST(ceil(
+                ln(1.0 - 0.999) / ln(1.0 - power(pp.p, bs.bits)))
+                AS INTEGER))) END AS bands
+          FROM pp, generate_series(6, 24) bs(bits)),
+        sized2 AS (
+          SELECT s.bits, s.bands,
+            1.0 - power(1.0 - power(pp.p, s.bits), s.bands) AS recall
+          FROM sized s, pp),
+        init AS (
+          SELECT least(24, greatest(6, CAST(ceil(
+            ln(greatest(1.0, CAST(nn.n AS DOUBLE) / 256.0)) / ln(2.0))
+            AS INTEGER))) AS initbits
+          FROM nn),
+        plan AS (
+          SELECT s.bits, s.bands FROM sized2 s
+          WHERE s.bits = coalesce(
+            (SELECT max(x.bits) FROM sized2 x, init i
+             WHERE x.bits <= i.initbits AND x.recall >= 0.999),
+            CAST(6 AS INTEGER))),
+        planesig AS (
           SELECT tb.band, ti.bit,
             md5('hp:42:' || tb.band || ':' || ti.bit || ':0') AS dg
-          FROM generate_series(0, 15) tb(band),
-               generate_series(0, 7) ti(bit)),
+          FROM plan, generate_series(0, 63) tb(band),
+               generate_series(0, 23) ti(bit)
+          WHERE tb.band < plan.bands AND ti.bit < plan.bits),
         proj AS (
           SELECT e.vec_id, p.band, p.bit,
             list_sum(list_transform(generate_series(1, 64), k ->
@@ -1153,7 +1243,7 @@ object SimilarityQueries {
                   >> CAST(3 - ((k - 1) % 4) AS INTEGER)) & 1 = 1
                 THEN CAST(e.embedding[k] AS DOUBLE)
                 ELSE -CAST(e.embedding[k] AS DOUBLE) END)) AS s
-          FROM embeddings e CROSS JOIN planesig p),
+          FROM aug e CROSS JOIN planesig p),
         bands AS (
           SELECT vec_id, band,
             CAST(sum(CASE WHEN s >= 0
@@ -1171,9 +1261,9 @@ object SimilarityQueries {
                sqrt(${oracleDot("ey.embedding", "ey.embedding")}))""")}
               AS score_q
           FROM cand c
-          JOIN embeddings ex ON ex.vec_id = c.a
-          JOIN embeddings ey ON ey.vec_id = c.b) t
-        WHERE score_q >= 4000"""),
+          JOIN aug ex ON ex.vec_id = c.a
+          JOIN aug ey ON ey.vec_id = c.b) t
+        WHERE score_q >= $NearDupAutoThresholdQ"""),
       bench = true),
 
     // Exact-cosine pair mining over a deterministic FIXED-COUNT cohort

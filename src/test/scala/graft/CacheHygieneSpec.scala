@@ -59,12 +59,12 @@ class CacheHygieneSpec extends AnyFunSuite with BeforeAndAfterAll {
     assertStorageReleased("q_minhash_lsh")
   }
 
-  test("q_embed_neardup releases the banded projection after its first " +
-      "action") {
-    val df = SparkEntry.queries("q_embed_neardup")(spark, SfDir)
-    assertPlanUsesCache(df, "q_embed_neardup")
+  test("q_embed_neardup_auto releases the banded projection after its " +
+      "first action") {
+    val df = SparkEntry.queries("q_embed_neardup_auto")(spark, SfDir)
+    assertPlanUsesCache(df, "q_embed_neardup_auto")
     df.count()
-    assertStorageReleased("q_embed_neardup")
+    assertStorageReleased("q_embed_neardup_auto")
   }
 
   test("release fires when the caller materializes a DERIVED plan, not " +

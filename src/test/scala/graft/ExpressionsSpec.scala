@@ -89,7 +89,7 @@ class ExpressionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     // Pinned against an INDEPENDENT implementation (python hashlib):
     // component k of plane (band, bit) is bit k of
     // md5("hp:<seed>:<band>:<bit>:0") — hex digit k/4, bits high-to-low
-    // within the digit. If this recipe drifts, q_embed_neardup's SQL
+    // within the digit. If this recipe drifts, q_embed_neardup_auto's SQL
     // twin silently diverges from the native expression; this pin fails
     // first and names the plane.
     val planes = graft.expressions.HyperplaneBands

@@ -61,13 +61,27 @@ class LshPlanOracleSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   test("every plan decision sits >= 1e-7 from its boundary at all " +
       "committed corpus sizes") {
-    val baseCounts = for {
+    val baseCounts = (for {
       sf <- Seq("sf0.001", "sf0.01", "sf0.1")
       tbl <- Seq("documents", "embeddings")
-    } yield spark.read.parquet(s"/root/testdata/$sf/$tbl.parquet").count()
+    } yield spark.read.parquet(s"/root/testdata/$sf/$tbl.parquet").count()) ++
+      // q_embed_neardup_auto plans from the clone-AUGMENTED embedding
+      // count (base + every CloneStride-th id), and ScaleFixture
+      // replication multiplies both parts (replica offsets are ≡ 0 mod
+      // CloneStride, so every replica contributes the same clone count)
+      // — cover those n too
+      (for {
+        sf <- Seq("sf0.001", "sf0.01", "sf0.1")
+      } yield {
+        val e = spark.read.parquet(s"/root/testdata/$sf/embeddings.parquet")
+        e.count() + e.where(org.apache.spark.sql.functions.col("vec_id") %
+          SimilarityQueries.CloneStride === 0).count()
+      })
+    // mult list comes from the scale harness's own constant — a new
+    // committed scale point extends this tripwire automatically
     val ns = (for {
       c <- baseCounts
-      mult <- Seq(1L, 3L, 10L, 30L, 100L)
+      mult <- ScaleFixture.CommittedMults
     } yield c * mult).distinct :+ 1L
     for {
       n <- ns

@@ -68,7 +68,8 @@ class NearDupSpec extends AnyFunSuite with BeforeAndAfterAll {
   }
 
   test("the fixture-threshold configuration also verifies exactly") {
-    // q_embed_neardup's shape: moderate threshold, same plan. Every
+    // the demoted fixed-scheme ledger query's shape (now spec-only —
+    // the ledger rides q_embed_neardup_auto): moderate threshold. Every
     // emitted pair's score must equal the exact (rounded) cosine.
     val out = Ann.nearDupPairs(corpus, Dim, threshold = 0.4)
     import org.apache.spark.sql.functions._

@@ -59,7 +59,7 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   test("embedding near-dup candidates come from a band equi-join " +
       "carrying ids only, never an all-pairs product") {
-    val plan = planOf("q_embed_neardup")
+    val plan = planOf("q_embed_neardup_auto")
     assert(!plan.contains("CartesianProduct") &&
       !plan.contains("BroadcastNestedLoopJoin"),
       s"all-pairs embedding comparison in:\n$plan")
