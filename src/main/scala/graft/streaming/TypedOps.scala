@@ -81,7 +81,13 @@ object TypedOps {
       s.split("\\s+").toSeq.filter(_.nonEmpty))
 
   /** Observe: side-effect tap, pass-through (reference :245-261). The
-    * callback runs on executors, once per event per action.
+    * callback runs on EXECUTORS, once per event per action — so a
+    * driver-visible observation must flow through a cluster-safe
+    * channel (an accumulator, a metrics sink), never shared JVM state:
+    * a static singleton only appears to work under local[n]'s single
+    * JVM and observes nothing once executors are separate processes
+    * (caught by the r14 local-cluster run; StreamingSpec's observe
+    * test demonstrates the accumulator pattern).
     */
   def observe[T: TypeTag](f: T => Unit): Op[T, T] = { ds =>
     implicit val e: Encoder[EventEnvelope[T]] = enc[T]

@@ -218,14 +218,17 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
   test("observe taps every event and passes through; convert casts") {
     val ps = new PubSub(spark)
     val t = ps.topic[Int]("obs")
-    // the observe closure is serialized into tasks — a captured local
-    // would be a deserialized copy; a JVM-static singleton is shared in
-    // local mode (on a cluster, observation lands per-executor, which is
-    // the documented Observe semantics)
-    StreamingSpecTap.tapped.clear()
+    // the observe closure is serialized into tasks, so its side effect
+    // lands in the EXECUTOR JVM (the documented Observe semantics). The
+    // cluster-correct tap channel is an accumulator: executor-side adds
+    // propagate to the driver on task completion in every deployment
+    // mode — a JVM-static singleton (this test's pre-r14 form) only
+    // appears to work under local[n]'s shared JVM and silently observes
+    // nothing under local-cluster / a real cluster.
+    val tapped = spark.sparkContext.collectionAccumulator[Int]("obs-tap")
     val q = QueryBuilder[Int](ps)
       .fromDataset(t.stream)
-      .connectTo(TypedOps.observe[Int](StreamingSpecTap.tapped.add(_)))
+      .connectTo(TypedOps.observe[Int](tapped.add(_)))
       .connectTo(TypedOps.convert[Int, Double](_.toDouble / 2))
       .build()
     val received = mutable.Buffer.empty[Double]
@@ -235,7 +238,7 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     t.publish(envs(Seq(2, 4)))
     q.drain(); q.close()
     assert(received.sorted == List(1.0, 2.0))
-    assert(StreamingSpecTap.tapped.toArray.toList
+    assert(tapped.value.toArray.toList
       .map(_.asInstanceOf[Int]).sorted == List(2, 4))
     ps.close()
   }
@@ -249,7 +252,3 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
   }
 }
 
-/** JVM-static tap target for the observe spec (see comment there). */
-object StreamingSpecTap {
-  val tapped = new java.util.concurrent.ConcurrentLinkedQueue[Int]()
-}
