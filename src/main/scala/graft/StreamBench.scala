@@ -166,6 +166,73 @@ object StreamBench {
       org.apache.spark.sql.functions.col("text"))
     val texts = fixDocs.select("text").limit(50000).collect()
       .map(_.getString(0))
+
+    // SPARK_GRAFT_INGEST_PROFILE=1: per-STAGE attribution of the
+    // selective-ingest per-doc budget, instead of the full-suite bench.
+    // Four pipelines over identical inputs, each adding one stage of
+    // corpusIngestSelective:
+    //   gates       three stateless filters (quality/LM/decontam) only
+    //   sig         + MinHash signature + band explode (stateless)
+    //   band_state  + dropDuplicatesWithinWatermark(band, h) (stateful)
+    //   full        + claim-count window (the complete operator)
+    // Successive deltas attribute signature compute vs band-claim state
+    // vs the claim-window stage; the gates row is the publish/encode
+    // floor every delta sits on. Honors SPARK_GRAFT_STATE_STORE=rocksdb
+    // and SPARK_GRAFT_INGEST_DOCS like the main bench. Prints one JSON
+    // line and exits.
+    if (sys.env.get("SPARK_GRAFT_INGEST_PROFILE").contains("1")) {
+      def timeStream(label: String,
+          build: Dataset[EventEnvelope[String]] =>
+            org.apache.spark.sql.DataFrame): (String, Double) = {
+        val t = ps.topic[String](s"profile-$label")
+        val out = build(t.stream)
+        var nOut = 0L
+        val q = out.writeStream.outputMode("append")
+          .foreachBatch { (b: Dataset[org.apache.spark.sql.Row], _: Long) =>
+            nOut += b.count(); ()
+          }.start()
+        val t0 = System.nanoTime()
+        t.publish((0 until ingestN).map(i => EventEnvelope.at(
+          new Timestamp(base + i * 100L), texts(i % texts.length))))
+        t.publish(Seq(EventEnvelope.at(
+          new Timestamp(base + ingestN * 100L + 3600L * 1000L),
+          "flush marker document with enough words to pass the quality " +
+            "gate and the shingle threshold for the long branch")))
+        q.processAllAvailable()
+        val sec = (System.nanoTime() - t0) / 1e9
+        q.stop()
+        (label, sec)
+      }
+      def gates(ds: Dataset[EventEnvelope[String]]) = {
+        import org.apache.spark.sql.functions.col
+        ds.toDF()
+          .where(graft.functions.TextFunctions.qualityScoreQ(col("content"))
+            >= 2000)
+          .where(graft.operators.Importance.logw(col("content"), lmFit)
+            >= -1e6)
+          .where(graft.operators.Decontamination.hitCount(
+            col("content"), evalB) < 1000000)
+      }
+      val results = Seq(
+        timeStream("gates", ds => gates(ds)),
+        timeStream("sig", ds => TypedOps.bandedProjection(
+          "5 seconds", 5, 64, 16, 42L)(gates(ds))),
+        timeStream("band_state", ds => TypedOps.bandedProjection(
+          "5 seconds", 5, 64, 16, 42L)(gates(ds))
+          .dropDuplicatesWithinWatermark("band", "h")),
+        timeStream("full", ds => TypedOps.corpusIngestSelective(
+          "5 seconds", lmFit, evalB, minQuality = 0.2, minLogw = -1e6,
+          minShared = 1000000)(ds.asInstanceOf[Dataset[
+            EventEnvelope[String]]]).toDF()))
+      val body = results.map { case (l, s) =>
+        f""""$l":{"sec":$s%.2f,"docs_per_sec":${ingestN / s}%.0f}"""
+      }.mkString(",")
+      println(s"""{"metric":"ingest_profile","n":$ingestN,""" +
+        s""""rocksdb":$rocksdb,"docs_dir":"$ingestDocs",$body}""")
+      ps.close()
+      spark.stop()
+      return
+    }
     val t5 = ps.topic[String]("bench-ingest")
     val ing = TypedOps.corpusIngestSelective("5 seconds", lmFit, evalB,
       minQuality = 0.2, minLogw = -1e6, minShared = 1000000)(t5.stream)

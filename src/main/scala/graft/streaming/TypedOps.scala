@@ -162,9 +162,31 @@ object TypedOps {
       nPerms: Int = 64, nBands: Int = 16, seed: Long = 42L,
       granule: String = "1 second"): Op[String, String] = { ds =>
     import org.apache.spark.sql.functions._
-    require(nPerms % nBands == 0, s"nPerms=$nPerms not divisible by $nBands")
     implicit val e: Encoder[EventEnvelope[String]] = enc[String]
-    val banded = ds.toDF()
+    val banded = bandedProjection(delay, nGram, nPerms, nBands, seed)(
+      ds.toDF())
+    banded.dropDuplicatesWithinWatermark("band", "h")
+      .groupBy(window(col("event_time"), granule), col("doc_key"))
+      .agg(count(lit(1)).as("n_claimed"),
+        min_by(struct(col("stamp"), col("content")), col("event_time"))
+          .as("ev"))
+      .where(col("n_claimed") === nBands)
+      .select(col("ev.stamp").as("stamp"), col("ev.content").as("content"))
+      .as[EventEnvelope[String]]
+  }
+
+  /** The stateless first half of [[nearDupWithinWatermark]] — watermark
+    * stamp, md5 doc key, one-pass MinHash signature, band explode —
+    * factored out so StreamBench's ingest profile can time the
+    * signature/banding compute in isolation from the two stateful
+    * stages that follow it (band-claim state, claim-count window).
+    */
+  private[graft] def bandedProjection(delay: String, nGram: Int,
+      nPerms: Int, nBands: Int, seed: Long)(
+      df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    require(nPerms % nBands == 0, s"nPerms=$nPerms not divisible by $nBands")
+    df
       .withColumn("event_time", col("stamp.start_time"))
       .withWatermark("event_time", delay)
       .withColumn("doc_key", md5(col("content").cast("binary")))
@@ -180,14 +202,6 @@ object TypedOps {
           col("sig"), nBands, nPerms / nBands)).as("bh"))
       .select(col("stamp"), col("content"), col("event_time"), col("doc_key"),
         col("bh.band").as("band"), col("bh.h").as("h"))
-    banded.dropDuplicatesWithinWatermark("band", "h")
-      .groupBy(window(col("event_time"), granule), col("doc_key"))
-      .agg(count(lit(1)).as("n_claimed"),
-        min_by(struct(col("stamp"), col("content")), col("event_time"))
-          .as("ev"))
-      .where(col("n_claimed") === nBands)
-      .select(col("ev.stamp").as("stamp"), col("ev.content").as("content"))
-      .as[EventEnvelope[String]]
   }
 
   /** Streaming importance gate — the ingest-plane face of
