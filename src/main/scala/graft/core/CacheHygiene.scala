@@ -26,6 +26,16 @@ import org.apache.spark.sql.util.QueryExecutionListener
 object CacheHygiene {
 
   def unpersistAfterFirstUse(intermediate: DataFrame, result: DataFrame)
+      : DataFrame =
+    releaseAfterFirstUse(result)(() => intermediate.unpersist())
+
+  /** The general form: run `release` once after `result`'s first
+    * successful action. `unpersistAfterFirstUse` is the cache special
+    * case; semDedup uses this to free its per-round localCheckpoint
+    * blocks (which a plain unpersist() cannot reach — see
+    * Components.freeCheckpoint) once pair mining has materialized.
+    */
+  def releaseAfterFirstUse(result: DataFrame)(release: () => Unit)
       : DataFrame = {
     val session = result.sparkSession
     val target = result.queryExecution.analyzed
@@ -36,7 +46,7 @@ object CacheHygiene {
       override def onSuccess(funcName: String, qe: QueryExecution,
           durationNs: Long): Unit =
         if (touched(qe) && done.compareAndSet(false, true)) {
-          intermediate.unpersist()
+          release()
           session.listenerManager.unregister(listener)
         }
       override def onFailure(funcName: String, qe: QueryExecution,

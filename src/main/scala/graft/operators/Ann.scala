@@ -415,7 +415,7 @@ object Ann {
     // refineCells' population probes materialize the cache before its
     // irreducible-cell guard can throw — release on the failure path or
     // each guard trip pins one assignment frame in executor storage
-    val (reps, forcedDrops) =
+    val (reps, forcedDrops, roundCkpts) =
       try refineCells(assigned, thresholdQ, maxCellSize)
       catch { case e: Throwable => assigned.unpersist(); throw e }
     val x = reps.select(col("pair_key"), col("vec_id").as("a"),
@@ -437,7 +437,9 @@ object Ann {
       .join(dropped, Seq("vec_id"), "left")
       .select(col("vec_id"), col("cell_id"),
         coalesce(col("d"), lit(0L)).as("dropped"))
-    graft.core.CacheHygiene.unpersistAfterFirstUse(assigned, result)
+    graft.core.CacheHygiene.releaseAfterFirstUse(
+      graft.core.CacheHygiene.unpersistAfterFirstUse(assigned, result))(
+      () => roundCkpts.foreach(Components.freeCheckpoint))
   }
 
   /** Hot-cell cap for [[semDedup]]: pair work per cell is c²/2 exact
@@ -459,16 +461,21 @@ object Ann {
   private val SemSplitMaxDepth = 4
 
   /** The hot-cell repair pass of [[semDedup]] (exposed for AnnSpec):
-    * returns (reps, forcedDrops) where reps carries every surviving
+    * returns (reps, forcedDrops, roundCheckpoints) where reps carries
+    * every surviving
     * pair-mining participant with its refinement key `pair_key` (==
     * cell_id as string when nothing was hot — the zero-cost common
     * case, one count aggregation and no plan change) and forcedDrops
     * is the exact-duplicate non-representatives already known dropped.
     * Guarantees on return: every pair_key population <= maxCellSize,
-    * or an IllegalStateException named the irreducible cells.
+    * or an IllegalStateException named the irreducible cells (with
+    * every round checkpoint freed first). roundCheckpoints are the
+    * per-round localCheckpoint frames still referenced by reps'
+    * lineage — the CALLER frees them (Components.freeCheckpoint) once
+    * its derived result has materialized.
     */
   private[graft] def refineCells(assigned: DataFrame, thresholdQ: Long,
-      maxCellSize: Long): (DataFrame, Option[DataFrame]) = {
+      maxCellSize: Long): (DataFrame, Option[DataFrame], Seq[DataFrame]) = {
     require(maxCellSize >= 16, s"maxCellSize=$maxCellSize too small to split")
     def hotOf(df: DataFrame): Array[(String, Long)] =
       df.groupBy(col("pair_key")).agg(count(lit(1)).as("n"))
@@ -483,7 +490,7 @@ object Ann {
     // work is one count shuffle over (cell_id) pairs.
     var reps = assigned.withColumn("pair_key", col("cell_id"))
     var hot = hotOf(reps)
-    if (hot.isEmpty) return (reps, None)
+    if (hot.isEmpty) return (reps, None, Nil)
     // Something is hot: move to string refinement keys ("cell/sub/...")
     // for the split machinery below.
     reps = assigned.withColumn("pair_key", col("cell_id").cast("string"))
@@ -507,15 +514,35 @@ object Ann {
     }
 
     // Stage 2 — keyed Lloyd splits, all hot cells per round at once.
+    // The split OUTPUT is localCheckpoint'd per round (r14): without
+    // it the whole split subtree — SemSplitIters broadcast-join
+    // assignments + decimal-exact centroid recomputes — re-executes
+    // inside every later hotOf probe, every deeper round, and then
+    // TWICE more as the x/y sides of the pair-mining self-join; the
+    // re-execution, not the split math, dominated the measured
+    // absorb cost (SkewBench 51.7 s -> 23.7 s at identical keeper
+    // output). Values are unchanged by materialization, so keeper
+    // output is bit-identical; same two-generation discipline as
+    // Components' label propagation.
     var depth = 0
+    val roundCkpts = scala.collection.mutable.Buffer.empty[DataFrame]
     while (hot.nonEmpty && depth < SemSplitMaxDepth) {
       val isHot = col("pair_key").isInCollection(hot.map(_._1))
-      reps = reps.where(!isHot)
-        .unionByName(splitHotCells(reps.where(isHot)))
+      val (splitDf, splitTmp) = splitHotCells(reps.where(isHot))
+      val mat = splitDf.localCheckpoint() // eager: this round is material
+      // the round's internal checkpoints (embD, final sub-centroids)
+      // are superseded the moment the round output materializes
+      splitTmp.foreach(Components.freeCheckpoint)
+      roundCkpts += mat
+      reps = reps.where(!isHot).unionByName(mat)
       depth += 1
       hot = hotOf(reps)
     }
     if (hot.nonEmpty) {
+      // the throw abandons reps — nothing will ever read the round
+      // checkpoints again, so free them here (the assignment cache is
+      // released by semDedup's catch)
+      roundCkpts.foreach(Components.freeCheckpoint)
       val worst = hot.sortBy(-_._2).take(5)
         .map { case (k, n) => s"$k($n)" }.mkString(", ")
       throw new IllegalStateException(
@@ -527,7 +554,7 @@ object Ann {
           "(Ann.kmeansTrain), raise maxCellSize, or pre-quantize the " +
           "embeddings.")
     }
-    (reps, forced)
+    (reps, forced, roundCkpts.toSeq)
   }
 
   /** Keyed Lloyd sub-split: partition every hot pair_key SemSplitK ways
@@ -540,9 +567,15 @@ object Ann {
     * Seeds are each cell's SubSplitK lowest vec_ids; an empty sub-cell
     * keeps its previous centroid.
     */
-  private def splitHotCells(members: DataFrame): DataFrame = {
+  private def splitHotCells(members: DataFrame)
+      : (DataFrame, Seq[DataFrame]) = {
+    // materialized once: every Lloyd iteration's assignment join and
+    // the seed window all read this frame — uncheckpointed, the
+    // filter + float->double transform re-executes SemSplitIters+2
+    // times per round (values unchanged by materialization)
     val embD = members.select(col("pair_key"), col("vec_id"),
       transform(col("embedding"), _.cast("double")).as("v"))
+      .localCheckpoint()
     def assignTo(cent: DataFrame): DataFrame = {
       val cn = cent.withColumn("cn",
         VectorFunctions.dot(col("cvec"), col("cvec")))
@@ -561,6 +594,7 @@ object Ann {
         col("v").as("cvec"))
       .localCheckpoint()
     for (_ <- 0 until SemSplitIters) {
+      val prev = cent
       val next = assignTo(cent)
         .select(col("pair_key"), col("m.sub").as("sub"),
           posexplode(col("v")).as(Seq("pos", "x")))
@@ -575,12 +609,19 @@ object Ann {
       cent = next.unionByName(
         cent.join(next.select("pair_key", "sub"), Seq("pair_key", "sub"),
           "left_anti")).localCheckpoint()
+      // the new generation is material (eager checkpoint) and carries
+      // every surviving centroid forward — the superseded generation's
+      // blocks can go now instead of waiting on the context cleaner
+      Components.freeCheckpoint(prev)
     }
     val asg = assignTo(cent)
       .select(col("vec_id"), col("m.sub").as("sub"))
-    members.join(asg, Seq("vec_id"))
+    val out = members.join(asg, Seq("vec_id"))
       .select(col("vec_id"), col("embedding"), col("cell_id"), col("aff"),
         concat(col("pair_key"), lit("/"), col("sub")).as("pair_key"))
+    // embD and the final centroid generation stay live until the CALLER
+    // materializes this round's output — returned for freeing there
+    (out, Seq(embD, cent))
   }
 
   /** Product quantization encode (Jégou et al. 2011, "Product

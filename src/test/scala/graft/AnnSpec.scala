@@ -328,7 +328,7 @@ class AnnSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   test("refineCells is a pure pass-through below the cap") {
     val assigned = hotAssigned
-    val (reps, forced) = Ann.refineCells(assigned, 9900L,
+    val (reps, forced, _) = Ann.refineCells(assigned, 9900L,
       Ann.DefaultMaxCellSize)
     assert(forced.isEmpty)
     val keys = reps.select("pair_key").distinct().as[String].collect()
@@ -338,7 +338,7 @@ class AnnSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   test("hot cell: duplicate collapse + keyed sub-k-means bound every " +
       "pair-mining group under the cap") {
-    val (reps, forced) = Ann.refineCells(hotAssigned, 9900L, 16L)
+    val (reps, forced, _) = Ann.refineCells(hotAssigned, 9900L, 16L)
     val pops = reps.groupBy("pair_key").count().as[(String, Long)]
       .collect()
     assert(pops.forall(_._2 <= 16L),
