@@ -1149,6 +1149,78 @@ object SimilarityQueries {
           ON s.corpus = p.corpus AND s.tb = p.tb AND s.tq = p.tq
             AND s.bits = p.bits""")),
 
+    // Cross-engine pin of Ann.lshPlanJaccard — the MinHash-banding
+    // sibling of q_lsh_plan, same step-down algebra with two swaps:
+    // the per-hash collision probability is the threshold itself
+    // (p = t, not 1-acos(t)/pi) and the resolution dial is the
+    // background-similarity log base (rows = ceil(ln(n/tb)/ln(1/0.1)),
+    // clamped 2..16) instead of the 2^bits pigeonhole. DuckDB
+    // recomputes rows/bands/quantized-recall from ITS OWN counts over
+    // the same grid; LshPlanOracleSpec extends its libm-margin
+    // tripwire to this form (1.0/0.1 rounds to exactly 10.0 in IEEE
+    // double on both engines, so the log base is the same input value
+    // everywhere).
+    "q_lsh_plan_jaccard" -> QueryDef(
+      (s, dir) => {
+        val nEmb = Tables.load(s, dir, "embeddings").count()
+        val nDoc = Tables.load(s, dir, "documents").count()
+        val rows = for {
+          (corpus, n) <- Seq(("documents", nDoc), ("embeddings", nEmb))
+          tb <- LshPlanBuckets
+          (tq, t) <- LshPlanThresholds
+        } yield {
+          val pl = graft.operators.Ann.lshPlanJaccard(math.max(1L, n), t,
+            targetBucket = tb)
+          (corpus, n, tb, tq, pl.bitsPerBand, pl.nBands,
+            math.floor(pl.expectedRecall * 10000 + 0.5).toLong)
+        }
+        import s.implicits._
+        rows.toDF("corpus", "n", "target_bucket", "threshold_q",
+          "rows_per_band", "bands", "recall_q")
+      },
+      Some(s"""WITH corpora(corpus, n) AS (
+          SELECT 'documents', count(*) FROM documents
+          UNION ALL SELECT 'embeddings', count(*) FROM embeddings),
+        thr(tq, t) AS (VALUES ${LshPlanThresholds
+            .map { case (tq, t) => s"($tq, $t)" }.mkString(", ")}),
+        tbs(tb) AS (VALUES ${LshPlanBuckets
+            .map(b => s"(CAST($b AS BIGINT))").mkString(", ")}),
+        grid AS (
+          SELECT c.corpus, c.n, tbs.tb, thr.tq, thr.t
+          FROM corpora c, tbs, thr),
+        -- bandsFor(k): B = min(64, max(1, ceil(ln(1-target)/ln(1-t^k))))
+        sized AS (
+          SELECT g.*, CAST(ks.k AS INTEGER) AS k,
+            CASE WHEN power(g.t, ks.k) >= 1.0 THEN 1
+              ELSE least(64, greatest(1, CAST(ceil(
+                ln(1.0 - 0.999) / ln(1.0 - power(g.t, ks.k)))
+                AS INTEGER))) END AS bands
+          FROM grid g, generate_series(2, 16) ks(k)),
+        sized2 AS (
+          SELECT *, 1.0 - power(1.0 - power(t, k), bands) AS recall
+          FROM sized),
+        -- initial rows = clamp(ceil(ln(max(1, n/tb))/ln(1/0.1)), 2..16)
+        init AS (
+          SELECT corpus, n, tb, tq,
+            least(16, greatest(2, CAST(ceil(
+              ln(greatest(1.0, CAST(n AS DOUBLE) / CAST(tb AS DOUBLE)))
+              / ln(1.0 / 0.1)) AS INTEGER))) AS initk
+          FROM grid),
+        pick AS (
+          SELECT i.corpus, i.n, i.tb, i.tq,
+            coalesce((SELECT max(s.k) FROM sized2 s
+              WHERE s.corpus = i.corpus AND s.tb = i.tb AND s.tq = i.tq
+                AND s.k <= i.initk AND s.recall >= 0.999),
+              CAST(2 AS INTEGER)) AS k
+          FROM init i)
+        SELECT p.corpus, p.n, p.tb AS target_bucket,
+          CAST(p.tq AS INTEGER) AS threshold_q, s.k AS rows_per_band,
+          CAST(s.bands AS INTEGER) AS bands,
+          CAST(floor(s.recall * 10000 + 0.5) AS BIGINT) AS recall_q
+        FROM pick p JOIN sized2 s
+          ON s.corpus = p.corpus AND s.tb = p.tb AND s.tq = p.tq
+            AND s.k = p.k""")),
+
     // Embedding near-dup with the band scheme SIZED FROM THE CORPUS
     // COUNT (Ann.nearDupPairsAuto / Ann.lshPlan) — the certified path is
     // the scale-safe path. The r13 form of this query pinned a FIXED

@@ -125,4 +125,73 @@ class LshPlanOracleSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows.filter(_.getAs[Int]("threshold_q") == 95)
       .forall(_.getAs[Long]("recall_q") >= 9990L))
   }
+
+  /** Jaccard-form margins, mirroring [[margins]] for
+    * q_lsh_plan_jaccard: p-per-hash is the threshold itself and the
+    * init log base is 1/backgroundSim (1.0/0.1 rounds to exactly 10.0
+    * in IEEE double, so both engines feed ln the same value). The
+    * exact-by-IEEE n <= tb case (ln(1.0) = 0) is skipped as before.
+    */
+  private def marginsJaccard(n: Long, tb: Long, t: Double)
+      : Seq[(String, Double)] = {
+    val out = Seq.newBuilder[(String, Double)]
+    if (n > tb) {
+      val v = math.log(n.toDouble / tb) / math.log(1.0 / 0.1)
+      out += (s"initJ(n=$n,tb=$tb)" -> math.abs(v - math.rint(v)))
+    }
+    for (k <- 2 to 16) {
+      val pband = math.pow(t, k)
+      val ratio = math.log1p(-Target) / math.log1p(-pband)
+      out += (s"bandsJ(t=$t,k=$k)" -> math.abs(ratio - math.rint(ratio)))
+      val b = math.min(64, math.max(1, math.ceil(ratio).toInt))
+      val recall = 1.0 - math.pow(1.0 - pband, b)
+      out += (s"cmpJ(t=$t,k=$k)" -> math.abs(recall - Target))
+      val x = recall * 10000 + 0.5
+      out += (s"quantJ(t=$t,k=$k)" -> math.abs(x - math.rint(x)))
+    }
+    out.result()
+  }
+
+  test("Jaccard-form plan decisions sit >= 1e-7 from their boundaries " +
+      "at all committed corpus sizes") {
+    val baseCounts = for {
+      sf <- Seq("sf0.001", "sf0.01", "sf0.1")
+      tbl <- Seq("documents", "embeddings")
+    } yield spark.read.parquet(s"/root/testdata/$sf/$tbl.parquet").count()
+    val ns = (for {
+      c <- baseCounts
+      mult <- ScaleFixture.CommittedMults
+    } yield c * mult).distinct :+ 1L
+    for {
+      n <- ns
+      tb <- SimilarityQueries.LshPlanBuckets
+      (_, t) <- SimilarityQueries.LshPlanThresholds
+      (what, m) <- marginsJaccard(n, tb, t)
+    } assert(m >= MinMargin,
+      s"$what margin $m < $MinMargin at n=$n — q_lsh_plan_jaccard is " +
+        "no longer libm-drift-safe; move the grid or the fixture")
+  }
+
+  test("q_lsh_plan_jaccard emits the full grid and matches " +
+      "independently computed spot plans") {
+    val df = SparkEntry.queries("q_lsh_plan_jaccard")(
+      spark, "/root/testdata/sf0.001")
+    val rows = df.collect()
+    assert(rows.length ==
+      2 * SimilarityQueries.LshPlanBuckets.size *
+        SimilarityQueries.LshPlanThresholds.size)
+    assert(df.columns.sorted.toSeq == Seq("bands", "corpus", "n",
+      "recall_q", "rows_per_band", "target_bucket", "threshold_q"))
+    // spot pins computed outside the JVM (C libm)
+    val spot = Map(
+      (500000L, 0.80) -> (4, 14, 9994L),
+      (1000000000L, 0.80) -> (7, 30, 9991L),
+      (200L, 0.95) -> (2, 3, 9991L))
+    for (((n, t), (k, b, rq)) <- spot) {
+      val pl = graft.operators.Ann.lshPlanJaccard(n, t)
+      assert((pl.bitsPerBand, pl.nBands,
+        math.floor(pl.expectedRecall * 10000 + 0.5).toLong) == ((k, b, rq)),
+        s"jaccard plan at n=$n t=$t: $pl")
+    }
+  }
 }
