@@ -175,6 +175,32 @@ object TypedOps {
       .as[EventEnvelope[String]]
   }
 
+  /** [[nearDupWithinWatermark]] with the banding sized by
+    * [[graft.operators.Ann.lshPlanJaccard]] — the ingest-plane face of
+    * the auto dial the batch paths carry (nearDupPairsAuto,
+    * minhashLshPairsAuto). A stream has no count(), so the caller
+    * supplies `expectedHorizonDocs`: the number of DISTINCT documents
+    * expected inside the dedup horizon (the watermark-bounded state,
+    * NOT the archive — band-claim state is horizon-evicted, so that
+    * working set is what bucket populations are made of). Returns the
+    * plan it runs so callers/monitors can report the live scheme;
+    * rows·bands is the per-doc signature+state budget, which the
+    * ingest profile (SCALE.md) shows is ~60% of per-doc cost — the
+    * auto form keeps that budget right-sized instead of fixed at
+    * 64/16 as the horizon population scales.
+    */
+  def nearDupWithinWatermarkAuto(delay: String, expectedHorizonDocs: Long,
+      threshold: Double = 0.8, targetRecall: Double = 0.999,
+      targetBucket: Long = 256L, backgroundSim: Double = 0.1,
+      nGram: Int = 5, seed: Long = 42L, granule: String = "1 second")
+      : (graft.operators.Ann.LshPlan, Op[String, String]) = {
+    val plan = graft.operators.Ann.lshPlanJaccard(
+      math.max(1L, expectedHorizonDocs), threshold, targetRecall,
+      targetBucket, backgroundSim)
+    (plan, nearDupWithinWatermark(delay, nGram,
+      plan.bitsPerBand * plan.nBands, plan.nBands, seed, granule))
+  }
+
   /** The stateless first half of [[nearDupWithinWatermark]] — watermark
     * stamp, md5 doc key, one-pass MinHash signature, band explode —
     * factored out so StreamBench's ingest profile can time the

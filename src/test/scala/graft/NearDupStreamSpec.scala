@@ -98,4 +98,33 @@ class NearDupStreamSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"expected exactly one emission of the duplicated doc, got $buf")
     ps.close()
   }
+
+  test("auto-sized banding (nearDupWithinWatermarkAuto) reports its " +
+      "plan and suppresses the same planted near-dup") {
+    val ps = new PubSub(spark)
+    val t = ps.topic[String]("neardup-auto")
+    // horizon sized at 100k distinct docs -> rows track the background
+    // collision base (lshPlanJaccard: ceil(ln(100000/256)/ln(10)) = 3)
+    val (plan, op) = TypedOps.nearDupWithinWatermarkAuto(
+      delay = "5 seconds", expectedHorizonDocs = 100000L)
+    assert(plan.bitsPerBand == 3, s"unexpected auto rows: $plan")
+    assert(plan.expectedRecall >= 0.999)
+    val kept = op(t.stream)
+    val buf = mutable.Buffer.empty[String]
+    val q = kept.writeStream.outputMode("append")
+      .foreachBatch { (b: Dataset[EventEnvelope[String]], _: Long) =>
+        buf.synchronized { buf ++= b.collect().map(_.content) }; ()
+      }.start()
+    t.publish(Seq(EventEnvelope.at(ts(0), docA), EventEnvelope.at(ts(1), docC)))
+    q.processAllAvailable()
+    t.publish(Seq(EventEnvelope.at(ts(2), docB)))
+    q.processAllAvailable()
+    t.publish(Seq(EventEnvelope.at(ts(60), "flush marker document")))
+    q.processAllAvailable()
+    q.stop()
+    assert(buf.contains(docA) && buf.contains(docC))
+    assert(!buf.contains(docB),
+      "near-duplicate not suppressed under the auto-sized banding")
+    ps.close()
+  }
 }

@@ -65,6 +65,13 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"all-pairs embedding comparison in:\n$plan")
     // the self-join must key on the band hash, not compare vectors
     assert(plan.contains("band"), s"band key missing from join in:\n$plan")
+    // column pruning must survive the clone union: the embeddings scan
+    // reads (vec_id, embedding) only — the label column never leaves
+    // the footer (at 100 TB an unpruned third column is real IO)
+    val readSchemas = "ReadSchema: [^\\n]*".r.findAllIn(plan).toList
+    assert(readSchemas.nonEmpty)
+    assert(readSchemas.forall(!_.contains("label")),
+      s"label column read by the near-dup scan:\n$readSchemas")
   }
 
   test("dimension joins broadcast the small side (no big-side shuffle)") {
