@@ -204,12 +204,14 @@ object SimilarityQueries {
     * [[graft.operators.Ann.lshPlanJaccard]] from the corpus's own doc
     * count — the text-path twin of Ann.nearDupPairsAuto. Returns the
     * plan alongside the frame so callers (TextLshTuneBench, specs)
-    * report the scheme that actually ran. The ledger's q_minhash_lsh
-    * keeps the fixed 64-perm/16-band form (it measured SUB-linear at
-    * mult=100 — Jaccard banding degrades gracefully because background
-    * text pairs share almost no shingles); this auto face is the
-    * hardening dial for corpora where that stops being true, and its
-    * sizing algebra is spec-pinned by AutoLshSpec's Jaccard tests.
+    * report the scheme that actually ran. Ledger-certified end to end
+    * as q_minhash_lsh_auto (DuckDB re-derives the plan from its own
+    * count and re-runs the sketch at those dimensions); the fixed
+    * 64-perm/16-band q_minhash_lsh stays alongside it (it measured
+    * SUB-linear at mult=100 — Jaccard banding degrades gracefully
+    * because background text pairs share almost no shingles). The
+    * sizing algebra is additionally spec-pinned by AutoLshSpec's
+    * Jaccard tests and cross-engine by q_lsh_plan_jaccard.
     */
   private[graft] def minhashLshPairsAuto(s: SparkSession, dir: String,
       targetRecall: Double = 0.999, targetBucket: Long = 256L,
@@ -268,6 +270,101 @@ object SimilarityQueries {
       SELECT doc_id, i // $r AS band, $vdefs
       FROM sig GROUP BY doc_id, i // $r),
     bnd AS (SELECT doc_id, band, $fold AS bh FROM bnd0),
+    cand AS (
+      SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+      FROM bnd x JOIN bnd y
+        ON x.band = y.band AND x.bh = y.bh AND x.doc_id < y.doc_id),
+    scored AS (
+      SELECT a, b, len(list_intersect(da.sh, db.sh)) AS inter,
+        len(da.sh) AS na, len(db.sh) AS nb
+      FROM cand
+      JOIN docs da ON a = da.doc_id
+      JOIN docs db ON b = db.doc_id)
+    SELECT a, b,
+      floor(CAST(inter AS DOUBLE) / (na + nb - inter) * 10000 + 0.5) / 10000 AS j
+    FROM scored
+    WHERE ${Det.sqlR4q("CAST(inter AS DOUBLE) / (na + nb - inter)")} >= $JaccardThresholdQ"""
+  }
+
+  /** [[minhashLshOracle]] with the banding SIZED FROM DUCKDB'S OWN
+    * COUNT(*) — the text-path twin of q_embed_neardup_auto's oracle.
+    * The plan CTEs are the q_lsh_plan_jaccard algebra specialized to
+    * the production cell (threshold 0.8, targetBucket 256, recall
+    * 0.999, background-sim log base ln(10)); LshPlanOracleSpec's
+    * libm-margin tripwire covers exactly this cell at the documents
+    * count of every committed scale point, so the two engines cannot
+    * disagree on (rows, bands). The signature/band stages are the
+    * static oracle's, made plan-dynamic:
+    *  - the permutation index series is generated at its maximum
+    *    (maxRows*maxBands - 1 = 1023) and filtered by the plan — the
+    *    same engine-portable dodge of DuckDB's lateral-bound
+    *    restriction the embed auto oracle uses;
+    *  - the per-band fold, unrollable only for a compile-time
+    *    rowsPerBand, becomes list_reduce over the band's minima in
+    *    row order — the identical left fold (h·M + v) mod P,
+    *    element for element, as HashFunctions.lshBands' reduceLeft.
+    * docs is MATERIALIZED (the SimHash-oracle scale lesson: inlined
+    * CTEs re-tokenize the corpus once per self-join side).
+    */
+  private def minhashLshAutoOracle(seed: Long): String = {
+    val p = graft.expressions.MinHashSignature.P
+    val m = HashFunctions.BandHashMult
+    def hexnum(start: Int): String =
+      s"""CAST(list_sum(list_transform(generate_series(0, 11),
+         j -> CAST(instr('0123456789abcdef',
+                substr(md5(s), $start + j, 1)) - 1 AS BIGINT)
+              * CAST(power(16, 11 - j) AS BIGINT))) AS BIGINT)"""
+    s"""WITH docs AS MATERIALIZED (
+      SELECT doc_id, list_distinct(list_transform(
+        generate_series(1, greatest(len(toks) - ${Ngram - 1}, 0)),
+        i -> list_aggregate(toks[i:i+${Ngram - 1}], 'string_agg', ' '))) AS sh
+      FROM (SELECT doc_id, list_filter(regexp_split_to_array(text, '\\s+'),
+        t -> len(t) > 0) AS toks FROM documents)),
+    nn AS (SELECT count(*) AS n FROM documents),
+    -- bandsFor(k) at t = $JaccardThreshold, recall target 0.999
+    sized AS (
+      SELECT CAST(ks.k AS INTEGER) AS k,
+        CASE WHEN power($JaccardThreshold, ks.k) >= 1.0 THEN 1
+          ELSE least(64, greatest(1, CAST(ceil(
+            ln(1.0 - 0.999) / ln(1.0 - power($JaccardThreshold, ks.k)))
+            AS INTEGER))) END AS bands
+      FROM generate_series(2, 16) ks(k)),
+    sized2 AS (
+      SELECT *, 1.0 - power(1.0 - power($JaccardThreshold, k), bands)
+        AS recall
+      FROM sized),
+    -- initial rows = clamp(ceil(ln(max(1, n/256))/ln(1/0.1)), 2..16)
+    init AS (
+      SELECT least(16, greatest(2, CAST(ceil(
+        ln(greatest(1.0, CAST(nn.n AS DOUBLE) / 256.0))
+        / ln(1.0 / 0.1)) AS INTEGER))) AS initk
+      FROM nn),
+    plan AS (
+      SELECT s.k, s.bands FROM sized2 s
+      WHERE s.k = coalesce(
+        (SELECT max(x.k) FROM sized2 x, init i
+         WHERE x.k <= i.initk AND x.recall >= 0.999),
+        CAST(2 AS INTEGER))),
+    perms AS (
+      SELECT ii.i FROM generate_series(0, 1023) ii(i), plan pl
+      WHERE ii.i < pl.k * pl.bands),
+    shu AS (SELECT doc_id, unnest(sh) AS s FROM docs),
+    hs AS (
+      SELECT doc_id,
+        (${hexnum(1)} + $seed) % $p AS a,
+        ${hexnum(13)} % ${p - 1} + 1 AS b
+      FROM shu),
+    sig AS (
+      SELECT doc_id, perms.i AS i, min((a + perms.i * b) % $p) AS v
+      FROM hs, perms GROUP BY doc_id, perms.i),
+    sigb AS (
+      SELECT g.doc_id, g.i // pl.k AS band, g.i % pl.k AS j, g.v
+      FROM sig g, plan pl),
+    bnd AS (
+      SELECT doc_id, band,
+        list_reduce(list(v ORDER BY j),
+          (acc, x) -> (acc * $m + x) % $p) AS bh
+      FROM sigb GROUP BY doc_id, band),
     cand AS (
       SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
       FROM bnd x JOIN bnd y
@@ -710,6 +807,28 @@ object SimilarityQueries {
     "q_minhash_lsh" -> QueryDef(
       (s, dir) => minhashLshPairs(s, dir, 64, 16),
       Some(minhashLshOracle(64, 16, 42L)),
+      bench = true),
+
+    // MinHash-LSH with the banding SIZED FROM THE CORPUS COUNT
+    // (minhashLshPairsAuto / Ann.lshPlanJaccard) — the text-path twin
+    // of q_embed_neardup_auto, closing the same certified-path gap
+    // pre-emptively: the fixed 64x16 form above measured SUB-linear at
+    // mult=100 (Jaccard banding degrades gracefully), so it stays in
+    // the ledger, but the auto dial is what a boilerplate-heavy corpus
+    // needs, and from this round the ledger certifies it end to end.
+    // DuckDB recomputes (rows, bands) from ITS OWN count(*) via the
+    // q_lsh_plan_jaccard algebra (the exact (t=0.8, tb=256) cell is
+    // margin-tripwired by LshPlanOracleSpec at every committed scale
+    // point), then re-runs the full sketch pipeline at those
+    // dimensions with a plan-dynamic band fold (list_reduce = the
+    // native reduceLeft, element for element). At the 500-doc fixture
+    // the plan lands at 2 rows x 7 bands = 14 perms (vs the fixed 64)
+    // and GROWS with n — log-n rows pin E[background candidates]
+    // linear in n, the same regime Ann.lshPlan certifies for the
+    // embedding path.
+    "q_minhash_lsh_auto" -> QueryDef(
+      (s, dir) => minhashLshPairsAuto(s, dir)._2,
+      Some(minhashLshAutoOracle(42L)),
       bench = true),
 
     // SimHash near-dup: 64-bit signatures; pairs within Hamming distance 3

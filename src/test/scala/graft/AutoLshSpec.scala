@@ -202,6 +202,34 @@ class AutoLshSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(auto.nonEmpty, "vacuous fixture: no near-dup pairs at all")
   }
 
+  test("q_minhash_lsh_auto (the LEDGER query) is the auto-planned text " +
+      "path and misses no exact j>=0.8 pair on the fixture") {
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.001"
+    val ledger = SparkEntry.queries("q_minhash_lsh_auto")(spark, dir)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    // registration pin: the ledger entry IS minhashLshPairsAuto (same
+    // verified set — the plan is a pure function of the corpus count)
+    val (plan, direct) =
+      graft.queries.SimilarityQueries.minhashLshPairsAuto(spark, dir)
+    val directSet = direct.select("a", "b").as[(Long, Long)].collect().toSet
+    assert(ledger == directSet,
+      s"ledger query diverged from minhashLshPairsAuto at plan $plan")
+    // recall floor vs the exact path (q_ngram_jaccard, the reference
+    // LshRecallSpec pins the fixed scheme against): with plan recall
+    // >=0.999 every exact pair at j>=0.8 must surface on the fixture
+    val exact = SparkEntry.queries("q_ngram_jaccard")(spark, dir)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    assert(exact.nonEmpty, "vacuous fixture: no exact j>=0.8 pairs")
+    assert(plan.expectedRecall >= 0.999)
+    assert(exact.subsetOf(ledger),
+      s"auto banding missed exact pairs: ${exact -- ledger}")
+    // precision is exact by construction (the verify stage cuts on the
+    // same quantized Jaccard the exact path computes)
+    assert(ledger.subsetOf(exact),
+      s"verified pair NOT in the exact set: ${ledger -- exact}")
+  }
+
   test("q_embed_neardup_auto (the LEDGER query) emits exactly the " +
       "planted clone pairs that pass the production 0.95 cut") {
     import spark.implicits._
