@@ -3,6 +3,16 @@
 results Verify dumped, runs each oracle SQL in DuckDB over the same
 scale-factor tables, and compares (schema by sorted column names, values
 as sorted row multisets). Usage: check_correctness.py <sfDir> <outDir>.
+
+Resilience (learned at mult=100, twice): one heavyweight oracle hitting
+DuckDB's buffer-manager limit used to POISON the shared connection —
+every later query failed with the same OutOfMemoryException and dozens
+of false FAILs had to be re-adjudicated by hand. Now every query runs
+with one retry on a FRESH connection, and connections are opened with
+an explicit thread cap + spill dir (threads=16 is what fits the
+q_simhash oracle's materialized CTEs in the buffer budget on a
+128 GiB host; DuckDB's default thread count scales the per-operator
+memory footprint with it).
 """
 import json
 import os
@@ -10,11 +20,6 @@ import sys
 
 import duckdb
 
-# Optional: --json <path> writes a per-query artifact
-# ({query: {"rows": n, "match": bool, "detail": str}}) so off-gate runs
-# (e.g. the sf0.3 scale verifies in SCALE.md) leave a committed record
-# mirroring the driver's CORRECTNESS_rNN.json convention instead of an
-# ephemeral /tmp dump.
 USAGE = "usage: check_correctness.py <sfDir> <outDir> [--json <path>]"
 json_out = None
 argv = list(sys.argv[1:])
@@ -27,15 +32,27 @@ if "--json" in argv:
 if len(argv) != 2:
     sys.exit(USAGE)
 sfdir, outdir = argv[0], argv[1]
-con = duckdb.connect()
-for t in ("region nation customer supplier part orders lineitem events "
-          "documents embeddings").split():
-    # driver fixtures are single parquet files; ScaleFixture (mult=N)
-    # tables are Spark directory-parquet — glob those
-    p = f"{sfdir}/{t}.parquet"
-    pat = f"{p}/*.parquet" if os.path.isdir(p) else p
-    con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{pat}'")
 
+SPILL_DIR = "/tmp/duckdb-gate-spill"
+
+
+def fresh_connection():
+    """New connection with the fixture views + bounded resources."""
+    c = duckdb.connect()
+    c.sql("SET threads=16")
+    os.makedirs(SPILL_DIR, exist_ok=True)
+    c.sql(f"SET temp_directory='{SPILL_DIR}'")
+    for t in ("region nation customer supplier part orders lineitem events "
+              "documents embeddings").split():
+        # driver fixtures are single parquet files; ScaleFixture (mult=N)
+        # tables are Spark directory-parquet — glob those
+        p = f"{sfdir}/{t}.parquet"
+        pat = f"{p}/*.parquet" if os.path.isdir(p) else p
+        c.sql(f"CREATE VIEW {t} AS SELECT * FROM '{pat}'")
+    return c
+
+
+con = fresh_connection()
 oracle = json.load(open(f"{outdir}/oracle_sql.json"))
 ok = bad = 0
 report = {}
@@ -46,13 +63,28 @@ def record(name, rows, match, detail=""):
 
 
 for name, sql in sorted(oracle.items()):
-    try:
-        got = con.sql(
-            f"SELECT * FROM read_parquet('{outdir}/{name}/*.parquet')").df()
-        want = con.sql(sql).df()
-    except Exception as e:
-        print(f"FAIL {name}: {type(e).__name__}: {e}")
-        record(name, -1, False, f"{type(e).__name__}: {e}"[:300])
+    got = want = None
+    err = None
+    for attempt in (1, 2):
+        try:
+            got = con.sql(
+                f"SELECT * FROM read_parquet('{outdir}/{name}/*.parquet')").df()
+            want = con.sql(sql).df()
+            err = None
+            break
+        except Exception as e:
+            err = e
+            # the failed attempt may have poisoned the connection
+            # (DuckDB OOM leaves it unusable) — rebuild before the
+            # retry AND for whatever query comes next
+            try:
+                con.close()
+            except Exception:
+                pass
+            con = fresh_connection()
+    if err is not None:
+        print(f"FAIL {name}: {type(err).__name__}: {err}")
+        record(name, -1, False, f"{type(err).__name__}: {err}"[:300])
         bad += 1
         continue
     got = got.reindex(sorted(got.columns), axis=1)
