@@ -332,7 +332,7 @@ object Bench {
     }).toSeq.sortBy(_._1)
     if (sfMatches)
       try java.nio.file.Files.write(quietPath,
-        (s""" "__sf": "${quietSf.getOrElse(sfDir)}",""" +:
+        (s""" "__sf": "${quietSf.getOrElse(sfDir)}"""" +:
           healed.map { case (n, v) => f""" "$n": $v%.3f""" })
           .mkString("{\n", ",\n", "\n}\n").getBytes)
       catch { case e: Exception =>

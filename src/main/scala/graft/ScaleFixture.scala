@@ -23,8 +23,18 @@ import graft.core.Sessions
   *    sharing any n-word vocabulary subset align — candidate pairs
   *    exploded 321× at mult=3, an artifact, not a workload.)
   *  - embeddings: a replica-specific sign mask (negate dims where
-  *    (i >> (r-1)) & 1 == 1) — norms preserved, cross-replica cosine
-  *    collapses toward 0.
+  *    (i >> (r-1)) & 1 == 1) — norms preserved. At dim=64 only bits
+  *    0..5 of the index exist, so replicas r=1..6 get distinct
+  *    orthogonal-ish masks (cross-replica cosine collapses toward 0)
+  *    and every replica r>=7 has a ZERO mask — an EXACT copy of the
+  *    base vectors under fresh ids. That ceiling is embraced, not
+  *    fixed: at mult>=10 the fixture is deliberately a
+  *    "clone-augmented" corpus (SCALE.md's term) whose TRUE
+  *    near-duplicate density grows with the multiplier — the regime a
+  *    production dedup pass faces — and every committed scale
+  *    artifact (CORRECTNESS_sf10/30/100) was generated and
+  *    cross-engine-verified against exactly these bytes, so the mask
+  *    scheme must stay bit-stable.
   *  - events: id offsets only; the hourly grid keeps its shape, so
   *    users-per-hour multiplies — exactly the regime the correlation
   *    cohort cap exists for.
