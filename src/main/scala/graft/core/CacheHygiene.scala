@@ -25,6 +25,38 @@ import org.apache.spark.sql.util.QueryExecutionListener
   */
 object CacheHygiene {
 
+  /** Cache AND materialize `df` now, so every join planned over it (or
+    * over a frame derived from it) sees the cache's TRUE size instead
+    * of a scan-derived guess.
+    *
+    * Why this exists: Catalyst's size-only estimator propagates a file
+    * scan's on-disk bytes through `Generate` unchanged (explode has no
+    * fan-out multiplier) and scales `Project` by schema defaultSize
+    * ratios (every string counts 20 bytes regardless of content). For
+    * the candidate-generation shape `docs -> shingles -> explode ->
+    * (doc_id, hash64)` that chain walks a multi-hundred-MB corpus scan
+    * DOWN below `spark.sql.autoBroadcastJoinThreshold`, so the planner
+    * broadcasts a corpus-sized self-join side. Measured on the mult=300
+    * scale fixture: the exploded shingle frame (~10^8 rows) was planned
+    * BuildRight and aborted at the 8 GiB broadcast hard limit — and at
+    * mult=100 the same plan silently built a ~2.5 GiB broadcast.
+    * Materializing the pinned frame first gives the planner the
+    * InMemoryRelation's measured bytes: small corpora keep their
+    * broadcast plans, big ones fall back to sort-merge — the stats fix,
+    * not a hint that would pin one strategy at every scale. This also
+    * mirrors the production deployment, where this stage is a parquet
+    * write whose files carry true sizes.
+    *
+    * The count is an extra scheduling round-trip, not extra work — the
+    * first action would have filled the cache anyway — and it runs
+    * inside Bench's timed region, so the cost is measured, not hidden.
+    */
+  def pinMaterialized(df: DataFrame): DataFrame = {
+    val pinned = df.cache()
+    pinned.count()
+    pinned
+  }
+
   def unpersistAfterFirstUse(intermediate: DataFrame, result: DataFrame)
       : DataFrame =
     releaseAfterFirstUse(result)(() => intermediate.unpersist())

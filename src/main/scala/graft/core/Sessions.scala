@@ -41,8 +41,33 @@ object Sessions {
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      // The raise-partitions-at-scale dial the scaladoc above promises,
+      // made concrete: big shuffle stages START at this width (small
+      // per-task sorts — a sort that fits executor memory spills its
+      // input to disk ~once; one that doesn't re-spills it repeatedly)
+      // and AQE coalesces SMALL stages back down, so low-SF plans are
+      // unchanged. Default = shufflePartitions, which is AQE's own
+      // default initial width — a no-op unless the env raises it. The
+      // mult=300 scale harness sets 512: the auto-LSH candidate
+      // DISTINCT there is ~10⁹ rows, and at width 24 its per-task sort
+      // re-spilled past the host's entire free disk (measured twice)
+      // while width 512 holds each sort in memory.
+      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+        sys.env.getOrElse("SPARK_GRAFT_INITIAL_PARTITIONS",
+          shufflePartitions.toString))
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
-      .config("spark.sql.autoBroadcastJoinThreshold", (64L * 1024 * 1024).toString)
+      // Like the initial-partitions dial: a deployment-sizing knob with
+      // the local default unchanged. Big-memory executors routinely run
+      // 256-512 MB broadcast thresholds; the mult=300 harness sets
+      // 512m so the embed verify join-back broadcasts the ~180 MB
+      // vector table instead of shuffling 256-byte arrays onto ~10⁹
+      // candidate pairs (a ~200 GB shuffle — linear and trivially
+      // spread on a 1000-executor cluster, but past this single
+      // host's disk; broadcasting the SMALL side is what that cluster
+      // would do too).
+      .config("spark.sql.autoBroadcastJoinThreshold",
+        sys.env.getOrElse("SPARK_GRAFT_BROADCAST_THRESHOLD",
+          (64L * 1024 * 1024).toString))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.shuffle.spill.compress", "true")
       .config("spark.sql.parquet.filterPushdown", "true")

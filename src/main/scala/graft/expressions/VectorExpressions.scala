@@ -102,9 +102,88 @@ case class DotProduct(left: Expression, right: Expression)
   override def prettyName: String = "graft_dot"
 }
 
+/** first_equal_index(a, b): the 0-based index of the FIRST position
+  * where two array<long> columns hold equal non-null elements, -1 if
+  * none. The LSH min-band emission predicate (Ann.nearDupPairs,
+  * `firstEqualIndex(x.sigs, y.sigs) = x.band`) runs this once per
+  * JOINED candidate row — the hottest row count any expression in the
+  * engine sees (~3·10⁹ at the mult=300 fixture) — which is exactly the
+  * case the scaladoc above names: the zip_with/array_position spelling
+  * allocates a boolean array and dispatches a lambda per element
+  * through the interpreter, per joined row. This compiles to an
+  * early-exit long-compare loop inside whole-stage codegen. Null
+  * array or length mismatch -> null (the DotProduct convention: shape
+  * bugs surface as missing rows, not plausible indexes); null
+  * ELEMENTS compare as not-equal.
+  */
+case class FirstEqualIndex(left: Expression, right: Expression)
+  extends BinaryExpression {
+
+  override def nullable: Boolean = true
+
+  private def isLongArray(dt: DataType): Boolean = dt match {
+    case ArrayType(LongType, _) => true
+    case _ => false
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (isLongArray(left.dataType) && isLongArray(right.dataType))
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_first_equal_index requires array<bigint> arguments, got " +
+        s"${left.dataType.simpleString} and ${right.dataType.simpleString}")
+
+  override def dataType: DataType = IntegerType
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    if (x.numElements() != y.numElements()) return null
+    val n = x.numElements()
+    var i = 0
+    while (i < n) {
+      if (!x.isNullAt(i) && !y.isNullAt(i) && x.getLong(i) == y.getLong(i))
+        return i
+      i += 1
+    }
+    -1
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val found = ctx.freshName("found")
+      s"""
+         |if ($a.numElements() != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  int $n = $a.numElements();
+         |  int $found = -1;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if (!$a.isNullAt($i) && !$b.isNullAt($i) &&
+         |        $a.getLong($i) == $b.getLong($i)) { $found = $i; break; }
+         |  }
+         |  ${ev.value} = $found;
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): FirstEqualIndex =
+    copy(left = newLeft, right = newRight)
+
+  override def prettyName: String = "graft_first_equal_index"
+}
+
 object VectorExpressions {
   /** Column-level handle for the codegen'd dot product. */
   def dot(a: Column, b: Column): Column =
     ColumnBridge.column(DotProduct(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  /** Column-level handle for the codegen'd first-equal-index scan. */
+  def firstEqualIndex(a: Column, b: Column): Column =
+    ColumnBridge.column(FirstEqualIndex(
       ColumnBridge.expression(a), ColumnBridge.expression(b)))
 }

@@ -83,10 +83,24 @@ object Ann {
     // projection pass (and regenerate the plane matrix per expression
     // instance) — same reasoning as the MinHash signature cache. At
     // cluster scale this stage is a checkpoint/parquet write instead.
+    // `sigs` (the full per-band hash vector, nBands longs) rides along
+    // so the self-join below can emit each candidate pair from its
+    // FIRST colliding band only. Without it, a pair of near-identical
+    // vectors collides in ~every band and the pre-distinct candidate
+    // stream carries an nBands× duplicate multiplier INTO THE SHUFFLE
+    // — measured at mult=300 (~295-member clone clusters, 22-band auto
+    // plan): a ~3·10⁹-row / ~70 GB shuffle that outgrew the host's
+    // disk, of which 21/22 was duplicate emissions. The min-band
+    // filter runs inside the join stage BEFORE anything is shuffled,
+    // so the distinct shuffle carries each pair once at any density.
     val banded = emb.select(col("vec_id"),
-        explode(VectorFunctions.hyperplaneBands(
-          col("embedding"), dim, nBands, bitsPerBand, seed)).as("bh"))
-      .select(col("vec_id"), col("bh.band").as("band"), col("bh.h").as("h"))
+        VectorFunctions.hyperplaneBands(
+          col("embedding"), dim, nBands, bitsPerBand, seed).as("bhs"))
+      .select(col("vec_id"),
+        transform(col("bhs"), bh => bh.getField("h")).as("sigs"),
+        explode(col("bhs")).as("bh"))
+      .select(col("vec_id"), col("sigs"),
+        col("bh.band").as("band"), col("bh.h").as("h"))
       .cache()
     // Hot-bucket guard — LOUD, never a silent quadratic (the semDedup
     // principle). Two distinct causes land here and NEITHER has a
@@ -129,9 +143,20 @@ object Ann {
           "(3) raise maxBucket to opt into the quadratic output " +
           "deliberately.")
     }
+    // min-band emission: a colliding pair is kept only in the first
+    // band where its hashes agree, so each pair reaches the distinct
+    // shuffle exactly once however many bands it collides in. Same
+    // distinct pair set by construction — every candidate pair has a
+    // first colliding band. The scan runs pre-shuffle inside the join
+    // stage as a codegen'd early-exit loop (FirstEqualIndex; the
+    // zip_with spelling would interpret a lambda per element on the
+    // hottest row count in the engine): nBands compares per joined
+    // row against the nBands×-smaller shuffle it buys.
     val cands = banded.as("x").join(banded.as("y"),
         col("x.band") === col("y.band") && col("x.h") === col("y.h") &&
           col("x.vec_id") < col("y.vec_id"))
+      .where(graft.expressions.VectorExpressions.firstEqualIndex(
+        col("x.sigs"), col("y.sigs")) === col("x.band"))
       .select(col("x.vec_id").as("a"), col("y.vec_id").as("b"))
       .distinct()
     val vecs = emb.select(col("vec_id"), col("embedding"))

@@ -65,9 +65,14 @@ object Incremental {
     // union shingle index (production: persisted, with DF statistics)
     val all = ex.select(col("doc_id"), lit(true).as("oe"), col("text"))
       .unionByName(dl.select(col("doc_id"), lit(false).as("oe"), col("text")))
-    val sets = all.select(col("doc_id"), col("oe"),
-      array_distinct(TextFunctions.wordShingles(col("text"), nGram)).as("sh"))
-      .cache()
+    // pinMaterialized, not bare cache(): the delta-probes-index
+    // equi-join below is the jaccardPairs candidate shape, and its
+    // scan-derived size estimate walks under the broadcast threshold
+    // at corpus scale (the mult=300 8 GiB broadcast-abort class —
+    // see CacheHygiene.pinMaterialized)
+    val sets = graft.core.CacheHygiene.pinMaterialized(
+      all.select(col("doc_id"), col("oe"),
+        array_distinct(TextFunctions.wordShingles(col("text"), nGram)).as("sh")))
     // candidate probes join on 64-bit shingle hashes (8-byte shuffle
     // keys, not 5-gram strings); false candidates from a collision are
     // removed by the exact string-set verification below — the

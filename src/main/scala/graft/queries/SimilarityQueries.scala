@@ -85,7 +85,13 @@ object SimilarityQueries {
     * with document frequency <= MaxShingleDf.
     */
   private def jaccardPairs(s: SparkSession, dir: String): DataFrame = {
-    val sets = shingleSets(s, dir).cache()
+    // pinMaterialized, not bare cache(): the exploded-hash self-join
+    // below must be planned against the shingle sets' TRUE size — the
+    // scan-derived estimate walks under the broadcast threshold at
+    // corpus scale and plans a corpus-sized broadcast build (aborted
+    // at the 8 GiB hard limit on the mult=300 fixture; see
+    // CacheHygiene.pinMaterialized)
+    val sets = graft.core.CacheHygiene.pinMaterialized(shingleSets(s, dir))
     // Candidate generation runs on 64-BIT SHINGLE HASHES, not shingle
     // strings: the DF count groups by hash and the self-join shuffles
     // (doc_id, 8-byte key) rows instead of (doc_id, ~30-byte 5-gram) —
@@ -178,11 +184,18 @@ object SimilarityQueries {
     // parquet write instead of a cache.
     val sigs = sets.select(col("doc_id"),
       HashFunctions.minhashSignature(col("sh"), nPerms).as("sig"))
-    val banded = sigs.select(col("doc_id"),
-      explode(HashFunctions.lshBands(col("sig"), nBands, nPerms / nBands))
-        .as("bh"))
-      .select(col("doc_id"), col("bh.band"), col("bh.h"))
-      .cache()
+    // pinMaterialized: the band self-join must plan against the banded
+    // frame's TRUE n×nBands size — the scan-derived estimate ignores
+    // the explode fan-out and plans a corpus-sized broadcast build at
+    // scale (BuildRight on the mult=300 fixture probe; same failure
+    // class as jaccardPairs' 8 GiB abort). Materializing banded also
+    // fills the sets cache (its plan reads through it), so the verify
+    // join-backs below plan on true sizes too.
+    val banded = graft.core.CacheHygiene.pinMaterialized(
+      sigs.select(col("doc_id"),
+        explode(HashFunctions.lshBands(col("sig"), nBands, nPerms / nBands))
+          .as("bh"))
+        .select(col("doc_id"), col("bh.band"), col("bh.h")))
     val cands = banded.as("x").join(banded.as("y"),
         col("x.band") === col("y.band") && col("x.h") === col("y.h") &&
           col("x.doc_id") < col("y.doc_id"))
@@ -844,13 +857,20 @@ object SimilarityQueries {
         val sigs = Tables.load(s, dir, "documents")
           .select(col("doc_id"),
             HashFunctions.simhash64(TextFunctions.tokens(col("text"))).as("sig"))
-          .cache()
-        val blocks = sigs.select(col("doc_id"), col("sig"),
-          explode(array((0 until 4).map(i =>
-            struct(lit(i).as("blk"),
-              shiftrightunsigned(col("sig"), i * 16)
-                .bitwiseAND(0xFFFFL).as("v"))): _*)).as("b"))
-          .select(col("doc_id"), col("sig"), col("b.blk"), col("b.v"))
+        // the pin sits on BLOCKS, not sigs: blocks is the frame both
+        // self-join sides reuse (caching sigs still recomputed the 4-way
+        // explode per side), and pinMaterialized makes the block
+        // self-join plan against its true 4n size — the scan-derived
+        // estimate ignores the explode fan-out and keeps this join a
+        // corpus-sized broadcast build at any scale (BuildRight at
+        // mult=300, ~500 MB; the jaccardPairs failure class)
+        val blocks = graft.core.CacheHygiene.pinMaterialized(
+          sigs.select(col("doc_id"), col("sig"),
+            explode(array((0 until 4).map(i =>
+              struct(lit(i).as("blk"),
+                shiftrightunsigned(col("sig"), i * 16)
+                  .bitwiseAND(0xFFFFL).as("v"))): _*)).as("b"))
+            .select(col("doc_id"), col("sig"), col("b.blk"), col("b.v")))
         val result = blocks.as("x").join(blocks.as("y"),
             col("x.blk") === col("y.blk") && col("x.v") === col("y.v") &&
               col("x.doc_id") < col("y.doc_id"))
@@ -858,7 +878,7 @@ object SimilarityQueries {
             HashFunctions.hamming64(col("x.sig"), col("y.sig")).as("dist"))
           .distinct()
           .where(col("dist") <= 3)
-        graft.core.CacheHygiene.unpersistAfterFirstUse(sigs, result)
+        graft.core.CacheHygiene.unpersistAfterFirstUse(blocks, result)
       },
       Some(simhashOracle)),
 

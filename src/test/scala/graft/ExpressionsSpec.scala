@@ -84,6 +84,31 @@ class ExpressionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(sqlRow.isNullAt(0))
   }
 
+  test("first_equal_index: first matching position, -1 when disjoint, " +
+      "null on shape mismatch; matches the zip_with spelling") {
+    val df = Seq(
+      (Seq(7L, 8L, 9L), Seq(1L, 8L, 9L)),   // first match at 1 (not 2)
+      (Seq(7L, 8L, 9L), Seq(7L, 8L, 9L)),   // identical -> 0
+      (Seq(7L, 8L, 9L), Seq(1L, 2L, 3L)),   // disjoint -> -1
+    ).toDF("a", "b")
+    val got = df.select(
+      VectorExpressions.firstEqualIndex(col("a"), col("b")).as("i"))
+      .collect().map(_.getInt(0)).toSeq
+    assert(got == Seq(1, 0, -1))
+    // equivalence with the HOF spelling (1-based array_position -> -1
+    // sentinel) on random-ish data, codegen vs interpreted agreement
+    val zw = df.select((array_position(
+        zip_with(col("a"), col("b"), (p, q) => p === q), true) - 1)
+      .cast("int").as("i"))
+      .collect().map(_.getInt(0)).toSeq
+    assert(zw == got)
+    // shape mismatch -> null (the DotProduct convention)
+    val mm = Seq((Seq(1L, 2L), Seq(1L))).toDF("a", "b")
+      .select(VectorExpressions.firstEqualIndex(col("a"), col("b")))
+      .head()
+    assert(mm.isNullAt(0))
+  }
+
   test("hyperplane_bands: md5 sign-plane recipe matches the external " +
       "derivation the DuckDB oracle re-implements") {
     // Pinned against an INDEPENDENT implementation (python hashlib):

@@ -314,4 +314,46 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       plan.contains("BroadcastHashJoin"),
       s"expected the per-query distance-table broadcast in:\n$plan")
   }
+
+  /** The candidate-generation pin must be MATERIALIZED when the query
+    * frame is handed back, before any action plans the self-join —
+    * that is what gives the join planner the cache's true size instead
+    * of the scan-derived estimate (which ignores explode fan-out and
+    * walks corpus-sized frames under the broadcast threshold; at
+    * mult=300 the resulting corpus-sized broadcast build aborts at the
+    * 8 GiB hard limit — CacheHygiene.pinMaterialized). The observable
+    * contract at any SF: building the frame (NO action on it) leaves a
+    * new fully-cached RDD behind.
+    */
+  private def assertPinnedAtBuild(name: String): Unit = {
+    spark.catalog.clearCache()
+    val before = spark.sparkContext.getRDDStorageInfo
+      .filter(_.numCachedPartitions > 0).map(_.id).toSet
+    SparkEntry.queries(name)(spark, SfDir) // build only — no action
+    val fresh = spark.sparkContext.getRDDStorageInfo
+      .filter(i => !before(i.id) && i.numCachedPartitions > 0)
+    assert(fresh.exists(i => i.numCachedPartitions == i.numPartitions),
+      s"$name: no fully-materialized pin after frame build " +
+        s"(fresh cached RDDs: ${fresh.map(i =>
+          s"${i.id}:${i.numCachedPartitions}/${i.numPartitions}").mkString(",")})")
+    spark.catalog.clearCache()
+  }
+
+  test("jaccard candidate generation materializes its shingle-set pin " +
+      "at frame-build time (join planning sees true sizes)") {
+    assertPinnedAtBuild("q_ngram_jaccard")
+  }
+
+  test("MinHash-LSH materializes its banded pin at frame-build time") {
+    assertPinnedAtBuild("q_minhash_lsh")
+  }
+
+  test("SimHash materializes its block pin at frame-build time") {
+    assertPinnedAtBuild("q_simhash")
+  }
+
+  test("incremental admission materializes its shingle-index pin at " +
+      "frame-build time") {
+    assertPinnedAtBuild("q_corpus_delta")
+  }
 }
