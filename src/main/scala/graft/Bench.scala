@@ -68,6 +68,15 @@ import graft.core.Sessions
   * "load_median" so the artifact records whether the dodge succeeded.
   */
 object Bench {
+  /** Locale-pinned numeric formatting for every JSON-bound number: the
+    * f-interpolator formats through the default JVM locale, so under a
+    * comma-decimal locale it writes `0,794` and breaks JSON validity
+    * (of the radar line, the quiet-baseline file and the calibration
+    * file alike).
+    */
+  private def jnum(fmt: String, v: Double): String =
+    String.format(java.util.Locale.ROOT, fmt, Double.box(v))
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
@@ -271,11 +280,28 @@ object Bench {
     val quietSf = quietRaw.flatMap(s =>
       """"__sf"\s*:\s*"([^"]+)"""".r.findFirstMatchIn(s).map(_.group(1)))
     val sfMatches = quietSf.forall(_ == sfDir)
-    val quietBase: Map[String, Double] =
+    // Flat numeric rows split three ways: plain keys are query figures;
+    // "__stale_<q>" rows are consecutive-stale counters for the
+    // staleness rule below; "__restamp_<q>" rows are string-valued
+    // provenance left by past re-stamps (preserved verbatim on rewrite;
+    // their values use '=' separators and no colons so the numeric
+    // regex cannot misread their interiors as rows).
+    val allNum: Map[String, Double] =
       if (!sfMatches) Map.empty
       else quietRaw.fold(Map.empty[String, Double]) { s =>
         """"([^"]+)"\s*:\s*([0-9.eE+-]+)""".r.findAllMatchIn(s)
           .map(m => m.group(1) -> m.group(2).toDouble).toMap
+      }
+    val quietBase: Map[String, Double] =
+      allNum.filterNot(_._1.startsWith("__"))
+    val staleIn: Map[String, Int] = allNum.collect {
+      case (k, v) if k.startsWith("__stale_") =>
+        k.stripPrefix("__stale_") -> v.toInt
+    }
+    val restampIn: Map[String, String] =
+      quietRaw.fold(Map.empty[String, String]) { s =>
+        """"(__restamp_[^"]+)"\s*:\s*"([^"]*)"""".r.findAllMatchIn(s)
+          .map(m => m.group(1) -> m.group(2)).toMap
       }
     val flagged = qs.filter { case (n, _) =>
       !failed(n) && samples(n).nonEmpty &&
@@ -296,7 +322,7 @@ object Bench {
       ("# graft Bench load-sentinel calibration: quietest probe seconds\n" +
         "# observed on this host (see Bench.scala scaladoc). Self-healing:\n" +
         "# any quieter run lowers it.\n" +
-        f"$probeBase%.4f\n").getBytes)
+        jnum("%.4f", probeBase) + "\n").getBytes)
     catch { case e: Exception =>
       System.err.println(s"[bench] calibration write failed: $e") }
     val results = qs.collect {
@@ -306,10 +332,11 @@ object Bench {
     val unconverged = qs.collect {
       case (name, _) if !failed(name) && !converged(name) => name
     }.toVector
-    val qJson = results.map { case (k, (v, _)) => "\"" + k + f"""\":$v%.3f""" }
+    val qJson = results
+      .map { case (k, (v, _)) => "\"" + k + "\":" + jnum("%.3f", v) }
       .mkString("{", ",", "}")
     val loadJson = results
-      .map { case (k, (_, p)) => "\"" + k + f"""\":${p / probeBase}%.2f""" }
+      .map { case (k, (_, p)) => "\"" + k + "\":" + jnum("%.2f", p / probeBase) }
       .mkString("{", ",", "}")
     val errJson = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
     val uncJson = unconverged.map("\"" + _ + "\"").mkString("[", ",", "]")
@@ -319,26 +346,108 @@ object Bench {
     val qmJson = flagged.map { case (n, _) =>
       val quietMin = samples(n).map(_._1).min
       "\"" + n + "\":" +
-        f"""{"radar":${radarMins(n)}%.3f,"quiet_min":$quietMin%.3f,""" +
-        f""""baseline":${quietBase(n)}%.3f}"""
+        s"""{"radar":${jnum("%.3f", radarMins(n))},""" +
+        s""""quiet_min":${jnum("%.3f", quietMin)},""" +
+        s""""baseline":${jnum("%.3f", quietBase(n))}}"""
     }.mkString("{", ",", "}")
+    // STALENESS RULE (round 15): the only-ever-lowers convention cannot
+    // recover from a baseline row the host can no longer reproduce
+    // (r14's q1_pricing: recorded 0.453 s, but quiet focused min-of-5
+    // reads ~0.875 s on HEAD *and* on the r13 commit rebuilt — host
+    // drift, and the row would re-flag ~1.9x every round forever). A
+    // flagged row whose focused QUIET re-measurement (min attempt load
+    // <= 1.4, so contention cannot fake it) still reads >= 1.5x the
+    // baseline increments a "__stale_<q>" counter in the baseline file;
+    // K consecutive such rounds (SPARK_GRAFT_BASELINE_STALE_K, default
+    // 2) re-stamp the row UP to the measured quiet minimum and record
+    // provenance in a "__restamp_<q>" string row (date, load, probe
+    // base, old/new — '='-separated, colon-free, so the flat numeric
+    // parse above can never misread it). A flagged row that converges
+    // back under 1.5x resets its counter: only *consecutive* quiet
+    // confirmations restamp. Rows not exercised by this run (focused
+    // SPARK_GRAFT_BENCH_ONLY subsets, headliner-only runs) keep their
+    // counters untouched.
+    val staleK = sys.env.getOrElse("SPARK_GRAFT_BASELINE_STALE_K", "2")
+      .toInt.max(1)
+    val staleObserved = flagged.collect {
+      case (n, _) if !failed(n) && samples(n).nonEmpty =>
+        val (quietMin, probeAt) = samples(n).minBy(_._1)
+        val quietLoad = probeAt / probeBase
+        n -> (quietMin, quietLoad,
+          quietLoad <= 1.4 && quietMin >= quietBase(n) * 1.5)
+    }.toMap
+    val staleNext: Map[String, Int] =
+      (staleIn -- results.map(_._1)) ++ results.flatMap { case (n, _) =>
+        staleObserved.get(n) match {
+          case Some((_, _, true)) => Some(n -> (staleIn.getOrElse(n, 0) + 1))
+          case _                  => None // ran this round, not stale-quiet
+        }
+      }
+    val restamps: Map[String, (Double, String)] =
+      staleNext.collect {
+        case (n, k) if k >= staleK && staleObserved.contains(n) =>
+          val (quietMin, quietLoad, _) = staleObserved(n)
+          n -> (quietMin,
+            s"restamped ${java.time.LocalDate.now} after $k quiet rounds " +
+              s">=1.5x old=${jnum("%.3f", quietBase(n))} " +
+              s"new=${jnum("%.3f", quietMin)} load=${jnum("%.2f", quietLoad)} " +
+              s"probe_base=${jnum("%.4f", probeBase)}")
+      }
+    restamps.foreach { case (n, (v, why)) =>
+      System.err.println(s"[bench] baseline restamp $n -> ${jnum("%.3f", v)} ($why)")
+    }
     // self-heal the quiet baseline: any query this run measured quieter
     // than its recorded row (or never recorded) writes its new minimum —
     // the file converges on the quietest figure the host has ever shown,
-    // so the 1.15x trigger tightens over rounds instead of drifting
+    // so the 1.15x trigger tightens over rounds instead of drifting.
+    // Confirmed-stale rows are then re-stamped UP (the one sanctioned
+    // raise), and their counters retired.
     val healed = (quietBase ++ results.collect {
       case (n, (v, _)) if v < quietBase.getOrElse(n, Double.MaxValue) =>
         n -> v
-    }).toSeq.sortBy(_._1)
+    } ++ restamps.map { case (n, (v, _)) => n -> v }).toSeq.sortBy(_._1)
+    val staleRows = (staleNext -- restamps.keys).toSeq.sorted
+      .map { case (n, k) => s""" "__stale_$n": $k""" }
+    val restampRows =
+      (restampIn ++ restamps.map { case (n, (_, why)) =>
+        s"__restamp_$n" -> why
+      }).toSeq.sorted.map { case (k, v) => s""" "$k": "$v"""" }
     if (sfMatches)
       try java.nio.file.Files.write(quietPath,
-        (s""" "__sf": "${quietSf.getOrElse(sfDir)}"""" +:
-          healed.map { case (n, v) => f""" "$n": $v%.3f""" })
+        ((s""" "__sf": "${quietSf.getOrElse(sfDir)}"""" +:
+          healed.map { case (n, v) => s""" "$n": ${jnum("%.3f", v)}""" }) ++
+          staleRows ++ restampRows)
           .mkString("{\n", ",\n", "\n}\n").getBytes)
       catch { case e: Exception =>
         System.err.println(s"[bench] quiet-baseline write failed: $e") }
     val total = results.map(_._2._1).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qJson,"errors":$errJson,"unconverged":$uncJson,"load":$loadJson,"load_median":$medianLoad%.2f,"retries":$retries,"quiet_minima":$qmJson,"probe_base_sec":$probeBase%.4f,"wall_sec":$wallSec%.1f,"sf":"$sfDir"}""")
+    val staleJson = staleObserved.collect {
+      case (n, (_, _, true)) => "\"" + n + "\""
+    }.mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":${jnum("%.3f", total)},"unit":"sec","queries":$qJson,"errors":$errJson,"unconverged":$uncJson,"load":$loadJson,"load_median":${jnum("%.2f", medianLoad)},"retries":$retries,"quiet_minima":$qmJson,"stale_baseline":$staleJson,"probe_base_sec":${jnum("%.4f", probeBase)},"wall_sec":${jnum("%.1f", wallSec)},"sf":"$sfDir"}""")
+    // Compact driver-facing summary as the LAST stdout line: the
+    // 119-query radar JSON above outgrew the driver's tail capture in
+    // r14 (BENCH_r14.json "parsed": null — the tail began mid-token), so
+    // the line the tail is guaranteed to contain carries the totals, the
+    // errors, and the 5 worst baseline ratios. "queries" holds only
+    // those worst-5 figures ("queries_truncated": true says so); the
+    // full per-query map is the preceding line.
+    // worst-5 vs baseline; when no baseline row matches this fixture
+    // (mult runs, the sf0.01 smoke) fall back to the 5 slowest by
+    // seconds so the compact line always carries real figures
+    val vsBase = results.flatMap { case (n, (v, _)) =>
+      quietBase.get(n).map(b => (n, v, v / b))
+    }
+    val worst =
+      if (vsBase.nonEmpty) vsBase.sortBy(-_._3).take(5)
+      else results.map { case (n, (v, _)) => (n, v, 1.0) }.sortBy(-_._2).take(5)
+    val worstQ = worst
+      .map { case (n, v, _) => "\"" + n + "\":" + jnum("%.3f", v) }
+      .mkString("{", ",", "}")
+    val worstR = worst
+      .map { case (n, _, r) => "\"" + n + "\":" + jnum("%.2f", r) }
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":${jnum("%.3f", total)},"unit":"sec","n_queries":${results.size},"queries":$worstQ,"queries_truncated":true,"worst_vs_baseline":$worstR,"errors":$errJson,"load_median":${jnum("%.2f", medianLoad)},"retries":$retries,"probe_base_sec":${jnum("%.4f", probeBase)},"wall_sec":${jnum("%.1f", wallSec)},"sf":"$sfDir"}""")
     spark.stop()
     if (errors.nonEmpty) sys.exit(1)
   }

@@ -104,4 +104,19 @@ object Sessions {
       .config(
         "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled",
         "true")
+      // State-locality dials for the put/get-heavy ingest stages (the
+      // 60-76% of the per-doc budget SCALE.md attributes to the two
+      // stateful stages). Spark's RocksDB block cache defaults to 8 MB
+      // — far under a growing band-claim working set, so point lookups
+      // miss to SST reads; raising it keeps the hot index/filter/data
+      // blocks resident. trackTotalNumberOfRows=false drops the
+      // get-before-put RocksDB does per mutation to maintain exact row
+      // counts in metrics (docs: a documented write-path lever; the
+      // count becomes approximate, nothing in this engine consumes
+      // it). Both env-gated with Spark's defaults preserved; measured
+      // in SCALE.md's ingest-state-levers row.
+      .config("spark.sql.streaming.stateStore.rocksdb.blockCacheSizeMB",
+        sys.env.getOrElse("SPARK_GRAFT_ROCKSDB_BLOCK_CACHE_MB", "8"))
+      .config("spark.sql.streaming.stateStore.rocksdb.trackTotalNumberOfRows",
+        sys.env.getOrElse("SPARK_GRAFT_ROCKSDB_TRACK_ROWS", "true"))
 }

@@ -93,6 +93,16 @@ object Ann {
     // disk, of which 21/22 was duplicate emissions. The min-band
     // filter runs inside the join stage BEFORE anything is shuffled,
     // so the distinct shuffle carries each pair once at any density.
+    // Trade-off: `sigs` widens every exploded row by nBands longs —
+    // O(n·nBands²) through executor storage and both self-join inputs
+    // (~22× wider rows at the 22-band plan). On a SPARSE corpus, where
+    // candidate pairs rarely collide in more than one band, that width
+    // buys little dedup; it pays for itself exactly when duplicate
+    // density is high (the regime this operator targets). If executor
+    // storage ever becomes the binding constraint at larger band
+    // counts, persist this frame MEMORY_AND_DISK_SER instead of the
+    // default — the rows are a long array plus scalars, which
+    // serialize compactly.
     val banded = emb.select(col("vec_id"),
         VectorFunctions.hyperplaneBands(
           col("embedding"), dim, nBands, bitsPerBand, seed).as("bhs"))

@@ -257,10 +257,13 @@ object PipelineQueries {
           d.select(col("doc_id").as(idAs),
             explode(array_distinct(
               TextFunctions.wordShingles(col("text"), 3))).as("s"))
-        // cached: the eval shingles feed the bucket build AND the exact
-        // verification join; released after the first action
-        val ev = sh(docs.where(col("source") === "src19"), "eval_doc")
-          .persist()
+        // pinMaterialized: the eval shingles feed the bucket build AND
+        // the exact verification join, and that join must be planned
+        // against the eval frame's TRUE exploded size (the scan-derived
+        // estimate ignores the shingle fan-out — the q_dup_spans
+        // cold-stats hazard); released after the first action
+        val ev = graft.core.CacheHygiene.pinMaterialized(
+          sh(docs.where(col("source") === "src19"), "eval_doc"))
         val tr = sh(docs.where(col("source") =!= "src19"), "train_doc")
         val buckets = ev
           .select(pmod(xxhash64(col("s")), lit(1048576L)).as("b")).distinct()

@@ -516,14 +516,19 @@ object TextQueries {
     // shorter than the window emit nothing (documented contract).
     "q_dup_spans" -> QueryDef(
       (s, dir) => {
-        // cache the exploded window frame: it feeds both the frequency
-        // agg and the join probe — uncached, Catalyst plans the
-        // tokenize+shingle+explode corpus pass twice (released after the
-        // first action, the jaccard-query discipline)
-        val sh = Tables.load(s, dir, "documents")
-          .select(col("doc_id"), explode(array_distinct(
-            TextFunctions.wordShingles(col("text"), 8))).as("w"))
-          .persist()
+        // pinMaterialized, not bare persist(): the frame feeds both the
+        // frequency agg and the join probe (uncached, Catalyst plans the
+        // tokenize+shingle+explode corpus pass twice), AND the join must
+        // be planned against its TRUE cached size — the scan-derived
+        // estimate walks a corpus-sized exploded frame under the
+        // broadcast threshold, plans `freq` as a broadcast build, and at
+        // mult=300 the driver-side build collect aborts on
+        // spark.driver.maxResultSize (same cold-stats hazard as
+        // jaccardPairs; released after the first action as usual)
+        val sh = graft.core.CacheHygiene.pinMaterialized(
+          Tables.load(s, dir, "documents")
+            .select(col("doc_id"), explode(array_distinct(
+              TextFunctions.wordShingles(col("text"), 8))).as("w")))
         val freq = sh.groupBy("w").agg(count(lit(1)).as("nd"))
         val result = sh.join(freq, "w")
           .groupBy("doc_id")
@@ -555,13 +560,16 @@ object TextQueries {
     // query is shard 0 of that layout.
     "q_postings" -> QueryDef(
       (s, dir) => {
-        // cached: feeds the df agg and the rank-capped collect (two
-        // different token-partitioned consumers, no subplan sharing
-        // without it); released after the first action
-        val sh = Tables.load(s, dir, "documents")
-          .select(col("doc_id"), explode(array_distinct(
-            TextFunctions.tokens(col("text")))).as("token"))
-          .persist()
+        // pinMaterialized: feeds the df agg and the rank-capped collect
+        // (two different token-partitioned consumers, no subplan sharing
+        // without it), and the df-join below must plan against the
+        // exploded frame's TRUE size, not the explode-blind scan
+        // estimate (the q_dup_spans maxResultSize abort at mult=300);
+        // released after the first action
+        val sh = graft.core.CacheHygiene.pinMaterialized(
+          Tables.load(s, dir, "documents")
+            .select(col("doc_id"), explode(array_distinct(
+              TextFunctions.tokens(col("text")))).as("token")))
         val dfT = sh.groupBy("token").agg(count(lit(1)).as("df"))
         val capped = sh
           .withColumn("rn", row_number().over(
@@ -598,8 +606,12 @@ object TextQueries {
     // count, amortized against the shuffle they feed.
     "q_cdc_chunks" -> QueryDef(
       (s, dir) => {
-        val ch = graft.operators.Cdc.chunks(
-          Tables.load(s, dir, "documents"), col("text")).persist()
+        // pinMaterialized for the same two reasons as q_dup_spans: reuse
+        // across the frequency agg + join, and a join planned against
+        // the chunk frame's measured bytes instead of the scan guess
+        val ch = graft.core.CacheHygiene.pinMaterialized(
+          graft.operators.Cdc.chunks(
+            Tables.load(s, dir, "documents"), col("text")))
         val freq = ch.distinct()
           .groupBy("chunk_md5").agg(count(lit(1)).as("nd"))
         val result = ch.join(freq, "chunk_md5")

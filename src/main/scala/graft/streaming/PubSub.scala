@@ -64,9 +64,34 @@ final class Topic[T] private[streaming] (
     initialDefaultPolicy: SelectionPolicy = SelectNext)(
     implicit enc: Encoder[EventEnvelope[T]]) {
 
-  private[streaming] val source: MemoryStream[EventEnvelope[T]] =
-    MemoryStream[EventEnvelope[T]](
+  // One MemoryStream PER CONSUMER, not per topic: Spark's
+  // MicroBatchExecution calls source.commit() after each batch, and
+  // MemoryStream.commit TRUNCATES its retained batches (dropInPlace)
+  // and throws IllegalStateException on offsets "committed out of
+  // order" — so two streaming queries sharing one MemoryStream instance
+  // race on its commit log, and the second subscriber misses data or
+  // kills its query. The reference's streams are explicitly
+  // multi-subscriber (both pubsub example programs attach two
+  // subscribers to one stream; subscriber.go keeps a buffer per
+  // subscriber), so each `stream` call materializes a private source
+  // and `publish` fans out to all of them. The replay log preserves the
+  // previous observable behavior — a consumer attached after some
+  // publishes still sees the topic's full history (the single source
+  // retained addData'd batches until its query committed them). Like
+  // that design, history is O(events published) driver memory: this is
+  // the reference-parity single-process pub/sub surface; the scale
+  // ingest plane (sources/EventSources) reads files/streams and never
+  // touches MemoryStream.
+  private val log = mutable.Buffer.empty[EventEnvelope[T]]
+  private val consumers = mutable.Buffer.empty[MemoryStream[EventEnvelope[T]]]
+
+  private def newConsumer(): MemoryStream[EventEnvelope[T]] = {
+    val s = MemoryStream[EventEnvelope[T]](
       Topic.nextId.getAndIncrement(), spark, None)(enc)
+    if (log.nonEmpty) s.addData(log.toSeq)
+    consumers += s
+    s
+  }
 
   // Stream config is MUTABLE under the topic monitor: hot migration
   // (reference: migrateStream, stream.go:109-123) re-configures a live
@@ -96,8 +121,11 @@ final class Topic[T] private[streaming] (
 
   private var inCount = 0L
 
-  /** The unbounded stream of this topic's events. */
-  def stream: Dataset[EventEnvelope[T]] = source.toDS()
+  /** The unbounded stream of this topic's events. Every call returns an
+    * independent consumer (own source, own commit log) pre-loaded with
+    * the topic's history — see the multi-subscriber note above.
+    */
+  def stream: Dataset[EventEnvelope[T]] = synchronized { newConsumer().toDS() }
 
   /** Publish pre-stamped events (reference: Publisher.Publish,
     * pkg/pubsub/publisher.go:160-162).
@@ -113,7 +141,11 @@ final class Topic[T] private[streaming] (
         s"publish of ${events.size} events exceeds capacity $c " +
           s"of topic ${key.topic}")
     }
-    if (events.nonEmpty) { source.addData(events); inCount += events.size }
+    if (events.nonEmpty) {
+      log ++= events
+      consumers.foreach(_.addData(events))
+      inCount += events.size
+    }
   }
 
   def publishValues(values: T*): Unit =

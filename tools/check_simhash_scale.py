@@ -27,9 +27,9 @@ usage: check_simhash_scale.py <sfDir> <outDir> [nchunk]
   outDir  graft.Verify dump dir containing q_simhash/
 exit 0 + "MATCH" iff zero diffs both directions and row counts agree.
 """
-import glob
 import os
 import sys
+import tempfile
 import time
 
 import duckdb
@@ -39,8 +39,12 @@ if len(sys.argv) < 3:
 sfdir, outdir = sys.argv[1], sys.argv[2]
 NCHUNK = int(sys.argv[3]) if len(sys.argv) > 3 else 16
 
-TMP = "/tmp/simhash-scale-sigc"
-SPILL = "/tmp/duckdb-gate-spill"
+# Per-invocation private scratch dirs: a FIXED path here let two
+# concurrent runs (verifying different fixtures) interleave their
+# sigc_*.parquet chunks, and stage 2's glob would silently assemble a
+# mixed signature table and report a bogus MATCH/MISMATCH.
+TMP = tempfile.mkdtemp(prefix="simhash-scale-sigc-")
+SPILL = tempfile.mkdtemp(prefix="duckdb-simhash-spill-")
 
 p = f"{sfdir}/documents.parquet"
 DOCS = f"{p}/*.parquet" if os.path.isdir(p) else p
@@ -107,9 +111,6 @@ SELECT doc_id,
 FROM blocks GROUP BY doc_id
 """
 
-os.makedirs(TMP, exist_ok=True)
-for stale in glob.glob(f"{TMP}/sigc_*.parquet"):
-    os.remove(stale)
 t0 = time.time()
 for k in range(NCHUNK):
     con = fresh_connection()
