@@ -376,16 +376,31 @@ object Bench {
         n -> (quietMin, quietLoad,
           quietLoad <= 1.4 && quietMin >= quietBase(n) * 1.5)
     }.toMap
-    val staleNext: Map[String, Int] =
-      (staleIn -- results.map(_._1)) ++ results.flatMap { case (n, _) =>
+    val staleNext: Map[String, Int] = {
+      val updates = results.flatMap { case (n, _) =>
         staleObserved.get(n) match {
-          case Some((_, _, true)) => Some(n -> (staleIn.getOrElse(n, 0) + 1))
-          case _                  => None // ran this round, not stale-quiet
+          // quiet focused pass still >= 1.5x: one more stale round
+          case Some((_, _, true)) =>
+            Some(n -> (staleIn.getOrElse(n, 0) + 1))
+          // quiet focused pass converged back under 1.5x: reset
+          case Some((_, ql, false)) if ql <= 1.4 => Some(n -> 0)
+          // flagged but the focused min was itself contended: the round
+          // is EVIDENCE-FREE — keep the counter as it was (resetting
+          // here would let ambient load launder a genuinely stale row
+          // forever; incrementing would let load manufacture a restamp)
+          case Some(_) => staleIn.get(n).map(n -> _)
+          // ran and read <= 1.15x baseline (not flagged at all): reset
+          case None => Some(n -> 0)
         }
-      }
+      }.toMap
+      ((staleIn -- results.map(_._1)) ++ updates).filter(_._2 > 0)
+    }
+    // A restamp requires the counter at K AND this round's own focused
+    // observation to be quiet-stale — a counter carried through
+    // contended rounds must not restamp with a contended figure.
     val restamps: Map[String, (Double, String)] =
       staleNext.collect {
-        case (n, k) if k >= staleK && staleObserved.contains(n) =>
+        case (n, k) if k >= staleK && staleObserved.get(n).exists(_._3) =>
           val (quietMin, quietLoad, _) = staleObserved(n)
           n -> (quietMin,
             s"restamped ${java.time.LocalDate.now} after $k quiet rounds " +
