@@ -72,14 +72,62 @@ oracle = json.load(open(f"{outdir}/oracle_sql.json"))
 ok = bad = 0
 report = {}
 
+# --resume <prior.json>: skip queries a previous (crashed) run already
+# verified green, re-running only the rest. Written because a gate run
+# at mult=300 died 46 queries in (a cornered 114 MiB numpy allocation
+# escaped through the except-handler's fresh_connection()) and the
+# report — only written at exit back then — lost every finished result.
+resume = {}
+if "--resume" in sys.argv:
+    i = sys.argv.index("--resume")
+    resume = {k: v for k, v in
+              json.load(open(sys.argv[i + 1]))["queries"].items()
+              if v.get("match")}
+
+
+def flush_report():
+    """Incremental checkpoint after EVERY query: a crash mid-run keeps
+    all finished verdicts resumable."""
+    if json_out:
+        with open(json_out, "w") as f:
+            json.dump({"sf_dir": sfdir, "ok": ok, "failed": bad,
+                       "queries": report}, f, indent=1, sort_keys=True)
+
 
 def record(name, rows, match, detail=""):
     report[name] = {"rows": rows, "match": match, "detail": detail}
+    flush_report()
+
+
+def rebuild_connection(c):
+    """Teardown + rebuild that cannot raise out of an except handler:
+    under real memory pressure the rebuild itself can OOM — back off
+    and retry a few times, then re-raise (nothing else to do)."""
+    try:
+        c.close()
+    except Exception:
+        pass
+    import gc
+    import time
+    for backoff in (0, 5, 30):
+        time.sleep(backoff)
+        gc.collect()
+        try:
+            return fresh_connection()
+        except Exception:
+            continue
+    return fresh_connection()
 
 
 for name, sql in sorted(oracle.items()):
     if name in skip:
         print(f"skip {name} (delegated to a chunked scale checker)")
+        continue
+    if name in resume:
+        r = resume[name]
+        print(f"ok   {name} ({r['rows']} rows) [resumed]")
+        record(name, r["rows"], True, r.get("detail", ""))
+        ok += 1
         continue
     got = want = None
     err = None
@@ -95,11 +143,7 @@ for name, sql in sorted(oracle.items()):
             # the failed attempt may have poisoned the connection
             # (DuckDB OOM leaves it unusable) — rebuild before the
             # retry AND for whatever query comes next
-            try:
-                con.close()
-            except Exception:
-                pass
-            con = fresh_connection()
+            con = rebuild_connection(con)
     if err is not None:
         print(f"FAIL {name}: {type(err).__name__}: {err}")
         record(name, -1, False, f"{type(err).__name__}: {err}"[:300])
@@ -139,8 +183,5 @@ for name, sql in sorted(oracle.items()):
 
 print(f"\n{ok} ok, {bad} failed, "
       f"{len(oracle)} oracled of total declared")
-if json_out:
-    with open(json_out, "w") as f:
-        json.dump({"sf_dir": sfdir, "ok": ok, "failed": bad,
-                   "queries": report}, f, indent=1, sort_keys=True)
+flush_report()
 sys.exit(1 if bad else 0)
