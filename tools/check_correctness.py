@@ -31,6 +31,13 @@ if "--json" in argv:
         sys.exit(f"--json needs a path\n{USAGE}")
     json_out = argv[i + 1]
     del argv[i:i + 2]
+resume_path = None
+if "--resume" in argv:
+    i = argv.index("--resume")
+    if i + 1 >= len(argv):
+        sys.exit(f"--resume needs a path\n{USAGE}")
+    resume_path = argv[i + 1]
+    del argv[i:i + 2]
 if "--skip" in argv:
     # For queries delegated to the chunked scale checkers
     # (check_embed_scale.py / check_simhash_scale.py) at big mult
@@ -78,10 +85,9 @@ report = {}
 # escaped through the except-handler's fresh_connection()) and the
 # report — only written at exit back then — lost every finished result.
 resume = {}
-if "--resume" in sys.argv:
-    i = sys.argv.index("--resume")
+if resume_path:
     resume = {k: v for k, v in
-              json.load(open(sys.argv[i + 1]))["queries"].items()
+              json.load(open(resume_path))["queries"].items()
               if v.get("match")}
 
 
