@@ -31,6 +31,16 @@ if "--json" in argv:
         sys.exit(f"--json needs a path\n{USAGE}")
     json_out = argv[i + 1]
     del argv[i:i + 2]
+only = set()
+if "--only" in argv:
+    # One-query-per-process isolation: a DuckDB segfault (observed on a
+    # mult=300 media oracle) kills the whole gate, so the harness can
+    # drive each remaining query in its own process and merge reports.
+    i = argv.index("--only")
+    if i + 1 >= len(argv):
+        sys.exit(f"--only needs a comma list\n{USAGE}")
+    only = {q.strip() for q in argv[i + 1].split(",") if q.strip()}
+    del argv[i:i + 2]
 resume_path = None
 if "--resume" in argv:
     i = argv.index("--resume")
@@ -126,6 +136,8 @@ def rebuild_connection(c):
 
 
 for name, sql in sorted(oracle.items()):
+    if only and name not in only:
+        continue
     if name in skip:
         print(f"skip {name} (delegated to a chunked scale checker)")
         continue
