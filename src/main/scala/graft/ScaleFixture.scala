@@ -78,9 +78,13 @@ object ScaleFixture {
     }.reduce(_.unionByName(_))
 
   /** Id range reserved for planted vectors — above every replica offset
-    * a sane mult can produce, so planted ids never collide.
+    * any mult below 1000 can produce (replica ids top out below 1e11)
+    * AND above the embed-oracle clone range (CloneIdOffset 1e11+1 +
+    * replica ids), so planted ids never collide. The previous 9e8 base
+    * sat INSIDE replica r=9's id range — the same latent id-space
+    * collision the first mult=300 run exposed for the old clone offset.
     */
-  val HotIdBase: Long = 900000000L
+  val HotIdBase: Long = 900000000000L
 
   /** Planted dense near-duplicate cluster for skew-torture runs
     * (SkewTortureSpec + the SCALE.md skew measurements): `n` vectors

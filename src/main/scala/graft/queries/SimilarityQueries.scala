@@ -34,7 +34,7 @@ object SimilarityQueries {
   private val NearDupAutoThreshold = 0.95
   private val NearDupAutoThresholdQ = 9500L
   private[graft] val CloneStride = 50
-  private[graft] val CloneIdOffset = 20000000001L
+  private[graft] val CloneIdOffset = 100000000001L
   // q_lsh_plan's sizing grid: (threshold_q, threshold) pairs carried as
   // exact integer/literal twins on both engines (no quantization of the
   // threshold itself anywhere), times two targetBucket settings to
@@ -1386,9 +1386,13 @@ object SimilarityQueries {
     // never touched by ScaleFixture's replica sign masks ((i>>(r-1))&1
     // = 0 at i=0), so clones stay distinct from every replica and the
     // same construction holds at all committed scale points;
-    // CloneIdOffset = 2e10+1 sits above every replica/hot-cluster id
-    // range AND off the r·1e8 replica-offset lattice, so clone ids of
-    // replica rows can never collide with other replicas' ids.
+    // CloneIdOffset = 1e11+1 sits above every replica/hot-cluster id
+    // range for any mult below 1000 AND off the r·1e8 replica-offset
+    // lattice, so clone ids can never collide with replica ids. (The
+    // first mult=300 run proved the constant load-bearing: the old
+    // 2e10+1 put clone ids INSIDE replica r>=200's id range, the
+    // vec_id join-backs went ambiguous, and the cross-engine compare
+    // caught it as a one-directional pair superset.)
     //
     // Plane-matrix recipe (unchanged from r13, now at plan-sized dims):
     // component k of plane (band, bit) is bit k of

@@ -41,7 +41,7 @@ sfdir, outdir = sys.argv[1], sys.argv[2]
 NCHUNK = int(sys.argv[3]) if len(sys.argv) > 3 else 8
 
 CLONE_STRIDE = 50
-CLONE_ID_OFFSET = 20000000001
+CLONE_ID_OFFSET = 100000000001
 THRESHOLD = 0.95
 THRESHOLD_Q = 9500
 
