@@ -183,7 +183,7 @@ object StreamBench {
     if (sys.env.get("SPARK_GRAFT_INGEST_PROFILE").contains("1")) {
       def timeStream(label: String,
           build: Dataset[EventEnvelope[String]] =>
-            org.apache.spark.sql.DataFrame): (String, Double) = {
+            org.apache.spark.sql.DataFrame): (String, Double, Long) = {
         val t = ps.topic[String](s"profile-$label")
         val out = build(t.stream)
         var nOut = 0L
@@ -201,7 +201,7 @@ object StreamBench {
         q.processAllAvailable()
         val sec = (System.nanoTime() - t0) / 1e9
         q.stop()
-        (label, sec)
+        (label, sec, nOut)
       }
       def gates(ds: Dataset[EventEnvelope[String]]) = {
         import org.apache.spark.sql.functions.col
@@ -224,8 +224,10 @@ object StreamBench {
           "5 seconds", lmFit, evalB, minQuality = 0.2, minLogw = -1e6,
           minShared = 1000000)(ds.asInstanceOf[Dataset[
             EventEnvelope[String]]]).toDF()))
-      val body = results.map { case (l, s) =>
-        f""""$l":{"sec":$s%.2f,"docs_per_sec":${ingestN / s}%.0f}"""
+      // "out" rows make state-dial experiments self-verifying: identical
+      // out counts across configs = keeper parity, printed not argued
+      val body = results.map { case (l, s, o) =>
+        f""""$l":{"sec":$s%.2f,"docs_per_sec":${ingestN / s}%.0f,"out":$o}"""
       }.mkString(",")
       println(s"""{"metric":"ingest_profile","n":$ingestN,""" +
         s""""rocksdb":$rocksdb,"docs_dir":"$ingestDocs",$body}""")
