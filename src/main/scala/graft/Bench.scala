@@ -77,6 +77,20 @@ object Bench {
   private def jnum(fmt: String, v: Double): String =
     String.format(java.util.Locale.ROOT, fmt, Double.box(v))
 
+  /** Short HEAD commit for restamp provenance — a baseline row rewritten
+    * without the commit it was measured on cannot later be re-adjudicated
+    * the way the r14 judge re-adjudicated q1_pricing (rebuild the old
+    * commit, re-measure, decide drift-vs-regression).
+    */
+  private def headCommit: String =
+    try {
+      val p = new ProcessBuilder("git", "rev-parse", "--short", "HEAD")
+        .redirectErrorStream(true).start()
+      val out = new String(p.getInputStream.readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8).trim
+      if (p.waitFor() == 0 && out.nonEmpty) out else "unknown"
+    } catch { case _: Exception => "unknown" }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
@@ -348,7 +362,8 @@ object Bench {
         "# (see Bench.scala). Self-healing both ways: a quieter run lowers\n" +
         "# it; a run whose p10 shows the stored floor was an outlier\n" +
         "# sample (< 0.7x p10) re-stamps it up.\n" +
-        jnum("%.4f", probeBase) + "\n").getBytes)
+        jnum("%.4f", probeBase) + "\n")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     catch { case e: Exception =>
       System.err.println(s"[bench] calibration write failed: $e") }
     val results = qs.collect {
@@ -424,16 +439,88 @@ object Bench {
     // A restamp requires the counter at K AND this round's own focused
     // observation to be quiet-stale — a counter carried through
     // contended rounds must not restamp with a contended figure.
-    val restamps: Map[String, (Double, String)] =
-      staleNext.collect {
-        case (n, k) if k >= staleK && staleObserved.get(n).exists(_._3) =>
-          val (quietMin, quietLoad, _) = staleObserved(n)
-          n -> (quietMin,
-            s"restamped ${java.time.LocalDate.now} after $k quiet rounds " +
-              s">=1.5x old=${jnum("%.3f", quietBase(n))} " +
-              s"new=${jnum("%.3f", quietMin)} load=${jnum("%.2f", quietLoad)} " +
-              s"probe_base=${jnum("%.4f", probeBase)}")
+    //
+    // DRIFT-vs-REGRESSION GATE (round 16): the K-consecutive-quiet rule
+    // alone absorbs a genuine code regression that persists K rounds —
+    // drift and regression look identical to it. The r14 judge's
+    // q1_pricing adjudication distinguished them the only way possible:
+    // rebuild a PRIOR commit and re-measure the same query on the same
+    // host. That step is now mandatory: a restamp additionally requires
+    // a row in bench_drift_probe.json (written by tools/drift_probe.sh,
+    // which builds the prior round's commit in a scratch worktree and
+    // runs a focused quiet SPARK_GRAFT_BENCH_ONLY pass there). The old
+    // commit reading >= 1.35x the old baseline under quiet load means
+    // the HOST moved (drift) -> restamp proceeds, provenance records
+    // both commits. The old commit REPRODUCING the old figure
+    // (<= 1.25x) means the slowdown arrived with the code -> restamp
+    // REFUSED, published under "regression_suspected". No probe row
+    // (or a contended probe, or the ambiguous 1.25-1.35x band) defers
+    // the restamp and prints the exact command to run.
+    val probePath = java.nio.file.Paths.get(
+      sys.env.getOrElse("SPARK_GRAFT_DRIFT_PROBE", "bench_drift_probe.json"))
+    val driftProbe: Map[String, (String, Double, Double)] = {
+      val raw = try {
+        Some(new String(java.nio.file.Files.readAllBytes(probePath),
+          java.nio.charset.StandardCharsets.UTF_8))
+      } catch { case _: Exception => None }
+      raw.fold(Map.empty[String, (String, Double, Double)]) { s =>
+        """"([^"_][^"]*)"\s*:\s*\{([^}]*)\}""".r.findAllMatchIn(s).flatMap { m =>
+          val body = m.group(2)
+          def str(k: String) =
+            (s""""$k"\\s*:\\s*"([^"]*)"""").r.findFirstMatchIn(body).map(_.group(1))
+          def num(k: String) =
+            (s""""$k"\\s*:\\s*([0-9.eE+-]+)""").r.findFirstMatchIn(body)
+              .map(_.group(1).toDouble)
+          for (c <- str("commit"); v <- num("min_sec"); l <- num("load"))
+            yield m.group(1) -> (c, v, l)
+        }.toMap
       }
+    }
+    val head = headCommit
+    val restampCandidates = staleNext.collect {
+      case (n, k) if k >= staleK && staleObserved.get(n).exists(_._3) => n -> k
+    }
+    val regressionSuspected = collection.mutable.ArrayBuffer.empty[String]
+    val restamps: Map[String, (Double, String)] =
+      restampCandidates.flatMap { case (n, k) =>
+        val (quietMin, quietLoad, _) = staleObserved(n)
+        val b = quietBase(n)
+        driftProbe.get(n) match {
+          case Some((pc, pv, pl)) if pl <= 1.4 && pv >= b * 1.35 =>
+            Some(n -> (quietMin,
+              s"restamped ${java.time.LocalDate.now} after $k quiet rounds " +
+                s">=1.5x old=${jnum("%.3f", b)} " +
+                s"new=${jnum("%.3f", quietMin)} load=${jnum("%.2f", quietLoad)} " +
+                s"probe_base=${jnum("%.4f", probeBase)} head=$head " +
+                s"drift_probe=$pc@${jnum("%.3f", pv)} (old commit also slow " +
+                "= host drift)"))
+          case Some((pc, pv, pl)) if pl <= 1.4 && pv <= b * 1.25 =>
+            regressionSuspected += n
+            System.err.println(
+              s"[bench] RESTAMP REFUSED for $n: rebuilt commit $pc " +
+                s"reproduces the old figure (${jnum("%.3f", pv)} vs baseline " +
+                s"${jnum("%.3f", b)}) while HEAD reads " +
+                s"${jnum("%.3f", quietMin)} — that is a CODE REGRESSION, " +
+                "not host drift. Fix the regression; the baseline stands.")
+            None
+          case other =>
+            val why = other match {
+              case Some((pc, pv, pl)) if pl > 1.4 =>
+                s"probe row ($pc@${jnum("%.3f", pv)}) was contended " +
+                  s"(load ${jnum("%.2f", pl)})"
+              case Some((pc, pv, _)) =>
+                s"probe row ($pc@${jnum("%.3f", pv)}) sits in the " +
+                  "ambiguous 1.25-1.35x band"
+              case None => "no drift-probe row"
+            }
+            System.err.println(
+              s"[bench] restamp for $n DEFERRED: $why. Run: " +
+                s"tools/drift_probe.sh $n   (rebuilds the prior round's " +
+                "commit in a worktree, focused quiet pass, writes " +
+                "bench_drift_probe.json), then re-run this bench.")
+            None
+        }
+      }.toMap
     restamps.foreach { case (n, (v, why)) =>
       System.err.println(s"[bench] baseline restamp $n -> ${jnum("%.3f", v)} ($why)")
     }
@@ -458,14 +545,30 @@ object Bench {
         ((s""" "__sf": "${quietSf.getOrElse(sfDir)}"""" +:
           healed.map { case (n, v) => s""" "$n": ${jnum("%.3f", v)}""" }) ++
           staleRows ++ restampRows)
-          .mkString("{\n", ",\n", "\n}\n").getBytes)
+          .mkString("{\n", ",\n", "\n}\n")
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
       catch { case e: Exception =>
         System.err.println(s"[bench] quiet-baseline write failed: $e") }
     val total = results.map(_._2._1).sum
     val staleJson = staleObserved.collect {
       case (n, (_, _, true)) => "\"" + n + "\""
     }.mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":${jnum("%.3f", total)},"unit":"sec","queries":$qJson,"errors":$errJson,"unconverged":$uncJson,"load":$loadJson,"load_median":${jnum("%.2f", medianLoad)},"retries":$retries,"quiet_minima":$qmJson,"stale_baseline":$staleJson,"probe_base_sec":${jnum("%.4f", probeBase)},"wall_sec":${jnum("%.1f", wallSec)},"sf":"$sfDir"}""")
+    val regJson = regressionSuspected.map("\"" + _ + "\"")
+      .mkString("[", ",", "]")
+    val radarLine = s"""{"metric":"total","value":${jnum("%.3f", total)},"unit":"sec","queries":$qJson,"errors":$errJson,"unconverged":$uncJson,"load":$loadJson,"load_median":${jnum("%.2f", medianLoad)},"retries":$retries,"quiet_minima":$qmJson,"stale_baseline":$staleJson,"regression_suspected":$regJson,"probe_base_sec":${jnum("%.4f", probeBase)},"wall_sec":${jnum("%.1f", wallSec)},"sf":"$sfDir"}"""
+    println(radarLine)
+    // Persist the FULL radar line to a file the compact summary points
+    // at: BENCH_r15.json's parsed.queries was truncated to the worst-5
+    // because the driver's tail capture cannot hold the 119-entry line —
+    // with the pointer contract the round artifact alone can always
+    // answer "which queries regressed" (the driver commits this file as
+    // BENCH_radar_rN.json; the path below travels inside BENCH_rN).
+    val radarPath = sys.env.getOrElse("SPARK_GRAFT_RADAR_OUT",
+      "bench_last_radar.json")
+    try java.nio.file.Files.write(java.nio.file.Paths.get(radarPath),
+      (radarLine + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    catch { case e: Exception =>
+      System.err.println(s"[bench] radar-file write failed: $e") }
     // Compact driver-facing summary as the LAST stdout line: the
     // 119-query radar JSON above outgrew the driver's tail capture in
     // r14 (BENCH_r14.json "parsed": null — the tail began mid-token), so
@@ -475,20 +578,25 @@ object Bench {
     // full per-query map is the preceding line.
     // worst-5 vs baseline; when no baseline row matches this fixture
     // (mult runs, the sf0.01 smoke) fall back to the 5 slowest by
-    // seconds so the compact line always carries real figures
+    // seconds — and then OMIT worst_vs_baseline entirely rather than
+    // padding it with placeholder 1.0 ratios a reader could mistake for
+    // genuine at-baseline measurements.
     val vsBase = results.flatMap { case (n, (v, _)) =>
       quietBase.get(n).map(b => (n, v, v / b))
     }
     val worst =
       if (vsBase.nonEmpty) vsBase.sortBy(-_._3).take(5)
-      else results.map { case (n, (v, _)) => (n, v, 1.0) }.sortBy(-_._2).take(5)
+      else results.map { case (n, (v, _)) => (n, v, Double.NaN) }
+        .sortBy(-_._2).take(5)
     val worstQ = worst
       .map { case (n, v, _) => "\"" + n + "\":" + jnum("%.3f", v) }
       .mkString("{", ",", "}")
-    val worstR = worst
-      .map { case (n, _, r) => "\"" + n + "\":" + jnum("%.2f", r) }
-      .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${jnum("%.3f", total)},"unit":"sec","n_queries":${results.size},"queries":$worstQ,"queries_truncated":true,"worst_vs_baseline":$worstR,"errors":$errJson,"load_median":${jnum("%.2f", medianLoad)},"retries":$retries,"probe_base_sec":${jnum("%.4f", probeBase)},"wall_sec":${jnum("%.1f", wallSec)},"sf":"$sfDir"}""")
+    val worstRField =
+      if (vsBase.isEmpty) ""
+      else worst
+        .map { case (n, _, r) => "\"" + n + "\":" + jnum("%.2f", r) }
+        .mkString(""""worst_vs_baseline":{""", ",", "},")
+    println(s"""{"metric":"total","value":${jnum("%.3f", total)},"unit":"sec","n_queries":${results.size},"queries":$worstQ,"queries_truncated":true,"radar_file":"$radarPath",$worstRField"errors":$errJson,"load_median":${jnum("%.2f", medianLoad)},"retries":$retries,"regression_suspected":$regJson,"probe_base_sec":${jnum("%.4f", probeBase)},"wall_sec":${jnum("%.1f", wallSec)},"sf":"$sfDir"}""")
     spark.stop()
     if (errors.nonEmpty) sys.exit(1)
   }

@@ -15,6 +15,16 @@ import graft.streaming._
   * micro-batch engine. Run: sbt "runMain graft.StreamBench [nEvents]"
   */
 object StreamBench {
+  /** Locale-pinned numeric formatting for JSON-bound doubles — the
+    * f-interpolator goes through the default JVM locale, so a
+    * comma-decimal locale would emit `1,23` and break the JSON line
+    * (same fix as Bench.jnum).
+    */
+  private def jd2(v: Double): String =
+    String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
+  private def jd0(v: Double): String =
+    String.format(java.util.Locale.ROOT, "%.0f", Double.box(v))
+
   def main(args: Array[String]): Unit = {
     val n = args.headOption.map(_.toInt).getOrElse(500000)
     // SPARK_GRAFT_STATE_STORE=rocksdb measures the large-state scale
@@ -227,7 +237,7 @@ object StreamBench {
       // "out" rows make state-dial experiments self-verifying: identical
       // out counts across configs = keeper parity, printed not argued
       val body = results.map { case (l, s, o) =>
-        f""""$l":{"sec":$s%.2f,"docs_per_sec":${ingestN / s}%.0f,"out":$o}"""
+        s""""$l":{"sec":${jd2(s)},"docs_per_sec":${jd0(ingestN / s)},"out":$o}"""
       }.mkString(",")
       println(s"""{"metric":"ingest_profile","n":$ingestN,""" +
         s""""rocksdb":$rocksdb,"docs_dir":"$ingestDocs",$body}""")
@@ -313,32 +323,32 @@ object StreamBench {
     val semSec = (System.nanoTime() - s0) / 1e9
     q7.stop()
 
-    println(f"""{"stream_bench":{"n_events":$n,""" +
-      f""""state_store":"${if (rocksdb) "rocksdb" else "memory"}",""" +
-      f""""lake_rows":$lakeRows,"lake_sec":$lakeSec%.2f,""" +
-      f""""lake_rows_per_sec":${lakeRows / lakeSec}%.0f,""" +
-      f""""lake_out_rows":$lakeOut,""" +
-      f""""window_pipeline_sec":$windowSec%.2f,""" +
-      f""""window_events_per_sec":${n / windowSec}%.0f,""" +
-      f""""window_out_rows":$outRows,""" +
-      f""""counting_sec":$countingSec%.2f,""" +
-      f""""counting_events_per_sec":${n / countingSec}%.0f,""" +
-      f""""counting_windows":$nWins,""" +
-      f""""gapless_keyed_sec":$gaplessSec%.2f,""" +
-      f""""gapless_keyed_events_per_sec":${n / gaplessSec}%.0f,""" +
-      f""""gapless_windows":$nGapWins,""" +
-      f""""topk_sec":$topkSec%.2f,""" +
-      f""""topk_events_per_sec":${n / topkSec}%.0f,""" +
-      f""""topk_rows":$nTopkRows,""" +
-      f""""ingest_n":$ingestN,"ingest_sec":$ingestSec%.2f,""" +
-      f""""ingest_docs_per_sec":${ingestN / ingestSec}%.0f,""" +
-      f""""ingest_out":$nIngested,""" +
-      f""""ingest32_sec":$ingest32Sec%.2f,""" +
-      f""""ingest32_docs_per_sec":${ingestN / ingest32Sec}%.0f,""" +
-      f""""ingest32_out":$nIngested32,""" +
-      f""""semdedup_n":$semN,"semdedup_sec":$semSec%.2f,""" +
-      f""""semdedup_vecs_per_sec":${semN / semSec}%.0f,""" +
-      f""""semdedup_admitted":$nSemAdmitted}}""")
+    println(s"""{"stream_bench":{"n_events":$n,""" +
+      s""""state_store":"${if (rocksdb) "rocksdb" else "memory"}",""" +
+      s""""lake_rows":$lakeRows,"lake_sec":${jd2(lakeSec)},""" +
+      s""""lake_rows_per_sec":${jd0(lakeRows / lakeSec)},""" +
+      s""""lake_out_rows":$lakeOut,""" +
+      s""""window_pipeline_sec":${jd2(windowSec)},""" +
+      s""""window_events_per_sec":${jd0(n / windowSec)},""" +
+      s""""window_out_rows":$outRows,""" +
+      s""""counting_sec":${jd2(countingSec)},""" +
+      s""""counting_events_per_sec":${jd0(n / countingSec)},""" +
+      s""""counting_windows":$nWins,""" +
+      s""""gapless_keyed_sec":${jd2(gaplessSec)},""" +
+      s""""gapless_keyed_events_per_sec":${jd0(n / gaplessSec)},""" +
+      s""""gapless_windows":$nGapWins,""" +
+      s""""topk_sec":${jd2(topkSec)},""" +
+      s""""topk_events_per_sec":${jd0(n / topkSec)},""" +
+      s""""topk_rows":$nTopkRows,""" +
+      s""""ingest_n":$ingestN,"ingest_sec":${jd2(ingestSec)},""" +
+      s""""ingest_docs_per_sec":${jd0(ingestN / ingestSec)},""" +
+      s""""ingest_out":$nIngested,""" +
+      s""""ingest32_sec":${jd2(ingest32Sec)},""" +
+      s""""ingest32_docs_per_sec":${jd0(ingestN / ingest32Sec)},""" +
+      s""""ingest32_out":$nIngested32,""" +
+      s""""semdedup_n":$semN,"semdedup_sec":${jd2(semSec)},""" +
+      s""""semdedup_vecs_per_sec":${jd0(semN / semSec)},""" +
+      s""""semdedup_admitted":$nSemAdmitted}}""")
     ps.close()
     spark.stop()
   }

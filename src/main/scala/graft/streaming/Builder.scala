@@ -106,8 +106,8 @@ final class ContinuousQuery[T] private[streaming] (
   def subscribe(cb: Seq[EventEnvelope[T]] => Unit): ContinuousQuery[T] =
     synchronized {
       callbacks += cb
-      if (running) subscriptions +=
-        pubsub.subscribe(output, Some(ckptName(callbacks.size - 1)))(cb)
+      if (running) subscriptions += pubsub.subscribe(output,
+        Some(ckptName(callbacks.size - 1)), releaseOnClose = false)(cb)
       this
     }
 
@@ -115,8 +115,12 @@ final class ContinuousQuery[T] private[streaming] (
   def run(): ContinuousQuery[T] = synchronized {
     if (!running) {
       running = true
+      // releaseOnClose=false: restart() re-runs these sinks over the
+      // same consumer, resuming from committed offsets — close() here
+      // is not necessarily terminal for the underlying source
       callbacks.zipWithIndex.foreach { case (cb, i) =>
-        subscriptions += pubsub.subscribe(output, Some(ckptName(i)))(cb)
+        subscriptions += pubsub.subscribe(output, Some(ckptName(i)),
+          releaseOnClose = false)(cb)
       }
       QueryRepository.register(this)
     }

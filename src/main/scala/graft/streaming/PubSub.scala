@@ -127,6 +127,28 @@ final class Topic[T] private[streaming] (
     */
   def stream: Dataset[EventEnvelope[T]] = synchronized { newConsumer().toDS() }
 
+  /** Detach one consumer from the fan-out (identity match). Called by
+    * Subscription.close via the release hook PubSub arms at subscribe
+    * time: without it every closed subscription left its MemoryStream
+    * registered forever, and publish kept addData-ing batches no query
+    * would ever commit or truncate — O(events x dead consumers) driver
+    * memory on a long-lived topic with subscribe/close churn. Dropping
+    * the reference stops future fan-out and lets the stopped query's
+    * retained batches be GC'd with the source. (A consumer obtained via
+    * `stream` but never subscribed stays registered — it still owes its
+    * eventual subscriber the full history.)
+    */
+  private[streaming] def releaseConsumer(s: AnyRef): Boolean = synchronized {
+    val i = consumers.indexWhere(_ eq s)
+    if (i >= 0) { consumers.remove(i); true } else false
+  }
+
+  /** Registered fan-out targets — observability for the leak contract
+    * (PubSubLifecycleSpec pins subscribe/close returning this to its
+    * prior value).
+    */
+  def consumerCount: Int = synchronized(consumers.size)
+
   /** Publish pre-stamped events (reference: Publisher.Publish,
     * pkg/pubsub/publisher.go:160-162).
     */
@@ -176,6 +198,13 @@ final class Subscription[T](
     */
   private[streaming] var unregister: () => Unit = () => ()
 
+  /** Set by PubSub at subscribe time: detaches the topic consumer(s)
+    * feeding this subscription's plan from their topics' publish
+    * fan-out (Topic.releaseConsumer) — the dead-consumer memory-leak
+    * fix. Runs once, on close, after the query has stopped.
+    */
+  private[streaming] var releaseSources: () => Unit = () => ()
+
   /** Block until everything published so far has been delivered —
     * the reference's drain barrier (stream.go:179-189) as
     * processAllAvailable.
@@ -199,7 +228,7 @@ final class Subscription[T](
       val doDetach = synchronized {
         if (closed) false else { closed = true; true }
       }
-      if (doDetach) { detach(); unregister() }
+      if (doDetach) { detach(); unregister(); releaseSources() }
     }
   }
 }
@@ -347,7 +376,13 @@ final class PubSub(val spark: SparkSession) {
     */
   def subscribe[T](ds: Dataset[EventEnvelope[T]],
       checkpointName: Option[String] = None,
-      owner: Option[Topic[T]] = None)(
+      owner: Option[Topic[T]] = None,
+      // ContinuousQuery passes false: its restart() stops and re-starts
+      // sinks over the SAME consumer (checkpointed resume — the
+      // migrate-without-loss contract), so close must not detach it
+      // from publish fan-out. One-shot subscriptions keep the default
+      // and release their consumer on close (the dead-consumer fix).
+      releaseOnClose: Boolean = true)(
       cb: Seq[EventEnvelope[T]] => Unit): Subscription[T] = synchronized {
     var w = ds.writeStream
       .outputMode("append")
@@ -362,8 +397,12 @@ final class PubSub(val spark: SparkSession) {
       spark.conf.getOption("spark.sql.streaming.checkpointLocation")
         .foreach(base => w = w.option("checkpointLocation", s"$base/$n"))
     }
+    val release =
+      if (releaseOnClose) consumerReleaseHook(Seq(ds)) else () => ()
     val q = w.start()
-    register(attachSub(q, owner))
+    val s = register(attachSub(q, owner))
+    s.releaseSources = release
+    s
   }
 
   /** Track an owner-scoped subscription: it pins the topic while open and
@@ -388,6 +427,34 @@ final class PubSub(val spark: SparkSession) {
     subs += s
     s.unregister = () => synchronized { subs -= s }
     s
+  }
+
+  /** Find the MemoryStream consumers feeding a subscription's plan and
+    * pair each with the topic that owns it, so Subscription.close can
+    * detach them from publish fan-out (the dead-consumer leak —
+    * Topic.releaseConsumer). The plan walk sees through any operator
+    * chain the caller built over `Topic.stream`; non-topic memory
+    * sources (tests driving their own MemoryStream) match no topic and
+    * are left alone. Identity pairs are captured at subscribe time: a
+    * later force-remove/re-create of the topic name must not let a stale
+    * subscription detach a recreated namesake's consumers.
+    */
+  private def consumerReleaseHook(inputs: Seq[Dataset[_]]): () => Unit = {
+    val sources: Seq[AnyRef] = inputs.flatMap(_.queryExecution.logical.collect {
+      case r: org.apache.spark.sql.catalyst.streaming.StreamingRelationV2
+          if r.table.isInstanceOf[
+            org.apache.spark.sql.execution.streaming.runtime.MemoryStreamTable] =>
+        r.table.asInstanceOf[
+          org.apache.spark.sql.execution.streaming.runtime.MemoryStreamTable]
+          .stream.asInstanceOf[AnyRef]
+    })
+    // Topics snapshotted here (callers already hold the PubSub monitor;
+    // no topic monitor is touched under it — migrate takes topic ->
+    // pubsub, so nesting the other way would deadlock). releaseConsumer
+    // itself runs at CLOSE time with no PubSub lock held, and is an
+    // identity-matched no-op on every topic that doesn't own the source.
+    val ts = topics.values.toList
+    () => for (t <- ts; src <- sources) t.releaseConsumer(src)
   }
 
   /** Batch subscriber with a selection policy (reference:
@@ -417,12 +484,13 @@ final class PubSub(val spark: SparkSession) {
       // grid; note the sequence still begins at the first event's
       // window, so the grouped-agg path may emit earlier partial
       // windows for the very first events that this path does not.
-      case TemporalWindowPolicy(length, slide) =>
+      case TemporalWindowPolicy(length, slide, lateness) =>
         val slideMs = PubSub.intervalMs(slide)
         require(slideMs > 0,
           s"temporal policy slide must be positive, got '$slide'")
         StatefulOps.temporalBatchesGapless[T](
-          PubSub.intervalMs(length), slideMs, alignToEpoch = true)(ds)
+          PubSub.intervalMs(length), slideMs, alignToEpoch = true,
+          latenessMs = PubSub.intervalMs(lateness))(ds)
     }
     val q = windows.writeStream
       .outputMode("append")
@@ -431,7 +499,9 @@ final class PubSub(val spark: SparkSession) {
           .foreach(w => PubSub.guarded(cb(w))); ()
       }
       .start()
-    register(attachSub(q, owner))
+    val s = register(attachSub(q, owner))
+    s.releaseSources = consumerReleaseHook(Seq(ds))
+    s
   }
 
   /** Multi-input batch subscriber — the reference's
@@ -451,7 +521,8 @@ final class PubSub(val spark: SparkSession) {
       s"temporal policy slide must be positive, got '${policy.slide}'")
     val windows = StatefulOps.temporalBatchesGaplessMulti[T](
       PubSub.intervalMs(policy.length), slideMs,
-      alignToEpoch = true)(inputs)
+      alignToEpoch = true,
+      latenessMs = PubSub.intervalMs(policy.allowedLateness))(inputs)
     val q = windows.writeStream
       .outputMode("append")
       .foreachBatch { (batch: Dataset[WindowBatch[T]], _: Long) =>
@@ -459,7 +530,9 @@ final class PubSub(val spark: SparkSession) {
           .foreach(w => PubSub.guarded(cb(w))); ()
       }
       .start()
-    register(attachSub[T](q, None))
+    val s = register(attachSub[T](q, None))
+    s.releaseSources = consumerReleaseHook(inputs)
+    s
   }
 
   /** Hot-migrate a LIVE topic to a new configuration (reference:

@@ -23,8 +23,23 @@ final case class CountingWindowPolicy(n: Int, shift: Int)
   require(n > 0 && shift > 0)
 }
 
-/** Durations are Spark interval strings, e.g. "600 seconds". */
-final case class TemporalWindowPolicy(length: String, slide: String)
+/** Durations are Spark interval strings, e.g. "600 seconds".
+  *
+  * `allowedLateness` is the one user-facing dial the reference's
+  * semantics invite but don't have (SURVEY §2.4): the reference SILENTLY
+  * DROPS any event older than the next open window
+  * (updateSelectionForBuffer, selection_policy.go:587-589), which this
+  * engine matches at the default "0 seconds". A positive lateness holds
+  * each window open for that long PAST its data-driven close punctuation
+  * — an out-of-order event arriving within the grace period still lands
+  * in its window; one arriving beyond it drops exactly as before.
+  * Emission latency grows by the same grace (a window cannot fire until
+  * punctuation passes end + lateness); state grows by the events of the
+  * windows kept open — the standard watermark-delay trade, chosen per
+  * subscriber, not globally.
+  */
+final case class TemporalWindowPolicy(length: String, slide: String,
+    allowedLateness: String = "0 seconds")
   extends SelectionPolicy
 
 object TemporalWindowPolicy {
@@ -41,8 +56,9 @@ object SelectionPolicy {
     case SelectNext => """{"type":"SelectNext"}"""
     case CountingWindowPolicy(n, shift) =>
       s"""{"type":"CountingWindow","size":$n,"slide":$shift}"""
-    case TemporalWindowPolicy(length, slide) =>
-      s"""{"type":"TemporalWindow","length":"$length","slide":"$slide"}"""
+    case TemporalWindowPolicy(length, slide, lateness) =>
+      s"""{"type":"TemporalWindow","length":"$length","slide":"$slide"""" +
+        s""","lateness":"$lateness"}"""
   }
 
   def fromJson(json: String): SelectionPolicy = {
@@ -58,7 +74,10 @@ object SelectionPolicy {
       case Some("TemporalWindow") =>
         TemporalWindowPolicy(
           str("length").getOrElse("0 seconds"),
-          str("slide").orElse(str("length")).getOrElse("0 seconds"))
+          str("slide").orElse(str("length")).getOrElse("0 seconds"),
+          // absent in configs written before the knob existed -> the
+          // reference-parity default (drop everything truly late)
+          str("lateness").getOrElse("0 seconds"))
       case other =>
         throw new IllegalArgumentException(s"unknown policy type: $other")
     }

@@ -213,9 +213,11 @@ object StatefulOps {
   def temporalBatchesGapless[T: TypeTag](lengthMs: Long,
       slideMs: Long = 0L,
       origin: Option[Long] = None,
-      alignToEpoch: Boolean = false)(
+      alignToEpoch: Boolean = false,
+      latenessMs: Long = 0L)(
       ds: Dataset[EventEnvelope[T]]): Dataset[WindowBatch[T]] = {
     require(slideMs >= 0, "slide must be non-negative (0 = tumbling)")
+    require(latenessMs >= 0, "allowedLateness must be non-negative")
     val slide = if (slideMs == 0) lengthMs else slideMs
     require(lengthMs >= 1000 && slide >= 1000,
       "sub-second windows unsupported: windowId is epoch-seconds")
@@ -229,7 +231,8 @@ object StatefulOps {
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (_: Int, it: Iterator[EventEnvelope[T]],
          state: org.apache.spark.sql.streaming.GroupState[GaplessState[T]]) =>
-          processGapless(lengthMs, slide, origin, alignToEpoch, it, state)
+          processGapless(lengthMs, slide, origin, alignToEpoch, it, state,
+            latenessMs = latenessMs)
       }
   }
 
@@ -240,9 +243,11 @@ object StatefulOps {
   def temporalBatchesGaplessByKey[T: TypeTag](lengthMs: Long,
       slideMs: Long = 0L,
       origin: Option[Long] = None,
-      alignToEpoch: Boolean = false)(key: EventEnvelope[T] => String)(
+      alignToEpoch: Boolean = false,
+      latenessMs: Long = 0L)(key: EventEnvelope[T] => String)(
       ds: Dataset[EventEnvelope[T]]): Dataset[(String, WindowBatch[T])] = {
     require(slideMs >= 0, "slide must be non-negative (0 = tumbling)")
+    require(latenessMs >= 0, "allowedLateness must be non-negative")
     val slide = if (slideMs == 0) lengthMs else slideMs
     require(lengthMs >= 1000 && slide >= 1000,
       "sub-second windows unsupported: windowId is epoch-seconds")
@@ -256,7 +261,8 @@ object StatefulOps {
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (k: String, it: Iterator[EventEnvelope[T]],
          state: org.apache.spark.sql.streaming.GroupState[GaplessState[T]]) =>
-          processGapless(lengthMs, slide, origin, alignToEpoch, it, state)
+          processGapless(lengthMs, slide, origin, alignToEpoch, it, state,
+            latenessMs = latenessMs)
             .map(k -> _)
       }
   }
@@ -289,9 +295,11 @@ object StatefulOps {
   def temporalBatchesGaplessMulti[T: TypeTag](lengthMs: Long,
       slideMs: Long = 0L,
       origin: Option[Long] = None,
-      alignToEpoch: Boolean = false)(
+      alignToEpoch: Boolean = false,
+      latenessMs: Long = 0L)(
       inputs: Seq[Dataset[EventEnvelope[T]]]): Dataset[WindowBatch[T]] = {
     require(inputs.nonEmpty, "fan-in needs at least one input stream")
+    require(latenessMs >= 0, "allowedLateness must be non-negative")
     val slide = if (slideMs == 0) lengthMs else slideMs
     require(lengthMs >= 1000 && slide >= 1000,
       "sub-second windows unsupported: windowId is epoch-seconds")
@@ -309,10 +317,15 @@ object StatefulOps {
     import org.apache.spark.sql.functions.col
     // one 0-delay watermark PER BRANCH, before the union: the query
     // watermark becomes min over branches = the reference readiness
+    // allowedLateness rides the branch watermark delay itself: the query
+    // watermark lags each source's max event time by the grace, so rows
+    // within it survive Spark's pre-stateful late filter AND windows
+    // close exactly latenessMs later — no second subtraction in
+    // processGapless (the override bound already carries the lag).
     val union = inputs.map { ds =>
       ds.toDF()
         .withColumn("event_time", col("stamp.start_time"))
-        .withWatermark("event_time", "0 seconds")
+        .withWatermark("event_time", s"$latenessMs milliseconds")
     }.reduce(_.unionByName(_))
       .as[WatermarkedEnvelope[T]]
 
@@ -346,10 +359,12 @@ object StatefulOps {
   def temporalBatchesGaplessMultiByKey[T: TypeTag](lengthMs: Long,
       slideMs: Long = 0L,
       origin: Option[Long] = None,
-      alignToEpoch: Boolean = false)(key: EventEnvelope[T] => String)(
+      alignToEpoch: Boolean = false,
+      latenessMs: Long = 0L)(key: EventEnvelope[T] => String)(
       inputs: Seq[Dataset[EventEnvelope[T]]])
       : Dataset[(String, WindowBatch[T])] = {
     require(inputs.nonEmpty, "fan-in needs at least one input stream")
+    require(latenessMs >= 0, "allowedLateness must be non-negative")
     val slide = if (slideMs == 0) lengthMs else slideMs
     require(lengthMs >= 1000 && slide >= 1000,
       "sub-second windows unsupported: windowId is epoch-seconds")
@@ -362,10 +377,15 @@ object StatefulOps {
       ExpressionEncoder[WatermarkedEnvelope[T]]()
 
     import org.apache.spark.sql.functions.col
+    // allowedLateness rides the branch watermark delay itself: the query
+    // watermark lags each source's max event time by the grace, so rows
+    // within it survive Spark's pre-stateful late filter AND windows
+    // close exactly latenessMs later — no second subtraction in
+    // processGapless (the override bound already carries the lag).
     val union = inputs.map { ds =>
       ds.toDF()
         .withColumn("event_time", col("stamp.start_time"))
-        .withWatermark("event_time", "0 seconds")
+        .withWatermark("event_time", s"$latenessMs milliseconds")
     }.reduce(_.unionByName(_))
       .as[WatermarkedEnvelope[T]]
 
@@ -396,7 +416,8 @@ object StatefulOps {
       origin: Option[Long], alignToEpoch: Boolean,
       it: Iterator[EventEnvelope[T]],
       state: org.apache.spark.sql.streaming.GroupState[GaplessState[T]],
-      closeBoundOverride: Option[Long] = None)
+      closeBoundOverride: Option[Long] = None,
+      latenessMs: Long = 0L)
       : Iterator[WindowBatch[T]] = {
     val incoming = it.toSeq.sortBy(_.stamp.start_time.getTime)
     if (incoming.isEmpty && state.getOption.isEmpty) Iterator.empty
@@ -438,7 +459,18 @@ object StatefulOps {
       // task. Emission volume per trigger is inherent to the gapless
       // semantics; a gap this size is data corruption, so fail fast
       // with the numbers rather than degrade.
-      val closeBound = closeBoundOverride.getOrElse(maxSeen)
+      // allowedLateness holds windows open for latenessMs PAST the raw
+      // punctuation (max event time seen, or the fan-in watermark): a
+      // window fires only once the bound passes end + lateness, so an
+      // out-of-order event within the grace period finds its window
+      // still open (nextBucket hasn't advanced past it — the late-drop
+      // filter above keys off nextBucket). At the default 0 this is
+      // byte-identical to the reference's drop-truly-late behavior.
+      val closeBound = {
+        val raw = closeBoundOverride.getOrElse(maxSeen)
+        if (raw == Long.MinValue || latenessMs <= 0) raw
+        else raw - latenessMs
+      }
       val toClose =
         if (closeBound == Long.MinValue) 0L
         else (closeBound - lengthMs - winStart(st.nextBucket)) / slideMs + 1

@@ -33,10 +33,17 @@ class ControlPlaneSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   test("selection policy JSON round-trips (ref config_test)") {
     val ps = Seq(SelectNext, CountingWindowPolicy(5, 3),
-      TemporalWindowPolicy("600 seconds", "300 seconds"))
+      TemporalWindowPolicy("600 seconds", "300 seconds"),
+      TemporalWindowPolicy("600 seconds", "300 seconds", "60 seconds"))
     ps.foreach { p =>
       assert(SelectionPolicy.fromJson(SelectionPolicy.toJson(p)) == p)
     }
+    // configs written before the lateness knob existed parse to the
+    // reference-parity default (drop truly-late events)
+    val legacy = """{"type":"TemporalWindow","length":"600 seconds",""" +
+      """"slide":"300 seconds"}"""
+    assert(SelectionPolicy.fromJson(legacy) ==
+      TemporalWindowPolicy("600 seconds", "300 seconds", "0 seconds"))
   }
 
   test("selection policy YAML round-trips (ref selection_policy.go:335-348)") {
@@ -63,12 +70,13 @@ class ControlPlaneSpec extends AnyFunSuite with BeforeAndAfterAll {
         |  type: TemporalWindow
         |  length: 600 seconds
         |  slide: 300 seconds
+        |  lateness: 60 seconds
         |""".stripMargin
     val cfg = ControlPlane.parseYaml(yaml)
     assert(cfg.source.topic == "cfg-yaml")
     assert(cfg.operators.map(_.op) == Seq("greater", "even"))
     assert(cfg.policy.contains(
-      TemporalWindowPolicy("600 seconds", "300 seconds")))
+      TemporalWindowPolicy("600 seconds", "300 seconds", "60 seconds")))
     // YAML -> config -> YAML -> config and YAML -> config -> JSON -> config
     assert(ControlPlane.parseYaml(ControlPlane.toYaml(cfg)) == cfg)
     assert(ControlPlane.parse(ControlPlane.toJson(cfg)) == cfg)

@@ -115,6 +115,30 @@ class PubSubLifecycleSpec extends AnyFunSuite with BeforeAndAfterAll {
     ps.close()
   }
 
+  test("closing a subscription releases its topic consumer from publish " +
+      "fan-out (dead-consumer leak)") {
+    val ps = new PubSub(spark)
+    val t = ps.createTopic[Int]("consumer-release")
+    assert(t.consumerCount == 0)
+    // an operator chain over the stream still maps back to its consumer
+    val s1 = ps.subscribe(TypedOps.greater(1).apply(t.stream)) { _ => () }
+    val s2 = ps.subscribe(t.stream) { _ => () }
+    assert(t.consumerCount == 2)
+    t.publishValues(1, 2, 3)
+    s1.drain(); s2.drain()
+    s1.close()
+    assert(t.consumerCount == 1) // s1's consumer detached from fan-out
+    // the surviving subscription keeps receiving post-close publishes
+    @volatile var got = 0
+    val s3 = ps.subscribe(t.stream) { rows => got += rows.size }
+    t.publishValues(4, 5)
+    s3.drain()
+    assert(got == 5) // 3 history + 2 live
+    s2.close(); s3.close()
+    assert(t.consumerCount == 0)
+    ps.close()
+  }
+
   test("ownerless subscription over an operator chain never cleans up") {
     val ps = new PubSub(spark)
     val t = ps.topic[Int]("chain")

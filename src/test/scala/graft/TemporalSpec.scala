@@ -184,6 +184,42 @@ class TemporalSpec extends AnyFunSuite with BeforeAndAfterAll {
     ps.close()
   }
 
+  test("allowedLateness: late-but-within-grace lands, beyond-grace drops") {
+    val ps = new PubSub(spark)
+    val t = ps.topic[String]("tlateness")
+    // length 10s, lateness 10s: a window stays open until punctuation
+    // passes end + 10s, so an out-of-order event <=10s behind max still
+    // finds its window; one behind a CLOSED window drops like before.
+    val out = StatefulOps.temporalBatchesGapless[String](
+      10000L, latenessMs = 10000L)(t.stream)
+    val batches = mutable.Buffer.empty[WindowBatch[String]]
+    val q = out.writeStream.outputMode("append")
+      .foreachBatch { (b: Dataset[WindowBatch[String]], _: Long) =>
+        batches.synchronized { batches ++= b.collect() }; ()
+      }.start()
+    t.publish(Seq(
+      EventEnvelope.at(ts(5), "e1"),
+      EventEnvelope.at(ts(16), "e2"))) // 0-lateness would close [5,15) here
+    q.processAllAvailable()
+    // 11s late vs max-seen, but within the grace: [5,15) is still open
+    t.publish(Seq(EventEnvelope.at(ts(6), "late")))
+    q.processAllAvailable()
+    assert(batches.isEmpty) // nothing closed yet: bound = 16s - 10s grace
+    t.publish(Seq(EventEnvelope.at(ts(40), "e3"))) // bound 30: closes b0,b1
+    q.processAllAvailable()
+    // [5,15) closed above -> an event for it now is BEYOND the grace
+    t.publish(Seq(
+      EventEnvelope.at(ts(7), "beyond"),
+      EventEnvelope.at(ts(70), "flush"))) // bound 60: closes through [45,55)
+    q.processAllAvailable()
+    q.stop()
+    val ordered = batches.sortBy(_.windowId)
+    assert(ordered.map(_.events) ==
+      Seq(Seq("e1", "late"), Seq("e2"), Seq(), Seq("e3"), Seq()))
+    assert(!batches.exists(_.events.contains("beyond")))
+    ps.close()
+  }
+
   test("subscribeBatch with temporal policy delivers whole windows") {
     val ps = new PubSub(spark)
     val t = ps.topic[Int]("tbatch")

@@ -27,7 +27,9 @@ usage: check_simhash_scale.py <sfDir> <outDir> [nchunk]
   outDir  graft.Verify dump dir containing q_simhash/
 exit 0 + "MATCH" iff zero diffs both directions and row counts agree.
 """
+import atexit
 import os
+import shutil
 import sys
 import tempfile
 import time
@@ -45,6 +47,10 @@ NCHUNK = int(sys.argv[3]) if len(sys.argv) > 3 else 16
 # mixed signature table and report a bogus MATCH/MISMATCH.
 TMP = tempfile.mkdtemp(prefix="simhash-scale-sigc-")
 SPILL = tempfile.mkdtemp(prefix="duckdb-simhash-spill-")
+# ... and each run cleans its own scratch (multi-GB at big mults — the
+# per-invocation dirs otherwise accumulate in /tmp across gate runs).
+atexit.register(lambda: shutil.rmtree(TMP, ignore_errors=True))
+atexit.register(lambda: shutil.rmtree(SPILL, ignore_errors=True))
 
 p = f"{sfdir}/documents.parquet"
 DOCS = f"{p}/*.parquet" if os.path.isdir(p) else p
