@@ -448,22 +448,29 @@ object Bench {
     // host. That step is now mandatory: a restamp additionally requires
     // a row in bench_drift_probe.json (written by tools/drift_probe.sh,
     // which builds the prior round's commit in a scratch worktree and
-    // runs a focused quiet SPARK_GRAFT_BENCH_ONLY pass there). The old
-    // commit reading >= 1.35x the old baseline under quiet load means
-    // the HOST moved (drift) -> restamp proceeds, provenance records
-    // both commits. The old commit REPRODUCING the old figure
-    // (<= 1.25x) means the slowdown arrived with the code -> restamp
-    // REFUSED, published under "regression_suspected". No probe row
-    // (or a contended probe, or the ambiguous 1.25-1.35x band) defers
-    // the restamp and prints the exact command to run.
+    // runs focused quiet SPARK_GRAFT_BENCH_ONLY passes on BOTH commits
+    // back-to-back). The paired, same-context measurement decides:
+    //  - HEAD >= 1.3x the old commit  -> the slowdown arrived with the
+    //    code: restamp REFUSED, published under "regression_suspected";
+    //  - both commits >= 1.35x the baseline -> the HOST moved: restamp
+    //    proceeds, provenance records both commits and both figures;
+    //  - the old commit still reaches the baseline (< 1.35x) and HEAD
+    //    matches it -> the radar figure was full-suite-context
+    //    inflation, not staleness: no restamp, counter RESET (the first
+    //    probe run hit exactly this — q_sessions read 0.359 s focused
+    //    on BOTH builds vs 0.469 s inside the 119-query radar).
+    // A missing or contended probe row defers the restamp and prints
+    // the exact command to run.
     val probePath = java.nio.file.Paths.get(
       sys.env.getOrElse("SPARK_GRAFT_DRIFT_PROBE", "bench_drift_probe.json"))
-    val driftProbe: Map[String, (String, Double, Double)] = {
+    final case class DriftProbe(commit: String, oldMin: Double,
+        oldLoad: Double, headC: String, headMin: Double, headLoad: Double)
+    val driftProbe: Map[String, DriftProbe] = {
       val raw = try {
         Some(new String(java.nio.file.Files.readAllBytes(probePath),
           java.nio.charset.StandardCharsets.UTF_8))
       } catch { case _: Exception => None }
-      raw.fold(Map.empty[String, (String, Double, Double)]) { s =>
+      raw.fold(Map.empty[String, DriftProbe]) { s =>
         """"([^"_][^"]*)"\s*:\s*\{([^}]*)\}""".r.findAllMatchIn(s).flatMap { m =>
           val body = m.group(2)
           def str(k: String) =
@@ -471,8 +478,10 @@ object Bench {
           def num(k: String) =
             (s""""$k"\\s*:\\s*([0-9.eE+-]+)""").r.findFirstMatchIn(body)
               .map(_.group(1).toDouble)
-          for (c <- str("commit"); v <- num("min_sec"); l <- num("load"))
-            yield m.group(1) -> (c, v, l)
+          for (c <- str("commit"); v <- num("min_sec"); l <- num("load");
+               hc <- str("head_commit"); hv <- num("head_min_sec");
+               hl <- num("head_load"))
+            yield m.group(1) -> DriftProbe(c, v, l, hc, hv, hl)
         }.toMap
       }
     }
@@ -481,42 +490,59 @@ object Bench {
       case (n, k) if k >= staleK && staleObserved.get(n).exists(_._3) => n -> k
     }
     val regressionSuspected = collection.mutable.ArrayBuffer.empty[String]
+    val probeResets = collection.mutable.Set.empty[String]
     val restamps: Map[String, (Double, String)] =
       restampCandidates.flatMap { case (n, k) =>
         val (quietMin, quietLoad, _) = staleObserved(n)
         val b = quietBase(n)
         driftProbe.get(n) match {
-          case Some((pc, pv, pl)) if pl <= 1.4 && pv >= b * 1.35 =>
-            Some(n -> (quietMin,
-              s"restamped ${java.time.LocalDate.now} after $k quiet rounds " +
-                s">=1.5x old=${jnum("%.3f", b)} " +
-                s"new=${jnum("%.3f", quietMin)} load=${jnum("%.2f", quietLoad)} " +
-                s"probe_base=${jnum("%.4f", probeBase)} head=$head " +
-                s"drift_probe=$pc@${jnum("%.3f", pv)} (old commit also slow " +
-                "= host drift)"))
-          case Some((pc, pv, pl)) if pl <= 1.4 && pv <= b * 1.25 =>
+          // probe rows tolerate load <= 1.6, not the radar's 1.4: a
+          // SHORT focused run cannot reach the calibrated probe floor
+          // (JIT/scheduler warm takes minutes — the documented phantom),
+          // and the paired old-vs-HEAD comparison is same-context on
+          // both sides, so the shared inflation cancels out.
+          case Some(p) if p.oldLoad <= 1.6 && p.headLoad <= 1.6 &&
+              p.headMin >= p.oldMin * 1.3 =>
             regressionSuspected += n
             System.err.println(
-              s"[bench] RESTAMP REFUSED for $n: rebuilt commit $pc " +
-                s"reproduces the old figure (${jnum("%.3f", pv)} vs baseline " +
-                s"${jnum("%.3f", b)}) while HEAD reads " +
-                s"${jnum("%.3f", quietMin)} — that is a CODE REGRESSION, " +
-                "not host drift. Fix the regression; the baseline stands.")
+              s"[bench] RESTAMP REFUSED for $n: HEAD (${p.headC}) reads " +
+                s"${jnum("%.3f", p.headMin)} vs ${jnum("%.3f", p.oldMin)} " +
+                s"on rebuilt ${p.commit} in the same focused context — " +
+                "the slowdown arrived with the code (REGRESSION, not " +
+                "host drift). Fix the regression; the baseline stands.")
+            None
+          case Some(p) if p.oldLoad <= 1.6 && p.headLoad <= 1.6 &&
+              p.oldMin >= b * 1.35 =>
+            val v = math.min(quietMin, p.headMin)
+            Some(n -> (v,
+              s"restamped ${java.time.LocalDate.now} after $k quiet rounds " +
+                s">=1.5x old=${jnum("%.3f", b)} " +
+                s"new=${jnum("%.3f", v)} load=${jnum("%.2f", quietLoad)} " +
+                s"probe_base=${jnum("%.4f", probeBase)} head=$head " +
+                s"drift_probe=${p.commit}@${jnum("%.3f", p.oldMin)} " +
+                s"head_probe=${p.headC}@${jnum("%.3f", p.headMin)} " +
+                "(old commit also slow = host drift)"))
+          case Some(p) if p.oldLoad <= 1.6 && p.headLoad <= 1.6 =>
+            probeResets += n
+            System.err.println(
+              s"[bench] restamp for $n CANCELLED: rebuilt ${p.commit} " +
+                s"reads ${jnum("%.3f", p.oldMin)} and HEAD " +
+                s"${jnum("%.3f", p.headMin)} focused — the baseline " +
+                s"(${jnum("%.3f", b)}) is still attainable; the radar " +
+                "figure was full-suite-context inflation. Counter reset.")
             None
           case other =>
             val why = other match {
-              case Some((pc, pv, pl)) if pl > 1.4 =>
-                s"probe row ($pc@${jnum("%.3f", pv)}) was contended " +
-                  s"(load ${jnum("%.2f", pl)})"
-              case Some((pc, pv, _)) =>
-                s"probe row ($pc@${jnum("%.3f", pv)}) sits in the " +
-                  "ambiguous 1.25-1.35x band"
+              case Some(p) =>
+                s"probe row (${p.commit}@${jnum("%.3f", p.oldMin)}) was " +
+                  s"contended (loads ${jnum("%.2f", p.oldLoad)}/" +
+                  jnum("%.2f", p.headLoad) + ")"
               case None => "no drift-probe row"
             }
             System.err.println(
               s"[bench] restamp for $n DEFERRED: $why. Run: " +
                 s"tools/drift_probe.sh $n   (rebuilds the prior round's " +
-                "commit in a worktree, focused quiet pass, writes " +
+                "commit in a worktree, paired focused quiet passes, writes " +
                 "bench_drift_probe.json), then re-run this bench.")
             None
         }
@@ -534,7 +560,7 @@ object Bench {
       case (n, (v, _)) if v < quietBase.getOrElse(n, Double.MaxValue) =>
         n -> v
     } ++ restamps.map { case (n, (v, _)) => n -> v }).toSeq.sortBy(_._1)
-    val staleRows = (staleNext -- restamps.keys).toSeq.sorted
+    val staleRows = (staleNext -- restamps.keys -- probeResets).toSeq.sorted
       .map { case (n, k) => s""" "__stale_$n": $k""" }
     val restampRows =
       (restampIn ++ restamps.map { case (n, (_, why)) =>

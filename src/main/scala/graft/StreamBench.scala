@@ -191,6 +191,31 @@ object StreamBench {
     // and SPARK_GRAFT_INGEST_DOCS like the main bench. Prints one JSON
     // line and exits.
     if (sys.env.get("SPARK_GRAFT_INGEST_PROFILE").contains("1")) {
+      // Large-state knobs (round 16): the r15 dial experiment honestly
+      // concluded "no-op at 76k keys" — the levers' binding point needs
+      // a horizon population of 10^6-10^7 band-claim keys. Three envs
+      // reach it without a driver-memory blowup:
+      //  - SPARK_GRAFT_INGEST_UNIQUE=1 suffixes every event's text with
+      //    its sequence number, so EVERY event is a distinct document
+      //    (distinct shingles -> distinct band keys) while the driver
+      //    still cycles the bounded 50k text pool;
+      //  - SPARK_GRAFT_INGEST_STEP_MS (default 100) spaces event times;
+      //    0 parks all events on one timestamp, so the watermark holds
+      //    and NOTHING evicts — state grows to the full population (the
+      //    horizon-worst-case a 100 TB ingest must survive);
+      //  - SPARK_GRAFT_INGEST_CHUNK (default: one publish) splits the
+      //    publish so state accumulates across many micro-batches the
+      //    way a real trigger cadence would, and bounds the per-publish
+      //    allocation.
+      // SPARK_GRAFT_INGEST_STAGES=band_state,full narrows the profile to
+      // the stateful stages when the stateless floor is already known.
+      val uniqueDocs = sys.env.get("SPARK_GRAFT_INGEST_UNIQUE").contains("1")
+      val stepMs = sys.env.getOrElse("SPARK_GRAFT_INGEST_STEP_MS", "100")
+        .toLong
+      val chunk = sys.env.get("SPARK_GRAFT_INGEST_CHUNK").map(_.toInt)
+        .getOrElse(ingestN).max(1)
+      val stages = sys.env.get("SPARK_GRAFT_INGEST_STAGES")
+        .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
       def timeStream(label: String,
           build: Dataset[EventEnvelope[String]] =>
             org.apache.spark.sql.DataFrame): (String, Double, Long) = {
@@ -201,11 +226,18 @@ object StreamBench {
           .foreachBatch { (b: Dataset[org.apache.spark.sql.Row], _: Long) =>
             nOut += b.count(); ()
           }.start()
+        def docAt(i: Int): String = {
+          val base0 = texts(i % texts.length)
+          if (uniqueDocs) base0 + " u" + i else base0
+        }
         val t0 = System.nanoTime()
-        t.publish((0 until ingestN).map(i => EventEnvelope.at(
-          new Timestamp(base + i * 100L), texts(i % texts.length))))
+        (0 until ingestN).grouped(chunk).foreach { idxs =>
+          t.publish(idxs.map(i => EventEnvelope.at(
+            new Timestamp(base + i * stepMs), docAt(i))))
+        }
         t.publish(Seq(EventEnvelope.at(
-          new Timestamp(base + ingestN * 100L + 3600L * 1000L),
+          new Timestamp(base + ingestN * math.max(stepMs, 1L) +
+            3600L * 1000L),
           "flush marker document with enough words to pass the quality " +
             "gate and the shingle threshold for the long branch")))
         q.processAllAvailable()
@@ -223,24 +255,29 @@ object StreamBench {
           .where(graft.operators.Decontamination.hitCount(
             col("content"), evalB) < 1000000)
       }
-      val results = Seq(
-        timeStream("gates", ds => gates(ds)),
-        timeStream("sig", ds => TypedOps.bandedProjection(
+      val allStages = Seq[(String, Dataset[EventEnvelope[String]] =>
+          org.apache.spark.sql.DataFrame)](
+        ("gates", ds => gates(ds)),
+        ("sig", ds => TypedOps.bandedProjection(
           "5 seconds", 5, 64, 16, 42L)(gates(ds))),
-        timeStream("band_state", ds => TypedOps.bandedProjection(
+        ("band_state", ds => TypedOps.bandedProjection(
           "5 seconds", 5, 64, 16, 42L)(gates(ds))
           .dropDuplicatesWithinWatermark("band", "h")),
-        timeStream("full", ds => TypedOps.corpusIngestSelective(
+        ("full", ds => TypedOps.corpusIngestSelective(
           "5 seconds", lmFit, evalB, minQuality = 0.2, minLogw = -1e6,
           minShared = 1000000)(ds.asInstanceOf[Dataset[
             EventEnvelope[String]]]).toDF()))
+      val results = allStages
+        .filter { case (l, _) => stages.forall(_.contains(l)) }
+        .map { case (l, b) => timeStream(l, b) }
       // "out" rows make state-dial experiments self-verifying: identical
       // out counts across configs = keeper parity, printed not argued
       val body = results.map { case (l, s, o) =>
         s""""$l":{"sec":${jd2(s)},"docs_per_sec":${jd0(ingestN / s)},"out":$o}"""
       }.mkString(",")
       println(s"""{"metric":"ingest_profile","n":$ingestN,""" +
-        s""""rocksdb":$rocksdb,"docs_dir":"$ingestDocs",$body}""")
+        s""""rocksdb":$rocksdb,"docs_dir":"$ingestDocs",""" +
+        s""""unique":$uniqueDocs,"step_ms":$stepMs,"chunk":$chunk,$body}""")
       ps.close()
       spark.stop()
       return

@@ -14,6 +14,14 @@
 # This script runs that experiment and records the verdict row in
 # bench_drift_probe.json, which graft.Bench requires before any restamp.
 #
+# Both commits are measured BACK-TO-BACK IN THE SAME CONTEXT (fresh JVM,
+# focused min-of-5): a radar figure comes from a long full-suite run
+# whose memory/JIT context inflates sub-second queries, so comparing
+# probe(old, focused) against radar(HEAD, full-suite) manufactures
+# phantom regressions — the first probe run read q_sessions 0.359 s on
+# the old commit vs 0.469 s on the SAME code in the radar. The paired
+# measurement makes the drift/regression call relative, not contextual.
+#
 # Usage: tools/drift_probe.sh <query>[,<query>...] [commit]
 #   commit defaults to the previous round's end-of-round snapshot.
 set -euo pipefail
@@ -33,33 +41,49 @@ trap 'git worktree remove --force "$WT" 2>/dev/null || true' EXIT
 # the two builds); copy so the old Bench's self-heal writes don't touch it.
 cp bench_probe_cal.txt "$WT/" 2>/dev/null || true
 
+focused() { # focused quiet min-of-5 pass in directory $1
+  (cd "$1" && SPARK_GRAFT_BENCH_ONLY="$Q" SPARK_GRAFT_BENCH_REPS=5 \
+    SPARK_GRAFT_SF_DIR="$SF" SPARK_GRAFT_CPUS=${SPARK_GRAFT_CPUS:-32} \
+    SPARK_GRAFT_BENCH_BASELINE=/nonexistent-baseline.json \
+    SPARK_GRAFT_RADAR_OUT=/tmp/drift_probe_radar.json \
+    sbt -batch "runMain graft.Bench" 2>/dev/null | grep '^{' | head -1)
+}
+
 echo "== drift probe: building $COMMIT in $WT =="
 (cd "$WT" && sbt -batch compile >/dev/null)
 echo "== focused quiet pass: $Q at $SF on $COMMIT =="
-LINE=$(cd "$WT" && SPARK_GRAFT_BENCH_ONLY="$Q" SPARK_GRAFT_BENCH_REPS=5 \
-  SPARK_GRAFT_SF_DIR="$SF" SPARK_GRAFT_CPUS=${SPARK_GRAFT_CPUS:-32} \
-  SPARK_GRAFT_BENCH_BASELINE=/nonexistent-baseline.json \
-  sbt -batch "runMain graft.Bench" 2>/dev/null | grep '^{' | head -1)
-echo "$LINE"
+OLD_LINE=$(focused "$WT")
+echo "$OLD_LINE"
+HEAD_COMMIT=$(git rev-parse --short HEAD)
+echo "== same pass on HEAD ($HEAD_COMMIT) =="
+HEAD_LINE=$(focused "$REPO")
+echo "$HEAD_LINE"
 
-python3 - "$Q" "$COMMIT" "$REPO/bench_drift_probe.json" <<'EOF' "$LINE"
+python3 - "$Q" "$COMMIT" "$HEAD_COMMIT" "$REPO/bench_drift_probe.json" \
+  "$OLD_LINE" <<'EOF' "$HEAD_LINE"
 import json, sys, datetime
-qs, commit, out_path, line = sys.argv[1], sys.argv[2], sys.argv[3], sys.argv[4]
-radar = json.loads(line)
+qs, commit, head_commit, out_path = sys.argv[1:5]
+old = json.loads(sys.argv[5])
+head = json.loads(sys.argv[6])
 try:
     probe = json.load(open(out_path))
 except Exception:
     probe = {}
 for q in qs.split(','):
     q = q.strip()
-    if q not in radar.get("queries", {}):
-        sys.exit(f"query {q} missing from probe bench output")
+    for r in (old, head):
+        if q not in r.get("queries", {}):
+            sys.exit(f"query {q} missing from probe bench output")
     probe[q] = {"commit": commit,
-                "min_sec": radar["queries"][q],
-                "load": radar["load"][q],
+                "min_sec": old["queries"][q],
+                "load": old["load"][q],
+                "head_commit": head_commit,
+                "head_min_sec": head["queries"][q],
+                "head_load": head["load"][q],
                 "date": str(datetime.date.today())}
 json.dump(probe, open(out_path, "w"), indent=1, sort_keys=True)
-print(f"wrote {out_path}: " +
-      ", ".join(f"{q}={probe[q.strip()]['min_sec']}s load={probe[q.strip()]['load']}"
-                for q in qs.split(',')))
+for q in qs.split(','):
+    r = probe[q.strip()]
+    print(f"{q}: old {r['min_sec']}s (load {r['load']}) vs "
+          f"HEAD {r['head_min_sec']}s (load {r['head_load']})")
 EOF
