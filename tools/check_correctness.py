@@ -48,6 +48,20 @@ if "--resume" in argv:
         sys.exit(f"--resume needs a path\n{USAGE}")
     resume_path = argv[i + 1]
     del argv[i:i + 2]
+native = set()
+if "--native" in argv:
+    # DuckDB-native compare (EXCEPT ALL both directions over materialized
+    # temp tables) for queries whose result is too big for the pandas
+    # frame compare: at mult=1000 q_tokenize is ~271M rows — two pandas
+    # frames plus their sorts would not fit even a 128 GiB host, while
+    # DuckDB's hash-based set ops stream and spill. Dtype strictness is
+    # preserved by comparing the LIMIT-0 pandas dtypes of both sides
+    # (the same conversion the frame compare would have hashed).
+    i = argv.index("--native")
+    if i + 1 >= len(argv):
+        sys.exit(f"--native needs a comma list\n{USAGE}")
+    native = {q.strip() for q in argv[i + 1].split(",") if q.strip()}
+    del argv[i:i + 2]
 if "--skip" in argv:
     # For queries delegated to the chunked scale checkers
     # (check_embed_scale.py / check_simhash_scale.py) at big mult
@@ -72,6 +86,13 @@ def fresh_connection():
     """New connection with the fixture views + bounded resources."""
     c = duckdb.connect()
     c.sql("SET threads=16")
+    # GRAFT_DUCKDB_MEM caps the buffer budget when the gate shares the
+    # host with a running Spark dump (incremental checking at big mults)
+    # — without it DuckDB assumes 80% of RAM and the OS OOM killer can
+    # take out the Spark process mid-dump.
+    mem = os.environ.get("GRAFT_DUCKDB_MEM")
+    if mem:
+        c.sql(f"SET memory_limit='{mem}'")
     os.makedirs(SPILL_DIR, exist_ok=True)
     c.sql(f"SET temp_directory='{SPILL_DIR}'")
     for t in ("region nation customer supplier part orders lineitem events "
@@ -135,6 +156,43 @@ def rebuild_connection(c):
     return fresh_connection()
 
 
+def native_compare(name, sql):
+    """Exact compare without pandas frames: counts, LIMIT-0 dtypes, then
+    EXCEPT ALL in both directions (NULL-safe by SQL set-op semantics).
+    Returns (rows, match, detail)."""
+    c = fresh_connection()
+    try:
+        c.sql(f"""CREATE TEMP TABLE got AS SELECT * FROM
+            read_parquet('{outdir}/{name}/*.parquet')""")
+        c.sql(f"CREATE TEMP TABLE want AS {sql}")
+        gd = c.sql("SELECT * FROM got LIMIT 0").df()
+        wd = c.sql("SELECT * FROM want LIMIT 0").df()
+        gcols, wcols = sorted(gd.columns), sorted(wd.columns)
+        if gcols != wcols:
+            return -1, False, f"columns {gcols} != {wcols}"
+        gt = [str(gd[cn].dtype) for cn in gcols]
+        wt = [str(wd[cn].dtype) for cn in wcols]
+        if gt != wt:
+            return -1, False, f"dtypes {gt} != {wt}"
+        ng = c.sql("SELECT count(*) FROM got").fetchone()[0]
+        nw = c.sql("SELECT count(*) FROM want").fetchone()[0]
+        if ng != nw:
+            return ng, False, f"rows {ng} != {nw}"
+        cols = ", ".join(f'"{cn}"' for cn in gcols)
+        d1 = c.sql(f"""SELECT count(*) FROM (SELECT {cols} FROM got
+            EXCEPT ALL SELECT {cols} FROM want)""").fetchone()[0]
+        d2 = c.sql(f"""SELECT count(*) FROM (SELECT {cols} FROM want
+            EXCEPT ALL SELECT {cols} FROM got)""").fetchone()[0]
+        if d1 or d2:
+            return ng, False, f"value mismatch: got-want {d1}, want-got {d2}"
+        return ng, True, "native"
+    finally:
+        try:
+            c.close()
+        except Exception:
+            pass
+
+
 for name, sql in sorted(oracle.items()):
     if only and name not in only:
         continue
@@ -146,6 +204,19 @@ for name, sql in sorted(oracle.items()):
         print(f"ok   {name} ({r['rows']} rows) [resumed]")
         record(name, r["rows"], True, r.get("detail", ""))
         ok += 1
+        continue
+    if name in native:
+        try:
+            rows, match, detail = native_compare(name, sql)
+        except Exception as e:
+            rows, match, detail = -1, False, f"{type(e).__name__}: {e}"[:300]
+        print(f"{'ok  ' if match else 'FAIL'} {name} ({rows} rows) "
+              f"[native]{'' if match else ': ' + detail}")
+        record(name, rows, match, detail)
+        if match:
+            ok += 1
+        else:
+            bad += 1
         continue
     got = want = None
     err = None
