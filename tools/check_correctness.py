@@ -79,7 +79,11 @@ if len(argv) != 2:
     sys.exit(USAGE)
 sfdir, outdir = argv[0], argv[1]
 
-SPILL_DIR = "/tmp/duckdb-gate-spill"
+# Per-process spill dir: a fixed path let concurrent gate processes
+# (parallel --only batches at big mults) race on each other's temp
+# files — DuckDB terminates the whole process when a spill file it
+# owns disappears under it.
+SPILL_DIR = f"/tmp/duckdb-gate-spill-{os.getpid()}"
 
 
 def fresh_connection():

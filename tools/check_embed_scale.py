@@ -46,7 +46,7 @@ THRESHOLD = 0.95
 THRESHOLD_Q = 9500
 
 con = duckdb.connect()
-con.sql("SET memory_limit='85GB'")
+con.sql(f"SET memory_limit='{os.environ.get('GRAFT_DUCKDB_MEM', '85GB')}'")
 con.sql("SET temp_directory='/tmp/duckdbtmp'")
 con.sql("SET preserve_insertion_order=false")
 p = f"{sfdir}/embeddings.parquet"

@@ -22,9 +22,17 @@ majority (ties -> 0), MSB-first 64-bit signature folded into four
 16-bit blocks, banded-pigeonhole candidates on block equality,
 Hamming <= 3 verify.
 
-usage: check_simhash_scale.py <sfDir> <outDir> [nchunk]
+usage: check_simhash_scale.py <sfDir> <outDir> [nchunk] [--stride N]
   sfDir   fixture dir with documents.parquet (file or Spark dir)
   outDir  graft.Verify dump dir containing q_simhash/
+  --stride N: SUBSET mode — verify only the pair sub-block whose BOTH
+    endpoints satisfy doc_id % N == 0 (signatures computed for the
+    subset only, candidates mined within it, Spark dump filtered to
+    it). The documented cutover for fixtures where the full compare
+    outgrows the host's disk: signatures are per-doc independent and
+    banding is per-signature, so the sub-block oracle is exactly the
+    full oracle restricted — same invariance as the minhash subset
+    checker, whose surgery VALIDATEs against the full oracle.
 exit 0 + "MATCH" iff zero diffs both directions and row counts agree.
 """
 import atexit
@@ -38,8 +46,14 @@ import duckdb
 
 if len(sys.argv) < 3:
     sys.exit(__doc__)
-sfdir, outdir = sys.argv[1], sys.argv[2]
-NCHUNK = int(sys.argv[3]) if len(sys.argv) > 3 else 16
+argv = list(sys.argv[1:])
+STRIDE = 1
+if "--stride" in argv:
+    i = argv.index("--stride")
+    STRIDE = int(argv[i + 1])
+    del argv[i:i + 2]
+sfdir, outdir = argv[0], argv[1]
+NCHUNK = int(argv[2]) if len(argv) > 2 else 16
 
 # Per-invocation private scratch dirs: a FIXED path here let two
 # concurrent runs (verifying different fixtures) interleave their
@@ -62,6 +76,9 @@ def fresh_connection():
     c.sql("SET memory_limit='40GB'")
     os.makedirs(SPILL, exist_ok=True)
     c.sql(f"SET temp_directory='{SPILL}'")
+    mem = os.environ.get("GRAFT_DUCKDB_MEM")
+    if mem:
+        c.sql(f"SET memory_limit='{mem}'")
     c.sql("SET preserve_insertion_order=false")
     return c
 
@@ -74,7 +91,7 @@ def fresh_connection():
 SIG_SQL = r"""
 WITH docs AS MATERIALIZED (
     SELECT doc_id, text FROM read_parquet('{docs}')
-    WHERE doc_id % {n} = {k}),
+    WHERE doc_id % {stride} = 0 AND (doc_id // {stride}) % {n} = {k}),
   tb AS MATERIALIZED (
     SELECT doc_id, md5(tok) AS mh FROM
       (SELECT doc_id, unnest(list_filter(regexp_split_to_array(text,
@@ -120,7 +137,7 @@ FROM blocks GROUP BY doc_id
 t0 = time.time()
 for k in range(NCHUNK):
     con = fresh_connection()
-    sql = SIG_SQL.format(docs=DOCS, n=NCHUNK, k=k)
+    sql = SIG_SQL.format(docs=DOCS, n=NCHUNK, k=k, stride=STRIDE)
     con.sql(f"COPY ({sql}) TO '{TMP}/sigc_{k}.parquet' (FORMAT parquet)")
     con.close()
     print(f"[simhash-scale] chunk {k + 1}/{NCHUNK} sigs done "
@@ -156,7 +173,8 @@ con.sql("""CREATE TABLE want AS
 con.sql(f"""CREATE VIEW got AS
     SELECT CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b,
       CAST(dist AS INTEGER) AS dist
-    FROM read_parquet('{outdir}/q_simhash/*.parquet')""")
+    FROM read_parquet('{outdir}/q_simhash/*.parquet')
+    WHERE a % {STRIDE} = 0 AND b % {STRIDE} = 0""")
 nw = con.sql("SELECT count(*) FROM want").fetchone()[0]
 ng = con.sql("SELECT count(*) FROM got").fetchone()[0]
 d1 = con.sql(
@@ -165,7 +183,7 @@ d1 = con.sql(
 d2 = con.sql(
     "SELECT count(*) FROM (SELECT * FROM got EXCEPT ALL "
     "SELECT * FROM want)").fetchone()[0]
-print(f"[simhash-scale] TOTAL want {nw}, got {ng}, "
+print(f"[simhash-scale] stride={STRIDE} TOTAL want {nw}, got {ng}, "
       f"want-got {d1}, got-want {d2} ({time.time() - t0:.0f}s)")
 if nw == ng and d1 == 0 and d2 == 0:
     print("MATCH")
