@@ -37,8 +37,20 @@ import duckdb
 
 if len(sys.argv) < 3:
     sys.exit(__doc__)
-sfdir, outdir = sys.argv[1], sys.argv[2]
-NCHUNK = int(sys.argv[3]) if len(sys.argv) > 3 else 8
+argv = list(sys.argv[1:])
+MAX_CHUNKS = None
+if "--max-chunks" in argv:
+    # SUBSET mode (the documented big-mult cutover, mirroring the
+    # minhash/simhash subset checkers): verify only the first K of the
+    # NCHUNK id-slices — an exact both-direction compare of the pairs
+    # whose SMALLER id falls in those slices, plus the per-slice count
+    # parity. The full-compare certification stands at the largest
+    # fixture where it fits (mult=300: 60,804,000 pairs, zero diffs).
+    i = argv.index("--max-chunks")
+    MAX_CHUNKS = int(argv[i + 1])
+    del argv[i:i + 2]
+sfdir, outdir = argv[0], argv[1]
+NCHUNK = int(argv[2]) if len(argv) > 2 else 8
 
 CLONE_STRIDE = 50
 CLONE_ID_OFFSET = 100000000001
@@ -128,7 +140,7 @@ con.sql(f"CREATE TEMP VIEW got AS SELECT * FROM "
         f"read_parquet('{outdir}/q_embed_neardup_auto/*.parquet')")
 
 tot_want = tot_d1 = tot_d2 = 0
-for i in range(NCHUNK):
+for i in range(MAX_CHUNKS if MAX_CHUNKS else NCHUNK):
     t1 = time.time()
     con.sql(f"""CREATE OR REPLACE TEMP TABLE want_c AS
         WITH cand AS (
@@ -157,9 +169,18 @@ for i in range(NCHUNK):
     print(f"chunk {i}: want {w}, got-want {d1}, want-got {d2} "
           f"({time.time() - t1:.1f}s)", flush=True)
 
-nrows = con.sql("SELECT count(*) FROM got").fetchone()[0]
-print(f"TOTAL want {tot_want}, got {nrows}, "
-      f"got-want {tot_d1}, want-got {tot_d2}")
+if MAX_CHUNKS:
+    # subset mode: got-side rows comparable only within the checked
+    # slices (counted per chunk above via the EXCEPTs); global count
+    # parity is NOT asserted here — the full compare owns that claim
+    nrows = con.sql(f"""SELECT count(*) FROM got
+        WHERE a % {NCHUNK} < {MAX_CHUNKS}""").fetchone()[0]
+    print(f"SUBSET {MAX_CHUNKS}/{NCHUNK} slices: want {tot_want}, "
+          f"got-in-slices {nrows}, got-want {tot_d1}, want-got {tot_d2}")
+else:
+    nrows = con.sql("SELECT count(*) FROM got").fetchone()[0]
+    print(f"TOTAL want {tot_want}, got {nrows}, "
+          f"got-want {tot_d1}, want-got {tot_d2}")
 ok = tot_d1 == 0 and tot_d2 == 0 and tot_want == nrows
 print("MATCH" if ok else "MISMATCH")
 sys.exit(0 if ok else 1)
