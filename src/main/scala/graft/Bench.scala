@@ -92,6 +92,7 @@ object Bench {
     } catch { case _: Exception => "unknown" }
 
   def main(args: Array[String]): Unit = {
+    graft.core.Sessions.assertJdkOpens()
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       Runtime.getRuntime.availableProcessors().toString).toInt
@@ -495,7 +496,12 @@ object Bench {
       restampCandidates.flatMap { case (n, k) =>
         val (quietMin, quietLoad, _) = staleObserved(n)
         val b = quietBase(n)
-        driftProbe.get(n) match {
+        // A probe row only authorizes a verdict about the build it
+        // actually measured: rows whose head_commit is not the current
+        // HEAD are treated as missing (DEFERRED), otherwise a probe
+        // written rounds ago would certify drift for a regression that
+        // shipped after it ran.
+        driftProbe.get(n).filter(_.headC == head) match {
           // probe rows tolerate load <= 1.6, not the radar's 1.4: a
           // SHORT focused run cannot reach the calibrated probe floor
           // (JIT/scheduler warm takes minutes — the documented phantom),
@@ -522,6 +528,23 @@ object Bench {
                 s"drift_probe=${p.commit}@${jnum("%.3f", p.oldMin)} " +
                 s"head_probe=${p.headC}@${jnum("%.3f", p.headMin)} " +
                 "(old commit also slow = host drift)"))
+          // Slow-creep guard: the old commit still attains the baseline
+          // but HEAD focused does not (>=1.35x) even though the per-round
+          // step stayed under the 1.3x paired trigger. Without this
+          // branch each round's probe compares only against the PREVIOUS
+          // snapshot, so a <1.3x-per-round regression keeps resetting the
+          // counter forever; flag it instead of certifying it as context
+          // inflation.
+          case Some(p) if p.oldLoad <= 1.6 && p.headLoad <= 1.6 &&
+              p.oldMin < b * 1.35 && p.headMin >= b * 1.35 =>
+            regressionSuspected += n
+            System.err.println(
+              s"[bench] restamp for $n REFUSED (slow creep): rebuilt " +
+                s"${p.commit} attains the baseline " +
+                s"(${jnum("%.3f", p.oldMin)} vs ${jnum("%.3f", b)}) but " +
+                s"HEAD focused reads ${jnum("%.3f", p.headMin)} >= 1.35x " +
+                "— cumulative regression across rounds, not host drift.")
+            None
           case Some(p) if p.oldLoad <= 1.6 && p.headLoad <= 1.6 =>
             probeResets += n
             System.err.println(
@@ -537,7 +560,12 @@ object Bench {
                 s"probe row (${p.commit}@${jnum("%.3f", p.oldMin)}) was " +
                   s"contended (loads ${jnum("%.2f", p.oldLoad)}/" +
                   jnum("%.2f", p.headLoad) + ")"
-              case None => "no drift-probe row"
+              case None => driftProbe.get(n) match {
+                case Some(p) =>
+                  s"probe row is for head_commit ${p.headC}, not current " +
+                    s"HEAD $head (stale probe — re-run it)"
+                case None => "no drift-probe row"
+              }
             }
             System.err.println(
               s"[bench] restamp for $n DEFERRED: $why. Run: " +

@@ -26,6 +26,7 @@ object StreamBench {
     String.format(java.util.Locale.ROOT, "%.0f", Double.box(v))
 
   def main(args: Array[String]): Unit = {
+    graft.core.Sessions.assertJdkOpens()
     val n = args.headOption.map(_.toInt).getOrElse(500000)
     // SPARK_GRAFT_STATE_STORE=rocksdb measures the large-state scale
     // path (Sessions.tuneLargeState) instead of the in-memory default —
@@ -267,17 +268,25 @@ object StreamBench {
           "5 seconds", lmFit, evalB, minQuality = 0.2, minLogw = -1e6,
           minShared = 1000000)(ds.asInstanceOf[Dataset[
             EventEnvelope[String]]]).toDF()))
-      val results = allStages
+      val picked = allStages
         .filter { case (l, _) => stages.forall(_.contains(l)) }
-        .map { case (l, b) => timeStream(l, b) }
+      if (picked.isEmpty)
+        // An empty stage filter (typo'd names) would otherwise print a
+        // trailing-comma line — an unparseable artifact — after running
+        // nothing; fail loudly instead.
+        sys.error(s"SPARK_GRAFT_INGEST_STAGES=${stages.getOrElse("")} " +
+          s"matched no stages (have: ${allStages.map(_._1).mkString(",")})")
+      val results = picked.map { case (l, b) => timeStream(l, b) }
       // "out" rows make state-dial experiments self-verifying: identical
       // out counts across configs = keeper parity, printed not argued
-      val body = results.map { case (l, s, o) =>
+      val fields = Seq(
+        s""""metric":"ingest_profile"""", s""""n":$ingestN""",
+        s""""rocksdb":$rocksdb""", s""""docs_dir":"$ingestDocs"""",
+        s""""unique":$uniqueDocs""", s""""step_ms":$stepMs""",
+        s""""chunk":$chunk""") ++ results.map { case (l, s, o) =>
         s""""$l":{"sec":${jd2(s)},"docs_per_sec":${jd0(ingestN / s)},"out":$o}"""
-      }.mkString(",")
-      println(s"""{"metric":"ingest_profile","n":$ingestN,""" +
-        s""""rocksdb":$rocksdb,"docs_dir":"$ingestDocs",""" +
-        s""""unique":$uniqueDocs,"step_ms":$stepMs,"chunk":$chunk,$body}""")
+      }
+      println(fields.mkString("{", ",", "}"))
       ps.close()
       spark.stop()
       return

@@ -71,6 +71,7 @@ object Verify {
   }
 
   def main(args: Array[String]): Unit = {
+    graft.core.Sessions.assertJdkOpens()
     val Array(sfDir, outDir) = args
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt
     val spark = graft.core.Sessions.tune(

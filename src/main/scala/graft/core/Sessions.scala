@@ -73,7 +73,43 @@ object Sessions {
       .config("spark.sql.parquet.filterPushdown", "true")
       .config("spark.sql.parquet.aggregatePushdown", "true")
       .config("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
+      // Shuffle-file retention is a scale contract (mult=1000 lesson,
+      // SCALE.md seventh point): ContextCleaner frees shuffle files only
+      // on driver GC, and the default ~30-min cadence let ~50 GB of dead
+      // shuffle files from a multi-query run (Verify dump batches, Bench
+      // suites) accumulate into no-space aborts. Whenever a scale dial is
+      // set (the mult>=300 harness signature) the fast periodic GC rides
+      // along automatically; SPARK_GRAFT_PERIODIC_GC overrides either way.
+      .config("spark.cleaner.periodicGC.interval",
+        sys.env.getOrElse("SPARK_GRAFT_PERIODIC_GC",
+          if (sys.env.contains("SPARK_GRAFT_INITIAL_PARTITIONS") ||
+              sys.env.contains("SPARK_GRAFT_BROADCAST_THRESHOLD")) "60s"
+          else "30min"))
       .config("spark.ui.enabled", "false")
+
+  /** Fail fast when a Spark main is launched via bare `java -cp` without
+    * the JDK17 `--add-opens` set (build.sbt's `javaOptions` list): without
+    * them Spark 4's Platform/Kryo paths fail much later with obscure
+    * IllegalAccess/serialization errors — at mult=1000 that cost a full
+    * dump attempt. sbt-forked JVMs always carry the opens; a direct
+    * launch must pass them (the `/tmp/jdk_opens.txt` pattern). Call from
+    * every main before building a session.
+    */
+  def assertJdkOpens(): Unit = {
+    val args = java.lang.management.ManagementFactory.getRuntimeMXBean
+      .getInputArguments
+    import scala.jdk.CollectionConverters._
+    val opens = args.asScala.filter(_.contains("--add-opens")) ++
+      args.asScala.filter(_.startsWith("java.base/"))
+    val need = "java.base/sun.nio.ch"
+    val have = args.asScala.mkString(" ").contains(need)
+    if (!have)
+      throw new IllegalStateException(
+        s"JVM launched without --add-opens (missing $need): Spark 4 on " +
+          "JDK 17 needs build.sbt's javaOptions add-opens list. Run " +
+          "through sbt, or pass the list (see build.sbt javaOptions / " +
+          s"the jdk_opens.txt pattern). Saw ${opens.size} open-ish args.")
+  }
 
   /** Quiet the "RDD was locally checkpointed, its lineage has been
     * truncated and cannot be recomputed after unpersisting" WARN spam.

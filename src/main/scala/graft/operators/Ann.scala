@@ -349,6 +349,91 @@ object Ann {
     nearDupPairs(emb, dim, threshold, plan.nBands, plan.bitsPerBand,
       seed, maxBucket)
 
+  /** Verified STAR edges per LSH bucket — the scale-safe alternative to
+    * [[nearDupPairs]]'s all-pairs contract under DENSE duplicate
+    * clusters. Each (band, bucket) contributes one candidate edge from
+    * every member to the bucket's min-id member (O(c) per bucket) instead
+    * of C(c,2) pairs; each edge is then verified with the SAME
+    * integer-quantized cosine cut the all-pairs form uses. A c-member
+    * exact-duplicate cluster costs c-1 verified edges here versus
+    * c·(c-1)/2 pairs there — the difference between a ~2 MB and a ~70 GB
+    * shuffle at the mult=1000 clone fixture (~994-replica groups, 24
+    * bands), where the all-pairs form is the one query of the ledger
+    * that outgrows a single host (SCALE.md, seventh point).
+    *
+    * Shuffle shape: one explode to n·nBands (vec_id, band, h) rows, ONE
+    * hash-partition + sort for the per-bucket window min (no self-join
+    * at all), a distinct over <= n·nBands candidate edges, and a linear
+    * join-back for verification. No hot-bucket guard is needed — a hot
+    * bucket is exactly the case this operator is linear in.
+    *
+    * Downstream contract: these edges are a CONNECTIVITY WITNESS for
+    * consumers that need duplicate components/keepers, not the full
+    * above-threshold pair set. Components over the star edges equal
+    * components over all verified bucket pairs whenever each bucket's
+    * above-threshold relation is a union of cliques containing the
+    * bucket min (true for duplicate clusters — mutually near-identical
+    * members); in adversarial geometry (x, y both below threshold vs the
+    * bucket min but above it vs each other) a star can miss a bridge the
+    * all-pairs graph would find, which is why [[nearDupPairs]] remains
+    * the oracle anchor at scales where its output fits (full cross-engine
+    * compare certified at mult=300) and NearDupSpec pins keeper-set
+    * equality of the two forms on the committed fixtures.
+    */
+  def nearDupStarEdges(emb: DataFrame, dim: Int, threshold: Double,
+      plan: LshPlan, seed: Long = 42L): DataFrame = {
+    val banded = emb.select(col("vec_id"),
+        explode(VectorFunctions.hyperplaneBands(
+          col("embedding"), dim, plan.nBands, plan.bitsPerBand, seed))
+          .as("bh"))
+      .select(col("vec_id"), col("bh.band").as("band"), col("bh.h").as("h"))
+    val cand = banded
+      .withColumn("m",
+        min(col("vec_id")).over(Window.partitionBy(col("band"), col("h"))))
+      .where(col("vec_id") =!= col("m"))
+      .select(col("m").as("a"), col("vec_id").as("b"))
+      .distinct()
+    val vecs = emb.select(col("vec_id"), col("embedding"))
+    val thresholdQ = math.round(threshold * 10000)
+    cand
+      .join(vecs.select(col("vec_id").as("a"), col("embedding").as("ea")), "a")
+      .join(vecs.select(col("vec_id").as("b"), col("embedding").as("eb")), "b")
+      .select(col("a"), col("b"),
+        Det.r4q(VectorFunctions.cosine(col("ea"), col("eb"))).as("score_q"))
+      .where(col("score_q") >= thresholdQ)
+      .select(col("a"), col("b"), (col("score_q") / 10000).as("score"))
+  }
+
+  /** Keeper-direct embedding near-dup: auto-sized LSH ([[lshPlan]] from
+    * the corpus's own count), [[nearDupStarEdges]] for connectivity, and
+    * connected components over the verified star edges — (vec_id,
+    * keeper_id = min id of the duplicate component) for every vector
+    * that joined any verified edge (singletons keep themselves and are
+    * omitted, the q_neardup_components convention). This is what a
+    * dedup pipeline actually consumes: [[nearDupPairsAuto]]'s full pair
+    * set costs C(c,2) rows per c-member duplicate cluster — an
+    * output-bound quadratic no consumer of keepers needs — while this
+    * path is O(c) per cluster end to end and runs at mult=1000 on one
+    * host where the all-pairs form provably cannot (SCALE.md seventh
+    * point). Exactness conditions and the oracle-anchor relationship to
+    * the all-pairs form: [[nearDupStarEdges]] scaladoc.
+    */
+  def nearDupKeepersAuto(emb: DataFrame, dim: Int, threshold: Double,
+      targetRecall: Double = 0.999, targetBucket: Long = 256L,
+      seed: Long = 42L): DataFrame = {
+    val n = emb.count()
+    val plan = lshPlan(math.max(1L, n), threshold, targetRecall,
+      targetBucket)
+    System.err.println(s"[nearDupKeepersAuto] n=$n -> bits=" +
+      s"${plan.bitsPerBand} bands=${plan.nBands} " +
+      f"expectedRecall=${plan.expectedRecall}%.4f")
+    Components.connectedComponents(
+      nearDupStarEdges(emb, dim, threshold, plan, seed)
+        .select(col("a"), col("b")))
+      .select(col("doc_id").as("vec_id"),
+        col("component_id").as("keeper_id"))
+  }
+
   /** IVF search: probe the nprobe highest-affinity cells per query, exact
     * top-k within the probed cells. Expects centroids(cell_id, cell_emb).
     */

@@ -485,6 +485,89 @@ object SimilarityQueries {
     s"""list_sum(list_transform(generate_series(1, len($a)),
        i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))"""
 
+  /** The clone-augmented embedding corpus shared by the auto near-dup
+    * queries: every CloneStride-th vector re-emitted at id +
+    * CloneIdOffset with its first component sign-flipped (exact on both
+    * engines; construction rationale in the q_embed_neardup_auto
+    * comment).
+    */
+  private def cloneAugmented(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.load(s, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    val clones = base.where(col("vec_id") % CloneStride === 0)
+      .select((col("vec_id") + CloneIdOffset).as("vec_id"),
+        transform(col("embedding"),
+          (x, i) => when(i === 0, -x).otherwise(x)).as("embedding"))
+    base.unionByName(clones)
+  }
+
+  /** Shared DuckDB CTE block for the auto embedding-LSH queries: the
+    * clone-augmented corpus (`aug`), the plan re-derived from DuckDB's
+    * OWN count via the q_lsh_plan sizing algebra, the md5 plane family,
+    * and the per-(vec_id, band) bucket hashes (`bands`). Callers append
+    * their own candidate/verify/consolidation CTEs.
+    */
+  private def embedAutoBandsCtes: String =
+    s"""aug AS (
+          SELECT vec_id, embedding FROM embeddings
+          UNION ALL
+          SELECT vec_id + $CloneIdOffset AS vec_id,
+            list_concat([-embedding[1]], embedding[2:64]) AS embedding
+          FROM embeddings WHERE vec_id % $CloneStride = 0),
+        nn AS (SELECT count(*) AS n FROM aug),
+        pp AS (SELECT 1.0 - acos($NearDupAutoThreshold) / pi() AS p),
+        sized AS (
+          SELECT CAST(bs.bits AS INTEGER) AS bits,
+            CASE WHEN power(pp.p, bs.bits) >= 1.0 THEN 1
+              ELSE least(64, greatest(1, CAST(ceil(
+                ln(1.0 - 0.999) / ln(1.0 - power(pp.p, bs.bits)))
+                AS INTEGER))) END AS bands
+          FROM pp, generate_series(6, 24) bs(bits)),
+        sized2 AS (
+          SELECT s.bits, s.bands,
+            1.0 - power(1.0 - power(pp.p, s.bits), s.bands) AS recall
+          FROM sized s, pp),
+        init AS (
+          SELECT least(24, greatest(6, CAST(ceil(
+            ln(greatest(1.0, CAST(nn.n AS DOUBLE) / 256.0)) / ln(2.0))
+            AS INTEGER))) AS initbits
+          FROM nn),
+        plan AS (
+          SELECT s.bits, s.bands FROM sized2 s
+          WHERE s.bits = coalesce(
+            (SELECT max(x.bits) FROM sized2 x, init i
+             WHERE x.bits <= i.initbits AND x.recall >= 0.999),
+            CAST(6 AS INTEGER))),
+        planesig AS (
+          SELECT tb.band, ti.bit,
+            md5('hp:42:' || tb.band || ':' || ti.bit || ':0') AS dg
+          FROM plan, generate_series(0, 63) tb(band),
+               generate_series(0, 23) ti(bit)
+          WHERE tb.band < plan.bands AND ti.bit < plan.bits),
+        proj AS (
+          SELECT e.vec_id, p.band, p.bit,
+            list_sum(list_transform(generate_series(1, 64), k ->
+              CASE WHEN ((instr('0123456789abcdef',
+                    substr(p.dg, CAST(1 + (k - 1) // 4 AS INTEGER), 1)) - 1)
+                  >> CAST(3 - ((k - 1) % 4) AS INTEGER)) & 1 = 1
+                THEN CAST(e.embedding[k] AS DOUBLE)
+                ELSE -CAST(e.embedding[k] AS DOUBLE) END)) AS s
+          FROM aug e CROSS JOIN planesig p),
+        bands AS (
+          SELECT vec_id, band,
+            CAST(sum(CASE WHEN s >= 0
+              THEN (CAST(1 AS BIGINT) << CAST(bit AS INTEGER))
+              ELSE 0 END) AS BIGINT) AS h
+          FROM proj GROUP BY 1, 2)"""
+
+  /** The quantized cosine-verify expression shared by the auto embedding
+    * queries' oracles (candidate aliased c, endpoints joined as ex/ey).
+    */
+  private def embedVerifyScoreQ: String =
+    Det.sqlR4q(s"""${oracleDot("ex.embedding", "ey.embedding")} /
+              (sqrt(${oracleDot("ex.embedding", "ex.embedding")}) *
+               sqrt(${oracleDot("ey.embedding", "ey.embedding")}))""")
+
   private def oracleL2sq(a: String, b: String): String =
     s"""list_sum(list_transform(generate_series(1, len($a)),
        i -> (CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE)) *
@@ -1404,81 +1487,67 @@ object SimilarityQueries {
     // generated at its maxima (64 bands x 24 bits) and filtered by the
     // plan CTE — same rows, engine-portable.
     "q_embed_neardup_auto" -> QueryDef(
-      (s, dir) => {
-        val base = Tables.load(s, dir, "embeddings")
-          .select(col("vec_id"), col("embedding"))
-        val clones = base.where(col("vec_id") % CloneStride === 0)
-          .select((col("vec_id") + CloneIdOffset).as("vec_id"),
-            transform(col("embedding"),
-              (x, i) => when(i === 0, -x).otherwise(x)).as("embedding"))
-        graft.operators.Ann.nearDupPairsAuto(base.unionByName(clones),
-          dim = 64, threshold = NearDupAutoThreshold)
-      },
-      Some(s"""WITH aug AS (
-          SELECT vec_id, embedding FROM embeddings
-          UNION ALL
-          SELECT vec_id + $CloneIdOffset AS vec_id,
-            list_concat([-embedding[1]], embedding[2:64]) AS embedding
-          FROM embeddings WHERE vec_id % $CloneStride = 0),
-        nn AS (SELECT count(*) AS n FROM aug),
-        pp AS (SELECT 1.0 - acos($NearDupAutoThreshold) / pi() AS p),
-        sized AS (
-          SELECT CAST(bs.bits AS INTEGER) AS bits,
-            CASE WHEN power(pp.p, bs.bits) >= 1.0 THEN 1
-              ELSE least(64, greatest(1, CAST(ceil(
-                ln(1.0 - 0.999) / ln(1.0 - power(pp.p, bs.bits)))
-                AS INTEGER))) END AS bands
-          FROM pp, generate_series(6, 24) bs(bits)),
-        sized2 AS (
-          SELECT s.bits, s.bands,
-            1.0 - power(1.0 - power(pp.p, s.bits), s.bands) AS recall
-          FROM sized s, pp),
-        init AS (
-          SELECT least(24, greatest(6, CAST(ceil(
-            ln(greatest(1.0, CAST(nn.n AS DOUBLE) / 256.0)) / ln(2.0))
-            AS INTEGER))) AS initbits
-          FROM nn),
-        plan AS (
-          SELECT s.bits, s.bands FROM sized2 s
-          WHERE s.bits = coalesce(
-            (SELECT max(x.bits) FROM sized2 x, init i
-             WHERE x.bits <= i.initbits AND x.recall >= 0.999),
-            CAST(6 AS INTEGER))),
-        planesig AS (
-          SELECT tb.band, ti.bit,
-            md5('hp:42:' || tb.band || ':' || ti.bit || ':0') AS dg
-          FROM plan, generate_series(0, 63) tb(band),
-               generate_series(0, 23) ti(bit)
-          WHERE tb.band < plan.bands AND ti.bit < plan.bits),
-        proj AS (
-          SELECT e.vec_id, p.band, p.bit,
-            list_sum(list_transform(generate_series(1, 64), k ->
-              CASE WHEN ((instr('0123456789abcdef',
-                    substr(p.dg, CAST(1 + (k - 1) // 4 AS INTEGER), 1)) - 1)
-                  >> CAST(3 - ((k - 1) % 4) AS INTEGER)) & 1 = 1
-                THEN CAST(e.embedding[k] AS DOUBLE)
-                ELSE -CAST(e.embedding[k] AS DOUBLE) END)) AS s
-          FROM aug e CROSS JOIN planesig p),
-        bands AS (
-          SELECT vec_id, band,
-            CAST(sum(CASE WHEN s >= 0
-              THEN (CAST(1 AS BIGINT) << CAST(bit AS INTEGER))
-              ELSE 0 END) AS BIGINT) AS h
-          FROM proj GROUP BY 1, 2),
+      (s, dir) => graft.operators.Ann.nearDupPairsAuto(
+        cloneAugmented(s, dir), dim = 64,
+        threshold = NearDupAutoThreshold),
+      Some(s"""WITH $embedAutoBandsCtes,
         cand AS (
           SELECT DISTINCT x.vec_id AS a, y.vec_id AS b
           FROM bands x JOIN bands y
             ON x.band = y.band AND x.h = y.h AND x.vec_id < y.vec_id)
         SELECT a, b, score_q / 10000 AS score FROM (
-          SELECT c.a, c.b,
-            ${Det.sqlR4q(s"""${oracleDot("ex.embedding", "ey.embedding")} /
-              (sqrt(${oracleDot("ex.embedding", "ex.embedding")}) *
-               sqrt(${oracleDot("ey.embedding", "ey.embedding")}))""")}
-              AS score_q
+          SELECT c.a, c.b, $embedVerifyScoreQ AS score_q
           FROM cand c
           JOIN aug ex ON ex.vec_id = c.a
           JOIN aug ey ON ey.vec_id = c.b) t
         WHERE score_q >= $NearDupAutoThresholdQ"""),
+      bench = true),
+
+    // Keeper-DIRECT embedding near-dup (Ann.nearDupKeepersAuto): the
+    // scale-safe certified form for dense duplicate clusters. The
+    // all-pairs query above owes C(c,2) output rows per c-member
+    // duplicate cluster BY CONTRACT — at mult=1000 the clone fixture's
+    // ~994-replica groups make that ~2.4e10 candidate rows / ~70 GB of
+    // shuffle, the one query of the ledger that outgrows a single host
+    // (SCALE.md seventh point) — while every downstream consumer
+    // (components, corpus build) needs only the duplicate COMPONENTS.
+    // This query star-links each LSH bucket to its min-id member (O(c)
+    // candidate edges per bucket), verifies each edge with the same
+    // quantized cosine cut, and consolidates with connected components:
+    // (vec_id, keeper_id = min id of the duplicate component) for every
+    // vector on a verified edge. Semantics note: star components equal
+    // all-pairs components when each bucket's above-threshold relation
+    // is a union of cliques containing the bucket min (duplicate
+    // clusters; pinned by NearDupSpec against the all-pairs
+    // consolidation on the fixtures) — the all-pairs form stays the
+    // oracle anchor where its output fits. Oracle: DuckDB re-derives
+    // plan + plane family + buckets (shared CTEs), the window-min star
+    // link, the verify, and the min-reachable-id fixpoint (recursive
+    // CTE, the q_neardup_components machinery).
+    "q_embed_keepers_auto" -> QueryDef(
+      (s, dir) => graft.operators.Ann.nearDupKeepersAuto(
+        cloneAugmented(s, dir), dim = 64,
+        threshold = NearDupAutoThreshold),
+      Some(s"""WITH RECURSIVE $embedAutoBandsCtes,
+        cand AS (
+          SELECT DISTINCT m AS a, vec_id AS b FROM (
+            SELECT vec_id, min(vec_id) OVER (PARTITION BY band, h) AS m
+            FROM bands) st
+          WHERE vec_id <> m),
+        pairs AS (
+          SELECT a, b FROM (
+            SELECT c.a, c.b, $embedVerifyScoreQ AS score_q
+            FROM cand c
+            JOIN aug ex ON ex.vec_id = c.a
+            JOIN aug ey ON ey.vec_id = c.b) t
+          WHERE score_q >= $NearDupAutoThresholdQ),
+        edges AS (SELECT a, b FROM pairs
+          UNION SELECT b AS a, a AS b FROM pairs),
+        reach(vec_id, lab) AS (
+          SELECT a, a FROM edges
+          UNION
+          SELECT e.a, r.lab FROM edges e JOIN reach r ON e.b = r.vec_id)
+        SELECT vec_id, min(lab) AS keeper_id FROM reach GROUP BY vec_id"""),
       bench = true),
 
     // Exact-cosine pair mining over a deterministic FIXED-COUNT cohort

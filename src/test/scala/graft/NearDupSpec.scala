@@ -84,4 +84,92 @@ class NearDupSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(checked.nonEmpty)
     assert(checked.forall { case (s, e) => s == e })
   }
+
+  test("keeper-direct form equals all-pairs component consolidation " +
+      "in the duplicate-cluster regime") {
+    // The r17 scale-safe path: nearDupKeepersAuto (star edges per LSH
+    // bucket + components) must produce the SAME (vec_id -> keeper)
+    // assignment as consolidating nearDupPairsAuto's full verified pair
+    // set on duplicate-cluster-shaped data — near-identical members,
+    // clique-shaped above-threshold relation: the planted cosine>0.99
+    // pairs here, and dense clusters in the test below.
+    import org.apache.spark.sql.functions.col
+    val t = 0.99
+    val viaAllPairs = graft.operators.Components.connectedComponents(
+        Ann.nearDupPairsAuto(corpus, Dim, threshold = t)
+          .select(col("a"), col("b")))
+      .as[(Long, Long)].collect().toSet
+    val keepers = Ann.nearDupKeepersAuto(corpus, Dim, threshold = t)
+      .as[(Long, Long)].collect().toSet
+    assert(keepers == viaAllPairs,
+      s"keeper-direct ${keepers.size} rows vs " +
+        s"all-pairs consolidation ${viaAllPairs.size}")
+    assert(keepers.nonEmpty)
+  }
+
+  test("outside the clique regime star components REFINE all-pairs " +
+      "components (never merge across, never add nodes)") {
+    // At a loose threshold over random gaussians the above-threshold
+    // relation has bridges (x~y above t while both below t vs their
+    // bucket min) — the documented case where the star misses an edge.
+    // The guaranteed relationship: every verified star edge is also an
+    // all-pairs verified pair, so star components are a refinement —
+    // each keeper maps into the all-pairs component of the same node,
+    // and the star node set is a subset.
+    import org.apache.spark.sql.functions.col
+    val t = 0.4
+    val allComp = graft.operators.Components.connectedComponents(
+        Ann.nearDupPairsAuto(corpus, Dim, threshold = t)
+          .select(col("a"), col("b")))
+      .as[(Long, Long)].collect().toMap
+    val keepers = Ann.nearDupKeepersAuto(corpus, Dim, threshold = t)
+      .as[(Long, Long)].collect()
+    assert(keepers.nonEmpty)
+    keepers.foreach { case (v, k) =>
+      assert(allComp.contains(v) && allComp.contains(k),
+        s"star node ($v -> $k) missing from the all-pairs graph")
+      assert(allComp(v) == allComp(k),
+        s"star put $v under $k but all-pairs separates them")
+    }
+  }
+
+  test("keeper-direct equality on a dense duplicate cluster") {
+    // 60 near-identical members (the clone-cluster regime that makes
+    // the all-pairs form output-bound at scale) + 40 distant vectors:
+    // keeper assignment identical between the two forms, all 60 under
+    // the min id.
+    import org.apache.spark.sql.functions.col
+    val rng = new scala.util.Random(11)
+    val cluster = (0 until 60).map { i =>
+      (500L + i,
+        (0 until Dim).map(d => 1.0f + rng.nextGaussian().toFloat * 0.001f))
+    }
+    val far = (0 until 40).map { i =>
+      (900L + i, (0 until Dim).map(_ => rng.nextGaussian().toFloat))
+    }
+    val df = (cluster ++ far).toDF("vec_id", "embedding")
+    val viaAllPairs = graft.operators.Components.connectedComponents(
+        Ann.nearDupPairsAuto(df, Dim, threshold = 0.99)
+          .select(col("a"), col("b")))
+      .as[(Long, Long)].collect().toSet
+    val keepers = Ann.nearDupKeepersAuto(df, Dim, threshold = 0.99)
+      .as[(Long, Long)].collect().toSet
+    assert(keepers == viaAllPairs)
+    assert((500L until 560L).map(v => (v, 500L)).toSet.subsetOf(keepers))
+  }
+
+  test("star edges are verified and star-shaped per duplicate cluster") {
+    // every emitted edge scores >= threshold, a is always < b (a is a
+    // bucket min), and a c-member exact-duplicate cluster contributes
+    // exactly c-1 edges (the O(c) contract vs C(c,2) for all-pairs)
+    val dup = (0 until 50).map { i =>
+      (100L + i, Seq.fill(Dim)(1.0f / math.sqrt(Dim.toFloat).toFloat))
+    }.toDF("vec_id", "embedding")
+    val plan = Ann.lshPlan(50L, 0.99)
+    val edges = Ann.nearDupStarEdges(dup, Dim, 0.99, plan)
+      .as[(Long, Long, Double)].collect()
+    assert(edges.length == 49, s"expected 49 star edges, got ${edges.length}")
+    assert(edges.forall(_._1 == 100L)) // hub = min id of the cluster
+    assert(edges.forall(e => e._1 < e._2 && e._3 >= 0.99))
+  }
 }

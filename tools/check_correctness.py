@@ -82,8 +82,13 @@ sfdir, outdir = argv[0], argv[1]
 # Per-process spill dir: a fixed path let concurrent gate processes
 # (parallel --only batches at big mults) race on each other's temp
 # files — DuckDB terminates the whole process when a spill file it
-# owns disappears under it.
+# owns disappears under it. Removed at exit: heavy oracles can leave
+# multi-GB spill files behind, and at big mults those compete with
+# Spark shuffles for the one disk across gate runs.
 SPILL_DIR = f"/tmp/duckdb-gate-spill-{os.getpid()}"
+import atexit
+import shutil
+atexit.register(shutil.rmtree, SPILL_DIR, ignore_errors=True)
 
 
 def fresh_connection():

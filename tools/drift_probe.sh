@@ -27,8 +27,16 @@
 set -euo pipefail
 cd "$(dirname "$0")/.."
 Q=${1:?usage: tools/drift_probe.sh <query>[,<query>...] [commit]}
-COMMIT=${2:-$(git log --grep='end-of-round snapshot' -1 --format=%h)}
+# Resolve the default against HEAD~1: right after a snapshot commit the
+# most recent snapshot IS HEAD, and a probe that builds the same code on
+# both sides measures nothing (the regression check would be vacuous).
+COMMIT=${2:-$(git log --grep='end-of-round snapshot' -1 --format=%h HEAD~1)}
 [ -n "$COMMIT" ] || { echo "no prior-round snapshot commit found; pass one"; exit 1; }
+if [ "$(git rev-parse "$COMMIT")" = "$(git rev-parse HEAD)" ]; then
+  echo "refusing to probe: old commit $COMMIT is the current HEAD — the" \
+       "paired comparison would measure identical code on both sides." >&2
+  exit 1
+fi
 SF=${SPARK_GRAFT_SF_DIR:-/root/testdata/sf0.1}
 WT=/tmp/drift_probe_wt
 REPO=$(pwd)

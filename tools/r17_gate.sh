@@ -1,0 +1,40 @@
+#!/bin/bash
+# Round-17 staged oracle gate for the mult=1000 pending compares.
+# One check_correctness.py process per query (DuckDB segfault isolation),
+# light oracles first, per-query JSON reports merged later by
+# tools/assemble_r17.py. Restores the full oracle_sql.json before every
+# invocation (a finished Verify run rewrites it filtered to its subset).
+set -u
+cd "$(dirname "$0")/.."
+SF=/tmp/sf100x
+OUT=/tmp/verify_sf1000_out
+REP=/tmp/r17_gate
+mkdir -p "$REP"
+
+LIGHT="q_logreg_step q_quality_drift q_sql_surface q_pq_rerank q_zorder3 q_quality_calibrate q_hash_split q_ann_ivf q_kmeans_step q_pipeline_composite q_window_sum q_semi_join q_pii_redact q_token_packing"
+MED="q_ewma q_minhash_lsh q_neardup_components q_corpus_delta q_semdedup q_dedup_keepers q_media_audiohash q_media_phash q_media_meta q_repetition q_unigram_nll q_corpus_build"
+
+for q in $LIGHT $MED; do
+  [ -s "$REP/$q.json" ] && { echo "== $q: report exists, skip"; continue; }
+  cp /tmp/oracle_sql_full.json "$OUT/oracle_sql.json"
+  echo "== $q start $(date +%T)"
+  GRAFT_DUCKDB_MEM=${GRAFT_DUCKDB_MEM:-40GB} \
+    timeout 14400 python3 tools/check_correctness.py "$SF" "$OUT" \
+    --only "$q" --json "$REP/$q.json" > "$REP/$q.log" 2>&1
+  rc=$?
+  echo "== $q done rc=$rc $(date +%T)"
+  rm -rf /tmp/duckdb-gate-spill-* 2>/dev/null
+done
+
+# q_tokenize: 271M-row result — DuckDB-native EXCEPT-ALL compare.
+q=q_tokenize
+if [ ! -s "$REP/$q.json" ]; then
+  cp /tmp/oracle_sql_full.json "$OUT/oracle_sql.json"
+  echo "== $q (native) start $(date +%T)"
+  GRAFT_DUCKDB_MEM=${GRAFT_DUCKDB_MEM:-40GB} \
+    timeout 14400 python3 tools/check_correctness.py "$SF" "$OUT" \
+    --only "$q" --native "$q" --json "$REP/$q.json" > "$REP/$q.log" 2>&1
+  echo "== $q done rc=$? $(date +%T)"
+  rm -rf /tmp/duckdb-gate-spill-* 2>/dev/null
+fi
+echo "== r17 gate pass complete $(date +%T)"
