@@ -12,7 +12,7 @@ REP=/tmp/r17_gate
 mkdir -p "$REP"
 
 LIGHT="q_logreg_step q_quality_drift q_sql_surface q_pq_rerank q_zorder3 q_quality_calibrate q_hash_split q_ann_ivf q_kmeans_step q_pipeline_composite q_window_sum q_semi_join q_pii_redact q_token_packing"
-MED="q_ewma q_minhash_lsh q_neardup_components q_corpus_delta q_semdedup q_dedup_keepers q_media_audiohash q_media_phash q_media_meta q_repetition q_unigram_nll q_corpus_build"
+MED="q_ewma q_minhash_lsh q_neardup_components q_corpus_delta q_semdedup q_dedup_keepers q_media_audiohash q_media_phash q_media_meta q_repetition q_unigram_nll q_edit_distance q_dup_spans q_ngram_jaccard q_corpus_build"
 
 for q in $LIGHT $MED; do
   [ -s "$REP/$q.json" ] && { echo "== $q: report exists, skip"; continue; }
@@ -37,4 +37,37 @@ if [ ! -s "$REP/$q.json" ]; then
   echo "== $q done rc=$? $(date +%T)"
   rm -rf /tmp/duckdb-gate-spill-* 2>/dev/null
 fi
+
+# wrap <name> <cmd...>: run a scale checker whose MATCH verdict is its
+# stdout tail + exit code, and record a report row the assembler merges.
+wrap() {
+  local q=$1; shift
+  [ -s "$REP/$q.json" ] && { echo "== $q: report exists, skip"; return; }
+  echo "== $q (checker: $1) start $(date +%T)"
+  GRAFT_DUCKDB_MEM=${GRAFT_DUCKDB_MEM:-40GB} \
+    timeout 14400 "$@" > "$REP/$q.log" 2>&1
+  local rc=$?
+  python3 - "$q" "$rc" "$REP/$q.log" "$REP/$q.json" "$2" <<'EOF'
+import json, sys
+q, rc, log, out, checker = sys.argv[1:6]
+rc = int(rc)
+tail = open(log, errors="replace").read()[-4000:]
+ok = rc == 0 and "MATCH" in tail
+detail = f"checker: {checker}" if ok else \
+    f"checker {checker} rc={rc}; log tail: {tail[-300:]}"
+json.dump({"sf_dir": "/tmp/sf100x", "ok": int(ok), "failed": int(not ok),
+           "queries": {q: {"rows": -1 if not ok else 0, "match": ok,
+                           "detail": detail}}},
+          open(out, "w"), indent=1, sort_keys=True)
+EOF
+  echo "== $q done rc=$rc $(date +%T)"
+  rm -rf /tmp/duckdb-*-spill-* /tmp/duckdb-gate-spill-* 2>/dev/null
+}
+
+# q_minhash_lsh_auto: full oracle is ~hours at this mult — validated
+# stride-4 sub-block compare (cutover rule in SCALE.md).
+wrap q_minhash_lsh_auto python3 tools/check_minhash_subset.py "$SF" "$OUT" 4
+# q_embed_keepers_auto: chunked DuckDB + union-find consolidation checker.
+wrap q_embed_keepers_auto python3 tools/check_embed_keepers.py "$SF" "$OUT"
+
 echo "== r17 gate pass complete $(date +%T)"
