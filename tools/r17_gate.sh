@@ -13,8 +13,14 @@ mkdir -p "$REP"
 
 LIGHT="q_logreg_step q_quality_drift q_sql_surface q_pq_rerank q_zorder3 q_quality_calibrate q_hash_split q_ann_ivf q_kmeans_step q_pipeline_composite q_window_sum q_semi_join q_pii_redact q_token_packing"
 MED="q_ewma q_minhash_lsh q_neardup_components q_corpus_delta q_semdedup q_dedup_keepers q_media_audiohash q_media_phash q_media_meta q_repetition q_unigram_nll q_edit_distance q_dup_spans q_ngram_jaccard q_corpus_build"
+# GRAFT_GATE_QUERIES overrides the list — lets the harness run two gate
+# processes over disjoint halves (per-process spill dirs + per-query
+# reports make that safe; keep the BIG oracles serial on one side).
+QUERIES=${GRAFT_GATE_QUERIES:-"$LIGHT $MED"}
 
-for q in $LIGHT $MED; do
+for q in $QUERIES; do
+  case $q in q_tokenize|q_minhash_lsh_auto|q_embed_keepers_auto)
+    continue;; esac   # dedicated handlers below
   [ -s "$REP/$q.json" ] && { echo "== $q: report exists, skip"; continue; }
   cp /tmp/oracle_sql_full.json "$OUT/oracle_sql.json"
   echo "== $q start $(date +%T)"
@@ -27,8 +33,10 @@ for q in $LIGHT $MED; do
 done
 
 # q_tokenize: 271M-row result — DuckDB-native EXCEPT-ALL compare.
+# (Runs only in the default/full invocation, or when explicitly listed.)
 q=q_tokenize
-if [ ! -s "$REP/$q.json" ]; then
+if [ -z "${GRAFT_GATE_QUERIES:-}" ] || [[ " $QUERIES " == *" $q "* ]]; then :; else q=__skip__; fi
+if [ "$q" != "__skip__" ] && [ ! -s "$REP/$q.json" ]; then
   cp /tmp/oracle_sql_full.json "$OUT/oracle_sql.json"
   echo "== $q (native) start $(date +%T)"
   GRAFT_DUCKDB_MEM=${GRAFT_DUCKDB_MEM:-40GB} \
@@ -64,10 +72,13 @@ EOF
   rm -rf /tmp/duckdb-*-spill-* /tmp/duckdb-gate-spill-* 2>/dev/null
 }
 
+want() { [ -z "${GRAFT_GATE_QUERIES:-}" ] || [[ " $QUERIES " == *" $1 "* ]]; }
 # q_minhash_lsh_auto: full oracle is ~hours at this mult — validated
 # stride-4 sub-block compare (cutover rule in SCALE.md).
-wrap q_minhash_lsh_auto python3 tools/check_minhash_subset.py "$SF" "$OUT" 4
+want q_minhash_lsh_auto && \
+  wrap q_minhash_lsh_auto python3 tools/check_minhash_subset.py "$SF" "$OUT" 4
 # q_embed_keepers_auto: chunked DuckDB + union-find consolidation checker.
-wrap q_embed_keepers_auto python3 tools/check_embed_keepers.py "$SF" "$OUT"
+want q_embed_keepers_auto && \
+  wrap q_embed_keepers_auto python3 tools/check_embed_keepers.py "$SF" "$OUT"
 
 echo "== r17 gate pass complete $(date +%T)"
