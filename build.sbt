@@ -30,4 +30,14 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // RocksDB state-store JNI calls pin GCLocker critical sections; on
+  // JDK 17-21 the default GCLockerRetryAllocationCount=2 makes a tiny
+  // allocation (measured: 3 words) throw OutOfMemoryError on a mostly
+  // EMPTY heap once ~32 store instances commit concurrently. 100 is the
+  // widely-deployed mitigation (GCLocker is gone in JDK 22+ G1).
+  // Measured in SCALE.md's large-state section: the rocksdb ingest at
+  // 5.4M live keys dies without this flag and completes with it.
+  // (Diagnostic flag on JDK 17 — needs the unlock switch first.)
+  "-XX:+UnlockDiagnosticVMOptions",
+  "-XX:GCLockerRetryAllocationCount=100",
 )
