@@ -88,7 +88,14 @@ sfdir, outdir = argv[0], argv[1]
 SPILL_DIR = f"/tmp/duckdb-gate-spill-{os.getpid()}"
 import atexit
 import shutil
+import signal
 atexit.register(shutil.rmtree, SPILL_DIR, ignore_errors=True)
+# atexit does NOT run on signals: a SIGTERM'd gate left a 60 GB spill
+# dir behind (r17). Route the termination signals through sys.exit so
+# the atexit hook fires; SIGKILL still leaks, which only a next-run
+# sweep could catch.
+for _sig in (signal.SIGTERM, signal.SIGINT, signal.SIGHUP):
+    signal.signal(_sig, lambda s, f: sys.exit(128 + s))
 
 
 def fresh_connection():

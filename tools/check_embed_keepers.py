@@ -45,6 +45,12 @@ SPILL_DIR = f"/tmp/duckdb-keepers-spill-{os.getpid()}"
 import atexit
 import shutil
 atexit.register(shutil.rmtree, SPILL_DIR, ignore_errors=True)
+import signal
+# atexit does not run on signals; route SIGTERM/SIGINT/SIGHUP through
+# sys.exit so the spill-dir cleanup above fires (r17: a SIGTERM'd gate
+# left a 60 GB spill dir).
+for _sig in (signal.SIGTERM, signal.SIGINT, signal.SIGHUP):
+    signal.signal(_sig, lambda s, f: sys.exit(128 + s))
 
 con = duckdb.connect()
 con.sql(f"SET memory_limit='{os.environ.get('GRAFT_DUCKDB_MEM', '60GB')}'")

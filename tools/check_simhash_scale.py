@@ -65,6 +65,12 @@ SPILL = tempfile.mkdtemp(prefix="duckdb-simhash-spill-")
 # per-invocation dirs otherwise accumulate in /tmp across gate runs).
 atexit.register(lambda: shutil.rmtree(TMP, ignore_errors=True))
 atexit.register(lambda: shutil.rmtree(SPILL, ignore_errors=True))
+import signal
+# atexit does not run on signals; route SIGTERM/SIGINT/SIGHUP through
+# sys.exit so the spill-dir cleanup above fires (r17: a SIGTERM'd gate
+# left a 60 GB spill dir).
+for _sig in (signal.SIGTERM, signal.SIGINT, signal.SIGHUP):
+    signal.signal(_sig, lambda s, f: sys.exit(128 + s))
 
 p = f"{sfdir}/documents.parquet"
 DOCS = f"{p}/*.parquet" if os.path.isdir(p) else p
