@@ -53,7 +53,7 @@ object ScaleFixture {
     * (the r13 gap: the spec's hand-written list would have silently
     * not covered a future mult=300 artifact).
     */
-  val CommittedMults: Seq[Long] = Seq(1L, 3L, 10L, 30L, 100L, 300L, 1000L)
+  val CommittedMults: Seq[Long] = Seq(1L, 3L, 10L, 30L, 100L, 300L, 1000L, 3000L)
 
   /** Replica word tagging: suffix every token with "~r". Order-preserving
     * and injective per replica — within-replica shingle sets are

@@ -18,6 +18,22 @@ MED="q_ewma q_minhash_lsh q_neardup_components q_corpus_delta q_semdedup q_dedup
 # reports make that safe; keep the BIG oracles serial on one side).
 QUERIES=${GRAFT_GATE_QUERIES:-"$LIGHT $MED"}
 
+# Remove only spill dirs whose owning checker is DEAD. The first r17 run
+# used a bare `rm -rf /tmp/duckdb-gate-spill-*` here, and with two gate
+# halves running concurrently each completed query in one half wiped the
+# OTHER half's LIVE spill dir — DuckDB aborts (rc=134/139) the moment it
+# next touches its temp storage. Six queries died that way before the
+# pattern was spotted (the dir name ends in the checker's PID, so
+# liveness is checkable).
+sweep_spills() {
+  for d in /tmp/duckdb-*spill-*; do
+    [ -e "$d" ] || continue
+    local pid=${d##*-}
+    case $pid in *[!0-9]*) continue;; esac
+    kill -0 "$pid" 2>/dev/null || rm -rf "$d"
+  done
+}
+
 for q in $QUERIES; do
   case $q in q_tokenize|q_minhash_lsh_auto|q_embed_keepers_auto)
     continue;; esac   # dedicated handlers below
@@ -29,7 +45,7 @@ for q in $QUERIES; do
     --only "$q" --json "$REP/$q.json" > "$REP/$q.log" 2>&1
   rc=$?
   echo "== $q done rc=$rc $(date +%T)"
-  rm -rf /tmp/duckdb-gate-spill-* 2>/dev/null
+  sweep_spills
 done
 
 # q_tokenize: 271M-row result — DuckDB-native EXCEPT-ALL compare.
@@ -43,7 +59,7 @@ if [ "$q" != "__skip__" ] && [ ! -s "$REP/$q.json" ]; then
     timeout 14400 python3 tools/check_correctness.py "$SF" "$OUT" \
     --only "$q" --native "$q" --json "$REP/$q.json" > "$REP/$q.log" 2>&1
   echo "== $q done rc=$? $(date +%T)"
-  rm -rf /tmp/duckdb-gate-spill-* 2>/dev/null
+  sweep_spills
 fi
 
 # wrap <name> <cmd...>: run a scale checker whose MATCH verdict is its
@@ -69,7 +85,7 @@ json.dump({"sf_dir": "/tmp/sf100x", "ok": int(ok), "failed": int(not ok),
           open(out, "w"), indent=1, sort_keys=True)
 EOF
   echo "== $q done rc=$rc $(date +%T)"
-  rm -rf /tmp/duckdb-*-spill-* /tmp/duckdb-gate-spill-* 2>/dev/null
+  sweep_spills
 }
 
 want() { [ -z "${GRAFT_GATE_QUERIES:-}" ] || [[ " $QUERIES " == *" $1 "* ]]; }
