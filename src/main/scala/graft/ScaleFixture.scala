@@ -70,12 +70,30 @@ object ScaleFixture {
     transform(col("embedding"), (x, i) =>
       when(shiftright(i, r - 1) % 2 === 1, -x).otherwise(x))
 
+  /** Union the replicas as a BALANCED tree, not a left-deep
+    * `reduce(_.unionByName(_))`: each unionByName call re-analyzes the
+    * accumulated plan, and Union analysis visits every branch, so the
+    * left-deep chain costs O(mult²) branch-visits on the driver — at
+    * mult=1000 that was ~25 min of single-threaded Catalyst analysis
+    * before the first task launched (and mult=3000 would be ~9× that).
+    * Pairwise folding keeps every intermediate plan O(log mult) deep for
+    * O(mult·log mult) total work; the optimizer's CombineUnions flattens
+    * either shape to the same single n-ary Union, so the executed plan
+    * and the produced rows are bit-identical to the left-deep form.
+    */
   private def multiplied(df: DataFrame, mult: Int)(
-      replica: (DataFrame, Int) => DataFrame): DataFrame =
-    (0 until mult).map {
+      replica: (DataFrame, Int) => DataFrame): DataFrame = {
+    var layer: Seq[DataFrame] = (0 until mult).map {
       case 0 => df
       case r => replica(df, r)
-    }.reduce(_.unionByName(_))
+    }
+    while (layer.size > 1)
+      layer = layer.grouped(2).map {
+        case Seq(a, b) => a.unionByName(b)
+        case Seq(a)    => a
+      }.toSeq
+    layer.head
+  }
 
   /** Id range reserved for planted vectors — above every replica offset
     * any mult below 1000 can produce (replica ids top out below 1e11)
