@@ -86,6 +86,21 @@ object Sessions {
               sys.env.contains("SPARK_GRAFT_BROADCAST_THRESHOLD")) "60s"
           else "30min"))
       .config("spark.ui.enabled", "false")
+      // Heartbeat resilience (mult=1000 lesson #2): under a saturating
+      // stage the single-JVM driver's RPC dispatcher can starve long
+      // enough that the IN-PROCESS executor misses 60 consecutive 10-s
+      // heartbeats and kills itself with SparkExitCode 56 — in local
+      // mode executor and driver share fate, so the suicide only turns
+      // a busy dump into a dead one (it cost a full 35-min mult=1000
+      // Verify attempt). Widen the interval and the failure budget; on
+      // a real cluster heartbeats carry liveness signal and these
+      // stay at their defaults unless the env overrides.
+      .config("spark.executor.heartbeatInterval",
+        sys.env.getOrElse("SPARK_GRAFT_HEARTBEAT_INTERVAL", "30s"))
+      .config("spark.network.timeout",
+        sys.env.getOrElse("SPARK_GRAFT_NETWORK_TIMEOUT", "600s"))
+      .config("spark.executor.heartbeat.maxFailures",
+        sys.env.getOrElse("SPARK_GRAFT_HEARTBEAT_MAX_FAILURES", "1000"))
 
   /** Fail fast when a Spark main is launched via bare `java -cp` without
     * the JDK17 `--add-opens` set (build.sbt's `javaOptions` list): without
