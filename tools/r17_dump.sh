@@ -7,7 +7,10 @@ set -euo pipefail
 cd "$(dirname "$0")/.."
 SF=${1:-/tmp/sf100x}
 OUT=${2:-/tmp/verify_sf1000_out}
-PENDING="q_ann_ivf,q_corpus_build,q_corpus_delta,q_dedup_keepers,q_dup_spans,q_edit_distance,q_ewma,q_hash_split,q_kmeans_step,q_logreg_step,q_media_audiohash,q_media_meta,q_media_phash,q_minhash_lsh,q_minhash_lsh_auto,q_neardup_components,q_ngram_jaccard,q_pii_redact,q_pipeline_composite,q_pq_rerank,q_quality_calibrate,q_quality_drift,q_repetition,q_semdedup,q_semi_join,q_sql_surface,q_token_packing,q_tokenize,q_unigram_nll,q_window_sum,q_zorder3,q_embed_keepers_auto"
+# GRAFT_DUMP_QUERIES overrides the list: on a slow host the gate runs
+# cheap-first (dump LIGHT queries, oracle them while the heavy tail
+# dumps) so partial progress is certifiable at round end.
+PENDING=${GRAFT_DUMP_QUERIES:-"q_ann_ivf,q_corpus_build,q_corpus_delta,q_dedup_keepers,q_dup_spans,q_edit_distance,q_ewma,q_hash_split,q_kmeans_step,q_logreg_step,q_media_audiohash,q_media_meta,q_media_phash,q_minhash_lsh,q_minhash_lsh_auto,q_neardup_components,q_ngram_jaccard,q_pii_redact,q_pipeline_composite,q_pq_rerank,q_quality_calibrate,q_quality_drift,q_repetition,q_semdedup,q_semi_join,q_sql_surface,q_token_packing,q_tokenize,q_unigram_nll,q_window_sum,q_zorder3,q_embed_keepers_auto"}
 # Scratch + heap are host-dependent dials now: this round's host writes
 # buffered (page-cache) data to its virtio disk at ~17 MB/s while O_DIRECT
 # runs at 375 MB/s — writeback-throttled, so multi-GB shuffle stages that
