@@ -1,6 +1,7 @@
 package graft.core
 
 import org.apache.spark.sql.SparkSession
+import scala.util.chaining._
 
 /** One place to build correctly-tuned sessions for this engine.
   *
@@ -92,15 +93,41 @@ object Sessions {
       // heartbeats and kills itself with SparkExitCode 56 — in local
       // mode executor and driver share fate, so the suicide only turns
       // a busy dump into a dead one (it cost a full 35-min mult=1000
-      // Verify attempt). Widen the interval and the failure budget; on
-      // a real cluster heartbeats carry liveness signal and these
-      // stay at their defaults unless the env overrides.
-      .config("spark.executor.heartbeatInterval",
-        sys.env.getOrElse("SPARK_GRAFT_HEARTBEAT_INTERVAL", "30s"))
-      .config("spark.network.timeout",
-        sys.env.getOrElse("SPARK_GRAFT_NETWORK_TIMEOUT", "600s"))
-      .config("spark.executor.heartbeat.maxFailures",
-        sys.env.getOrElse("SPARK_GRAFT_HEARTBEAT_MAX_FAILURES", "1000"))
+      // Verify attempt). Widened ONLY when the effective master is the
+      // in-process local[n] (no SPARK_GRAFT_MASTER override): on a real
+      // cluster — and under the local-cluster[..] stand-in, whose
+      // executors are separate JVMs — heartbeats carry genuine liveness
+      // signal, and a 30s/600s/1000-failure budget would let a hung
+      // executor evade self-exit for hours while the driver's
+      // lost-executor detection widens from 120s to 600s. There the
+      // Spark defaults stand unless the env overrides explicitly.
+      .pipe(b => heartbeatSettings(sys.env).foldLeft(b) {
+        case (bb, (k, v)) => bb.config(k, v)
+      })
+
+  /** The heartbeat/network/failure-budget entries `tune` applies, as a
+    * pure function of the environment (spec-pinned in SessionsSpec).
+    * No SPARK_GRAFT_MASTER → in-process local[n]: widen all three.
+    * SPARK_GRAFT_MASTER set (local-cluster stand-in or a real cluster)
+    * → emit nothing, Spark's defaults stand; the explicit
+    * SPARK_GRAFT_HEARTBEAT / SPARK_GRAFT_NETWORK_TIMEOUT env vars win
+    * in either mode.
+    */
+  private[graft] def heartbeatSettings(
+      env: Map[String, String]): Seq[(String, String)] = {
+    val inProcessLocal = !env.contains("SPARK_GRAFT_MASTER")
+    Seq(
+      ("spark.executor.heartbeatInterval",
+        "SPARK_GRAFT_HEARTBEAT_INTERVAL", "30s"),
+      ("spark.network.timeout", "SPARK_GRAFT_NETWORK_TIMEOUT", "600s"),
+      ("spark.executor.heartbeat.maxFailures",
+        "SPARK_GRAFT_HEARTBEAT_MAX_FAILURES", "1000")
+    ).flatMap { case (key, envKey, localDefault) =>
+      env.get(envKey)
+        .orElse(if (inProcessLocal) Some(localDefault) else None)
+        .map(key -> _)
+    }
+  }
 
   /** Fail fast when a Spark main is launched via bare `java -cp` without
     * the JDK17 `--add-opens` set (build.sbt's `javaOptions` list): without
