@@ -291,6 +291,94 @@ object StreamBench {
       spark.stop()
       return
     }
+
+    // SPARK_GRAFT_INGEST_SOURCE=lake: the same selective-ingest pipeline
+    // fed by the PARTITIONED parquetStream file source instead of the
+    // single in-JVM topic publisher (VERDICT r17 item 3). The r17
+    // profile established that the topic topology measures the
+    // DRIVER-PUBLISHER floor — one source thread feeding row encode +
+    // the first shuffle — so executor fan-out cannot move it; this mode
+    // measures whether SOURCE partitioning does. The driver stages
+    // ingestN docs as SRC_FILES parquet part-files (each file = one
+    // scan task = one source partition), the stream tails them
+    // SRC_MAXFILES per trigger, and the identical corpusIngestSelective
+    // runs downstream. Under SPARK_GRAFT_MASTER=local-cluster[W,C,mem]
+    // the scan and both stateful stages run in real executor JVMs — the
+    // [2,8]/[4,8] grid the fan-out claim needs. Event times default to
+    // ONE timestamp (STEP_MS=0): files arrive in mtime order, not ts
+    // order, so a spread of event times would watermark-drop every
+    // batch after the first; a held watermark keeps all state live (the
+    // same worst-case convention as the large-state profile). Two rows
+    // print: `source` (scan + envelope floor) and `full` (the whole
+    // pipeline), so source cost and pipeline cost separate.
+    if (sys.env.get("SPARK_GRAFT_INGEST_SOURCE").contains("lake")) {
+      import spark.implicits._
+      import org.apache.spark.sql.functions.col
+      val uniqueDocs = sys.env.get("SPARK_GRAFT_INGEST_UNIQUE").contains("1")
+      val stepMs = sys.env.getOrElse("SPARK_GRAFT_INGEST_STEP_MS", "0").toLong
+      val srcFiles = sys.env.getOrElse("SPARK_GRAFT_INGEST_SRC_FILES", "64")
+        .toInt
+      val maxFiles = sys.env.getOrElse("SPARK_GRAFT_INGEST_SRC_MAXFILES", "8")
+        .toInt
+      def docAt(i: Int): String = {
+        val b0 = texts(i % texts.length)
+        if (uniqueDocs) b0 + " u" + i else b0
+      }
+      def toEnv(df: org.apache.spark.sql.DataFrame)
+          : Dataset[EventEnvelope[String]] =
+        graft.sources.EventSources.withStamp(df, "ts")
+          .select(col("stamp"), col("text").as("content"))
+          .as[EventEnvelope[String]]
+      def run(label: String,
+          build: org.apache.spark.sql.DataFrame =>
+            org.apache.spark.sql.DataFrame): (String, Double, Long) = {
+        val stage = s"/tmp/graft-sbench-lakeingest-$label-${System.nanoTime()}"
+        spark.createDataset((0 until ingestN).map(i =>
+            (new Timestamp(base + i * stepMs), docAt(i))))
+          .toDF("ts", "text").repartition(srcFiles)
+          .write.mode("overwrite").parquet(stage)
+        // the flush file must sort AFTER every staged file (the file
+        // source orders by modification time): its far-future event
+        // time advances the watermark so the claim windows emit, and
+        // processing it FIRST would watermark-drop the whole corpus
+        Thread.sleep(1200)
+        Seq((new Timestamp(base + ingestN * math.max(stepMs, 1L) +
+            3600L * 1000L),
+          "flush marker document with enough words to pass the quality " +
+            "gate and the shingle threshold for the long branch"))
+          .toDF("ts", "text").coalesce(1).write.mode("append").parquet(stage)
+        val src = graft.sources.EventSources.parquetStream(
+          spark, stage, maxFiles)
+        var nOut = 0L
+        val q = build(src).writeStream.outputMode("append")
+          .foreachBatch { (b: Dataset[org.apache.spark.sql.Row], _: Long) =>
+            nOut += b.count(); ()
+          }.start()
+        val t0 = System.nanoTime()
+        q.processAllAvailable()
+        val sec = (System.nanoTime() - t0) / 1e9
+        q.stop()
+        (label, sec, nOut)
+      }
+      val results = Seq(
+        run("source", df => toEnv(df).toDF()),
+        run("full", df => TypedOps.corpusIngestSelective(
+          "5 seconds", lmFit, evalB, minQuality = 0.2, minLogw = -1e6,
+          minShared = 1000000)(toEnv(df)).toDF()))
+      val fields = Seq(
+        s""""metric":"ingest_lake"""", s""""n":$ingestN""",
+        s""""rocksdb":$rocksdb""", s""""docs_dir":"$ingestDocs"""",
+        s""""unique":$uniqueDocs""", s""""step_ms":$stepMs""",
+        s""""src_files":$srcFiles""", s""""max_files":$maxFiles""",
+        s""""master":"${spark.sparkContext.master}"""") ++
+        results.map { case (l, s, o) =>
+          s""""$l":{"sec":${jd2(s)},"docs_per_sec":${jd0(ingestN / s)},"out":$o}"""
+        }
+      println(fields.mkString("{", ",", "}"))
+      ps.close()
+      spark.stop()
+      return
+    }
     val t5 = ps.topic[String]("bench-ingest")
     val ing = TypedOps.corpusIngestSelective("5 seconds", lmFit, evalB,
       minQuality = 0.2, minLogw = -1e6, minShared = 1000000)(t5.stream)

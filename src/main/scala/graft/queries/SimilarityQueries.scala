@@ -135,6 +135,98 @@ object SimilarityQueries {
     graft.core.CacheHygiene.unpersistAfterFirstUse(sets, result)
   }
 
+  /** Verified STAR edges per shared-shingle bucket — the text-path twin
+    * of [[graft.operators.Ann.nearDupStarEdges]] (VERDICT r17 item 6),
+    * with the same exactness/refinement contract. Each shingle-hash
+    * bucket contributes one candidate edge from every member to the
+    * bucket's min-id member (O(c) per bucket) instead of
+    * [[jaccardPairs]]'s C(c,2) candidates; each edge is then verified
+    * with the SAME integer-quantized exact-Jaccard cut over the full
+    * string shingle sets, so no false candidate survives.
+    *
+    * No document-frequency cap: the cap exists in [[jaccardPairs]] only
+    * because an all-pairs bucket is quadratic in its size — a hot
+    * boilerplate shingle is exactly the case this operator is LINEAR in,
+    * so the star path keeps those buckets (strictly more candidate
+    * coverage than the capped all-pairs form, at linear cost; the
+    * embedding star makes the identical choice, Ann.scala).
+    *
+    * Shuffle shape at corpus scale: one explode to (doc_id, shingle-hash)
+    * rows, ONE hash-partition + sort for the per-bucket window min (no
+    * self-join at all), a distinct over <= total-shingle-occurrence
+    * candidate edges, and a linear verify join-back. A c-member
+    * boilerplate cluster sharing k shingles costs <= c·k candidate rows
+    * pre-distinct and c-1 verified edges, vs near-C(cap,2) verified
+    * pairs per shared shingle in the capped all-pairs form.
+    *
+    * Downstream contract (identical to the embedding star): these edges
+    * are a CONNECTIVITY WITNESS for keeper/component consumers, not the
+    * full above-threshold pair set. Components over star edges equal
+    * components over the verified all-pairs graph whenever each bucket's
+    * above-threshold relation is a union of cliques containing the
+    * bucket min (true for near-duplicate text clusters — mutually
+    * near-identical members share their shingle buckets and their bucket
+    * min); in adversarial geometry (b, c both below threshold vs the
+    * bucket min but above it vs each other) a star can miss a bridge the
+    * all-pairs graph finds — the star REFINES, never over-merges
+    * (verification is exact). JaccardStarSpec pins keeper-set equality
+    * of the two forms on the committed fixtures and the refinement
+    * caveat on a constructed chain; [[jaccardPairs]]-based
+    * q_dedup_keepers remains the oracle anchor where its output fits.
+    */
+  private[graft] def jaccardStarEdges(s: SparkSession, dir: String,
+      minJQ: Long): DataFrame =
+    jaccardStarEdgesFrom(graft.core.CacheHygiene.pinMaterialized(
+      shingleSets(s, dir)), minJQ)
+
+  /** [[jaccardStarEdges]] over a caller-supplied (doc_id, sh) frame —
+    * the spec-facing form. `sets` must already be materialized/pinned
+    * if it is expensive (the public face pins shingleSets).
+    */
+  private[graft] def jaccardStarEdgesFrom(sets: DataFrame,
+      minJQ: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ex = sets.select(col("doc_id"), explode(col("sh")).as("s0"))
+      .select(col("doc_id"), xxhash64(col("s0")).as("s"))
+    val cand = ex
+      .withColumn("m", min(col("doc_id")).over(Window.partitionBy(col("s"))))
+      .where(col("doc_id") =!= col("m"))
+      .select(col("m").as("a"), col("doc_id").as("b"))
+      .distinct()
+    val result = cand
+      .join(sets.select(col("doc_id").as("a"), col("sh").as("sha")), "a")
+      .join(sets.select(col("doc_id").as("b"), col("sh").as("shb")), "b")
+      .withColumn("jq", Det.r4q(HashFunctions.jaccard(col("sha"), col("shb"))))
+      .where(col("jq") >= minJQ)
+      .select(col("a"), col("b"), (col("jq") / 10000).as("j"))
+    graft.core.CacheHygiene.unpersistAfterFirstUse(sets, result)
+  }
+
+  /** DuckDB twin of [[jaccardStarEdges]]: string shingles (the fixture
+    * is pinned hash-collision-free by every green jaccard compare, so
+    * string buckets = hash buckets), window min per bucket, exact
+    * verify at the same integer cut. Yields (a, b) pairs.
+    */
+  private def jaccardStarOracle(minJQ: Long): String =
+    s"""WITH sdocs AS (
+      SELECT doc_id, list_distinct(list_transform(
+        generate_series(1, greatest(len(toks) - ${Ngram - 1}, 0)),
+        i -> list_aggregate(toks[i:i+${Ngram - 1}], 'string_agg', ' '))) AS sh
+      FROM (SELECT doc_id, list_filter(regexp_split_to_array(text, '\\s+'),
+        t -> len(t) > 0) AS toks FROM documents)),
+    sstar AS (
+      SELECT min(doc_id) OVER (PARTITION BY s) AS a, doc_id AS b
+      FROM (SELECT doc_id, unnest(sh) AS s FROM sdocs)),
+    scand AS (SELECT DISTINCT a, b FROM sstar WHERE a <> b),
+    sscored AS (
+      SELECT a, b, len(list_intersect(da.sh, db.sh)) AS inter,
+        len(da.sh) AS na, len(db.sh) AS nb
+      FROM scand
+      JOIN sdocs da ON a = da.doc_id
+      JOIN sdocs db ON b = db.doc_id)
+    SELECT a, b FROM sscored
+    WHERE ${Det.sqlR4q("CAST(inter AS DOUBLE) / (na + nb - inter)")} >= $minJQ"""
+
   /** minJQ is the INTEGER threshold (minJ * 10000): the WHERE below
     * compares the BIGINT-quantized jaccard, mirroring the Spark side's
     * jq cut — integers on both engines, no double comparison.
@@ -718,6 +810,40 @@ object SimilarityQueries {
       },
       Some(s"""WITH RECURSIVE pairs AS (${jaccardOracle(JaccardThresholdQ)}),
         edges AS (SELECT a, b FROM pairs UNION SELECT b AS a, a AS b FROM pairs),
+        reach(doc_id, lab) AS (
+          SELECT a, a FROM edges
+          UNION
+          SELECT e.a, r.lab FROM edges e JOIN reach r ON e.b = r.doc_id),
+        comp AS (
+          SELECT doc_id, min(lab) AS component_id FROM reach GROUP BY doc_id)
+        SELECT doc_id FROM documents WHERE doc_id NOT IN (
+          SELECT doc_id FROM comp WHERE doc_id <> component_id)""")),
+
+    // The keeper artifact via STAR consolidation — q_dedup_keepers'
+    // scale-safe form (the text twin of q_embed_keepers_auto): O(c)
+    // verified edges per shingle bucket instead of near-C(cap,2)
+    // verified pairs per shared shingle, no DF cap needed because the
+    // path is linear in bucket size by construction. Exactness vs the
+    // all-pairs form: equal keeper sets in the clique regime (duplicate
+    // clusters), REFINES outside it — JaccardStarSpec pins both; the
+    // all-pairs q_dedup_keepers stays the oracle anchor where its pair
+    // set fits. The DuckDB oracle re-derives the star construction
+    // (window min per string-shingle bucket, exact verify, component
+    // fixpoint) — a full independent twin, not a rows-only check.
+    "q_dedup_keepers_star" -> QueryDef(
+      (s, dir) => {
+        val drop = graft.operators.Components.connectedComponents(
+          jaccardStarEdges(s, dir, JaccardThresholdQ)
+            .select(col("a"), col("b")))
+          .where(col("doc_id") =!= col("component_id"))
+        Tables.load(s, dir, "documents")
+          .join(drop, Seq("doc_id"), "left_anti")
+          .select(col("doc_id"))
+      },
+      Some(s"""WITH RECURSIVE spairs AS (
+          ${jaccardStarOracle(JaccardThresholdQ)}),
+        edges AS (SELECT a, b FROM spairs
+          UNION SELECT b AS a, a AS b FROM spairs),
         reach(doc_id, lab) AS (
           SELECT a, a FROM edges
           UNION

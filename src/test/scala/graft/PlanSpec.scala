@@ -356,4 +356,32 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       "frame-build time") {
     assertPinnedAtBuild("q_corpus_delta")
   }
+
+  test("jaccard STAR consolidation has no candidate self-join: one " +
+      "window over the exploded shingles, joins only for verification") {
+    // the scale contract of jaccardStarEdges (q_dedup_keepers_star):
+    // candidate generation is a per-bucket window min — ONE
+    // hash-partition of the exploded (doc_id, shingle-hash) rows, no
+    // join at all — so a hot boilerplate bucket is linear, where the
+    // all-pairs form's self-join is quadratic. The only joins in the
+    // whole edge plan are the two verify join-backs to the full sets.
+    import spark.implicits._
+    val sets = Seq(
+      (1L, (0 until 10).map(i => s"c$i") :+ "x1"),
+      (2L, (0 until 10).map(i => s"c$i") :+ "x2"))
+      .toDF("doc_id", "sh")
+    val plan = graft.queries.SimilarityQueries
+      .jaccardStarEdgesFrom(sets, 8000L)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("Window"),
+      s"per-bucket window min missing from:\n$plan")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"unbounded pair generation in:\n$plan")
+    val joins = "(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin)".r
+      .findAllIn(plan).toList
+    assert(joins.size == 2,
+      s"expected exactly the two verify join-backs, got ${joins.size} " +
+        s"join nodes in:\n$plan")
+  }
 }
