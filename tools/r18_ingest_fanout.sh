@@ -28,7 +28,14 @@ run_cell() { # $1=master-label $2=master(empty=local[32]) $3=rep
     SPARK_GRAFT_INGEST_SRC_FILES=64
     SPARK_GRAFT_INGEST_SRC_MAXFILES=8)
   if [ -n "$2" ]; then
-    envs+=(SPARK_GRAFT_MASTER="$2" SPARK_GRAFT_JARS="$PWD/$APPJAR")
+    # local-cluster worker JVMs build the EXECUTOR command themselves
+    # via AbstractCommandBuilder: without SPARK_HOME they cannot find
+    # the jars dir, and without SPARK_SCALA_VERSION (normally set by
+    # bin/load-spark-env.sh, which a bare-java launch bypasses) they
+    # die with "Cannot find any build directories" before running a
+    # single task.
+    envs+=(SPARK_GRAFT_MASTER="$2" SPARK_GRAFT_JARS="$PWD/$APPJAR"
+      SPARK_HOME=/opt/spark SPARK_SCALA_VERSION=2.13)
   fi
   env "${envs[@]}" \
     java $OPENS -Xmx16g -XX:+UnlockDiagnosticVMOptions \
