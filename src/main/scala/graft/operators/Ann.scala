@@ -564,9 +564,16 @@ object Ann {
 
   /** Hot-cell cap for [[semDedup]]: pair work per cell is c²/2 exact
     * cosines, so 16384 bounds a cell at ~1.3e8 dot products — minutes
-    * of one executor, not a runaway stage. Dial up with executor size.
+    * of one executor, not a runaway stage. Dial up with executor size:
+    * `SPARK_GRAFT_SEMDEDUP_MAXCELL` raises the cap so every cell takes
+    * path 0 (the published all-pairs-within-cell semantics, the form
+    * the cross-engine oracle can follow) on hosts whose executors can
+    * absorb the larger c²/2 — the dial the big-mult certification run
+    * uses, and the same trade a 100 TB deployment makes explicitly.
     */
-  val DefaultMaxCellSize: Long = 16384L
+  val DefaultMaxCellSize: Long =
+    sys.env.get("SPARK_GRAFT_SEMDEDUP_MAXCELL").map(_.toLong)
+      .getOrElse(16384L)
 
   /** Hot-bucket bound for [[nearDupPairs]]' band self-join — same c²/2
     * rationale as [[DefaultMaxCellSize]], but the guard THROWS instead
