@@ -28,8 +28,12 @@ ONCE for the whole family:
 Mirrors queries/SimilarityQueries.scala (keep the pairs CTE and each
 tail verbatim in sync with the ledger oracle_sql entries).
 
+The pairs table IS q_ngram_jaccard's declared output, so the same pass
+also certifies that query (its compare here is the ledger SQL itself
+run to a table, then EXCEPT ALL — no reimplementation at all).
+
 usage: check_textdedup_scale.py <sfDir> <outDir> [repDir]
-           [q_neardup_components,q_dedup_keepers,q_corpus_build]
+           [q_ngram_jaccard,q_neardup_components,q_dedup_keepers,q_corpus_build]
 exit 0 + "MATCH" iff every requested compare has zero diffs both
 directions; per-query verdicts also land in repDir/<q>.json.
 """
@@ -48,7 +52,8 @@ if len(sys.argv) < 3:
 sfdir, outdir = sys.argv[1], sys.argv[2]
 repdir = sys.argv[3] if len(sys.argv) > 3 else None
 QUERIES = (sys.argv[4].split(",") if len(sys.argv) > 4 else
-           ["q_neardup_components", "q_dedup_keepers", "q_corpus_build"])
+           ["q_ngram_jaccard", "q_neardup_components", "q_dedup_keepers",
+            "q_corpus_build"])
 
 SPILL_DIR = f"/tmp/duckdb-textdedup-spill-{os.getpid()}"
 import atexit
@@ -68,9 +73,10 @@ docs = f"{sfdir}/documents.parquet"
 pat = f"{docs}/*.parquet" if os.path.isdir(docs) else docs
 con.sql(f"CREATE VIEW documents AS SELECT * FROM '{pat}'")
 
-# --- the shared pairs CTE, verbatim, projected to the edge list ---
+# --- the shared pairs CTE, verbatim (q_ngram_jaccard's full output) ---
 t0 = time.time()
-edges = con.sql(r"""
+con.sql(r"""
+  CREATE TABLE pairs_full AS
   WITH docs AS (
       SELECT doc_id, list_distinct(list_transform(
         generate_series(1, greatest(len(toks) - 4, 0)),
@@ -91,9 +97,13 @@ edges = con.sql(r"""
       FROM cand
       JOIN docs da ON a = da.doc_id
       JOIN docs db ON b = db.doc_id)
-    SELECT a, b FROM scored
+    SELECT a, b, inter, na, nb,
+      floor(CAST(inter AS DOUBLE) / (na + nb - inter) * 10000 + 0.5)
+        / 10000 AS j
+    FROM scored
     WHERE CAST(floor((CAST(inter AS DOUBLE) / (na + nb - inter)) * 10000
-      + 0.5) AS BIGINT) >= 8000""").fetchall()
+      + 0.5) AS BIGINT) >= 8000""")
+edges = con.sql("SELECT a, b FROM pairs_full").fetchall()
 print(f"[textdedup] {len(edges)} verified edges "
       f"in {time.time() - t0:.1f}s", flush=True)
 
@@ -132,6 +142,7 @@ print(f"[textdedup] {len(labels)} labeled docs "
 
 # --- each consumer's non-recursive tail over the labels ---
 TAILS = {
+    "q_ngram_jaccard": "SELECT * FROM pairs_full",
     "q_neardup_components": "SELECT * FROM comp",
     "q_dedup_keepers": """
         SELECT doc_id FROM documents WHERE doc_id NOT IN (
