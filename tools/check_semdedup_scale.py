@@ -74,9 +74,14 @@ t0 = time.time()
 tbl = con.sql(f"SELECT vec_id, embedding FROM '{pat}' ORDER BY vec_id") \
     .fetch_arrow_table()
 ids = tbl.column("vec_id").to_numpy()
-X32 = np.asarray(tbl.column("embedding").to_pylist(), dtype=np.float32)
+emb_col = tbl.column("embedding").combine_chunks()
+# fixed-length lists: flat values + reshape beats to_pylist by ~100x
+flat = emb_col.values.to_numpy(zero_copy_only=False)
+n = len(ids)
+dim = len(flat) // n
+assert dim * n == len(flat), "ragged embedding lists"
+X32 = flat.astype(np.float32).reshape(n, dim)
 X = X32.astype(np.float64)
-n, dim = X.shape
 print(f"[semdedup] loaded {n} x {dim} in {time.time() - t0:.1f}s",
       flush=True)
 
@@ -152,11 +157,10 @@ for cell in range(N_CENTS):
         for i, j in zip(*np.nonzero(near)):
             V[i, j] = seq_q(m[lo + i], m[j]) + 0.5  # exact floor + .5
             pair_reverify += 1
+        # j < i (strictly lower key in sorted order) — vectorized
         above = V >= THRESH_Q
-        cols = np.arange(len(m))
-        for i in range(lo, hi):
-            if above[i - lo][:i].any():
-                dm[i] = True
+        tri = np.arange(len(m))[None, :] < np.arange(lo, hi)[:, None]
+        dm[lo:hi] |= (above & tri).any(axis=1)
     dropped[m[dm]] = 1
     print(f"[semdedup] cell {cell}: {len(m)} members, "
           f"{int(dm.sum())} dropped ({time.time() - t0:.1f}s)", flush=True)
