@@ -50,18 +50,29 @@ object Components {
     * `spark.catalog.clearCache()` or by letting the session end.
     */
   def connectedComponents(edges: DataFrame): DataFrame = {
-    // Materialize the DIRECTED edge list before symmetrizing: the union's
-    // two branches are separate plan subtrees, so an un-materialized
-    // `edges` (typically the expensive pair-mining join) would execute
-    // once per branch — ReusedExchange dedupes only the shuffles the
-    // branches share, not the post-shuffle join/verify work. One extra
-    // short-lived checkpoint of id pairs buys mining-once at any scale.
-    val e0 = edges.select(col("a"), col("b")).localCheckpoint()
-    val sym = e0.union(e0.select(col("b").as("a"), col("a").as("b")))
+    // Symmetrize with ONE pass over the mining plan: exploding each
+    // directed edge into both orientations materializes the (typically
+    // expensive) pair-mining subtree exactly once inside a single
+    // checkpoint job — the old checkpoint(directed) + union-of-two-
+    // branches form paid a second materialization job for the same id
+    // pairs (guide §2.4: do fewer passes).
+    val sym = edges
+      .select(explode(array(
+        struct(col("a"), col("b")),
+        struct(col("b").as("a"), col("a").as("b")))).as("e"))
+      .select(col("e.a").as("a"), col("e.b").as("b"))
       .localCheckpoint()
-    freeCheckpoint(e0) // sym is material; the directed list is superseded
-    var labels = sym.select(col("a").as("doc_id")).distinct()
-      .withColumn("label", col("doc_id"))
+    // Label init fused with round 1: every vertex appears as `a` in the
+    // symmetrized list, so one aggregation both enumerates the vertex
+    // set (the old distinct) and computes round 1's propagation result
+    // min(self, neighbors) — the old identity init spent a full
+    // join+union+agg round to reach this same state (guide §1.2: remove
+    // unnecessary passes). Equivalence: min-label propagation from the
+    // identity labeling after one round assigns exactly
+    // min(v, min over neighbors) to v.
+    var labels = sym.groupBy(col("a"))
+      .agg(least(min(col("b")), col("a")).as("label"))
+      .select(col("a").as("doc_id"), col("label"))
       .localCheckpoint()
     // Convergence signal: per-vertex labels are non-increasing under min
     // propagation and the vertex set is fixed, so sum(label) is strictly

@@ -305,29 +305,34 @@ object TextQueries {
     // long/long divides quantized with the deterministic floor form.
     "q_repetition" -> QueryDef(
       (s, dir) => {
-        val docs = Tables.load(s, dir, "documents")
-        val tokStats = docs
-          .select(col("doc_id"),
-            explode(TextFunctions.tokens(col("text"))).as("token"))
-          .groupBy("doc_id", "token").agg(count(lit(1)).as("c"))
-          .groupBy("doc_id").agg(
-            sum("c").cast("long").as("n_tokens"),
-            count(lit(1)).cast("long").as("n_distinct"),
-            max("c").cast("long").as("top_n"))
-        val gramStats = docs
-          .select(col("doc_id"),
-            explode(TextFunctions.wordShingles(col("text"), 2)).as("gram"))
-          .groupBy("doc_id", "gram").agg(count(lit(1)).as("c"))
-          .groupBy("doc_id").agg(
-            sum("c").cast("long").as("n_grams"),
-            max("c").cast("long").as("top_g"))
+        // One-pass per-row profile (RepetitionProfileExpr): every
+        // statistic is a function of a single document's own tokens, so
+        // nothing here needs a shuffle — the old two-branch form
+        // exchanged every token occurrence AND every 2-gram occurrence
+        // of the corpus on (doc_id, token) keys, re-aggregated both,
+        // and joined (4 exchanges + a join for per-row arithmetic;
+        // guide §2.4). Row membership is unchanged: docs with zero
+        // tokens (or NULL text) produced no exploded rows before, and
+        // are filtered the same way here. The five profile integers
+        // are exact counts; the ratio/keep arithmetic below is the
+        // IDENTICAL IEEE op sequence as before, so the oracle-compared
+        // doubles are bit-equal.
+        val p = graft.expressions.RepetitionProfileExpr(col("text"))
         val distinctRatio =
           Det.r4(col("n_distinct").cast("double") / col("n_tokens"))
         val topTokenFrac =
           Det.r4(col("top_n").cast("double") / col("n_tokens"))
-        val topGramFrac = Det.r4(coalesce(
-          col("top_g").cast("double") / col("n_grams"), lit(0.0)))
-        tokStats.join(gramStats, Seq("doc_id"), "left")
+        // the old left join yielded NULL top_g/n_grams for gram-less
+        // docs, coalesced to 0.0; n_grams == 0 is exactly that case
+        val topGramFrac = Det.r4(when(col("n_grams") > 0,
+          col("top_g").cast("double") / col("n_grams")).otherwise(lit(0.0)))
+        Tables.load(s, dir, "documents")
+          .select(col("doc_id"), p.as("p"))
+          .where(col("p").isNotNull && col("p.n_tokens") > 0)
+          .select(col("doc_id"), col("p.n_tokens").as("n_tokens"),
+            col("p.n_distinct").as("n_distinct"),
+            col("p.top_n").as("top_n"), col("p.n_grams").as("n_grams"),
+            col("p.top_g").as("top_g"))
           .select(col("doc_id"), col("n_tokens"),
             distinctRatio.as("distinct_ratio"),
             topTokenFrac.as("top_token_frac"),
@@ -459,19 +464,24 @@ object TextQueries {
       (s, dir) => {
         val terms = Seq("spark", "query", "window", "fast",
           "vector", "stream", "merge", "filter")
+        // ONE tokenize pass for the whole query: the cached frame carries
+        // dl (for the corpus stats) plus only the query-term occurrences
+        // (for tf/df) — a per-doc row of a few bytes. The previous shape
+        // cached the post-explode tf frame and then ran a SECOND full
+        // corpus tokenize for the stats aggregation (two regex-split
+        // scans of every document; guide §1.2 "don't compute things
+        // twice", §8 "decide with small rows"). filter-then-explode vs
+        // explode-then-where is multiplicity-preserving, so tf/df/stats
+        // are unchanged.
         val docs = Tables.load(s, dir, "documents")
           .select(col("doc_id"), TextFunctions.tokens(col("text")).as("toks"))
-          .select(col("doc_id"), col("toks"), size(col("toks")).as("dl"))
-        val stats = docs.agg(count(lit(1)).as("n_docs"), avg("dl").as("avgdl"))
-        // cache the filtered tf frame: it feeds BOTH the df stats and the
-        // scoring side — without the cache Catalyst plans two full
-        // tokenize+explode corpus passes (no common-subplan sharing);
-        // released by the listener after the first action
-        val tf = docs
-          .select(col("doc_id"), col("dl"), explode(col("toks")).as("token"))
-          .where(col("token").isin(terms: _*))
-          .groupBy("doc_id", "dl", "token").agg(count(lit(1)).as("tf"))
+          .select(col("doc_id"), size(col("toks")).as("dl"),
+            filter(col("toks"), t => t.isin(terms: _*)).as("qtoks"))
           .persist()
+        val stats = docs.agg(count(lit(1)).as("n_docs"), avg("dl").as("avgdl"))
+        val tf = docs
+          .select(col("doc_id"), col("dl"), explode(col("qtoks")).as("token"))
+          .groupBy("doc_id", "dl", "token").agg(count(lit(1)).as("tf"))
         val dfT = tf.groupBy("token").agg(count(lit(1)).as("df"))
         val result = tf.join(broadcast(dfT), "token")
           .crossJoin(broadcast(stats))
@@ -484,7 +494,7 @@ object TextQueries {
           .agg(count(lit(1)).as("n_terms"),
             (sum("c") / 10000.0).as("score"))
           .orderBy(col("score").desc, col("doc_id")).limit(50)
-        graft.core.CacheHygiene.unpersistAfterFirstUse(tf, result)
+        graft.core.CacheHygiene.unpersistAfterFirstUse(docs, result)
       },
       Some(s"""WITH t AS (SELECT doc_id, $oracleTokens AS toks FROM documents),
         d AS (SELECT doc_id, len(toks) AS dl, toks FROM t),
