@@ -2,7 +2,7 @@ package graft.expressions
 
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Divide, Expression, ExpressionInfo, Literal, Multiply, Sqrt}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 
 /** SparkSessionExtensions hook exposing graft's native expressions to SQL
   * (set spark.sql.extensions=graft.expressions.GraftExtensions — done by
@@ -43,12 +43,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     inject("graft_dot", classOf[DotProduct], 2,
       cs => DotProduct(cs(0), cs(1)))
 
-    // cosine(a, b) composed from the same codegen'd dot product
-    inject("graft_cosine", classOf[DotProduct], 2, cs => {
-      val (a, b) = (cs(0), cs(1))
-      Divide(DotProduct(a, b),
-        Multiply(Sqrt(DotProduct(a, a)), Sqrt(DotProduct(b, b))))
-    })
+    // cosine(a, b): the one-pass native form (bit-identical to the
+    // composed dot/sqrt spelling — see CosineSim scaladoc)
+    inject("graft_cosine", classOf[CosineSim], 2,
+      cs => CosineSim(cs(0), cs(1)))
 
     inject("graft_simhash64", classOf[SimHashExpr], 1,
       cs => SimHashExpr(cs(0)))

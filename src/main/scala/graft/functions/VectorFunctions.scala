@@ -21,19 +21,25 @@ object VectorFunctions {
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
+  /** One-pass codegen'd native expression (graft.expressions.CosineSim):
+    * bit-identical to dot(a,b) / (norm(a) * norm(b)) — same three sums
+    * in the same index order, same final op sequence — but ONE array
+    * traversal instead of three. Cosine is the per-candidate verifier
+    * in every near-dup/ANN path, so this triples the throughput of the
+    * hottest scalar in the engine.
+    */
   def cosine(a: Column, b: Column): Column =
-    dot(a, b) / (norm(a) * norm(b))
+    graft.expressions.VectorExpressions.cosineSim(a, b)
 
   /** Squared L2 — the PQ/k-means workhorse (argmin-invariant without
-    * the sqrt, and the form the ADC distance tables store).
+    * the sqrt, and the form the ADC distance tables store). Native
+    * codegen'd expression (graft.expressions.L2Sq); same fold order and
+    * null conventions as the previous zip_with/aggregate formulation,
+    * compiled to a primitive loop instead of one interpreted lambda
+    * dispatch per element.
     */
   def l2sq(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b, (x, y) => {
-        val d = x.cast("double") - y.cast("double")
-        d * d
-      }),
-      lit(0.0), (acc, v) => acc + v)
+    graft.expressions.VectorExpressions.l2sq(a, b)
 
   def l2Distance(a: Column, b: Column): Column = sqrt(l2sq(a, b))
 

@@ -50,18 +50,42 @@ object Ann {
       k)
 
   /** Assign each corpus vector to its nearest centroid (max cosine, id
-    * tiebreak) — one map-side pass over corpus x broadcast(centroids)
-    * and a single partial-aggregated max_by per vector.
+    * tiebreak) — one map-ONLY pass: the centroid set rides a single
+    * broadcast row and the per-vector argmax folds over it in place.
+    * The previous crossJoin + groupBy(vec_id) form materialized
+    * |corpus| x k scored rows and then needed a max_by whose
+    * struct-typed buffer forces SortAggregate — a per-partition sort of
+    * |corpus| x k rows plus an Exchange carrying every embedding — for
+    * an argmax that is a pure per-row function (guide §2.4).
     */
   def assignCells(corpus: DataFrame, centroids: DataFrame): DataFrame =
-    corpus.crossJoin(broadcast(centroids))
-      .select(col("vec_id"), col("embedding"), col("cell_id"),
-        cosineScore(col("embedding"), col("cell_emb")).as("aff"))
-      .groupBy(col("vec_id"))
-      .agg(
-        first(col("embedding")).as("embedding"),
-        max_by(col("cell_id"), struct(col("aff"), -col("cell_id")))
-          .as("cell_id"))
+    corpus.crossJoin(broadcast(centroidsRow(centroids)))
+      .select(col("vec_id"), col("embedding"),
+        bestCell(col("embedding"), col("cents")).as("m"))
+      .where(col("m").isNotNull)
+      .select(col("vec_id"), col("embedding"),
+        (-col("m.negid")).as("cell_id"))
+
+  /** The whole centroid frame as ONE broadcastable row
+    * (array<struct<cell_id, cell_emb>>).
+    */
+  private def centroidsRow(centroids: DataFrame): DataFrame =
+    centroids.groupBy().agg(collect_list(
+      struct(col("cell_id"), col("cell_emb"))).as("cents"))
+
+  /** Per-row nearest-centroid argmax: score every centroid with the
+    * same quantized cosine, take the array_max of (aff, -cell_id)
+    * structs. array_max's struct ordering is the identical interpreted
+    * ordering max_by used on struct(aff, -cell_id) — including the
+    * NaN-sorts-greatest double semantics and the null-element skip —
+    * so the chosen cell and its aff are unchanged. Empty/absent
+    * centroid set -> null (callers drop those rows, matching the old
+    * crossJoin-with-empty emitting nothing).
+    */
+  private def bestCell(embedding: Column, cents: Column): Column =
+    array_max(transform(cents, c => struct(
+      cosineScore(embedding, c.getField("cell_emb")).as("aff"),
+      (-c.getField("cell_id")).as("negid"))))
 
   /** Embedding near-duplicate pairs: multi-band random-hyperplane LSH
     * candidate generation, then exact cosine >= threshold verification.
@@ -522,15 +546,16 @@ object Ann {
   def semDedup(emb: DataFrame, centroids: DataFrame,
       thresholdQ: Long,
       maxCellSize: Long = DefaultMaxCellSize): DataFrame = {
-    val assigned = emb.crossJoin(broadcast(centroids))
-      .select(col("vec_id"), col("embedding"), col("cell_id"),
-        cosineScore(col("embedding"), col("cell_emb")).as("aff"))
-      .groupBy(col("vec_id"))
-      .agg(first(col("embedding")).as("embedding"),
-        max_by(struct(col("cell_id"), col("aff")),
-          struct(col("aff"), -col("cell_id"))).as("m"))
+    // Map-only assignment (same move as assignCells): the argmax over
+    // broadcast centroids is a per-row fold, so no |corpus| x k scored
+    // rows, no struct-buffer SortAggregate, no Exchange carrying
+    // embeddings — the cache below materializes straight off the scan.
+    val assigned = emb.crossJoin(broadcast(centroidsRow(centroids)))
       .select(col("vec_id"), col("embedding"),
-        col("m.cell_id").as("cell_id"), col("m.aff").as("aff"))
+        bestCell(col("embedding"), col("cents")).as("m"))
+      .where(col("m").isNotNull)
+      .select(col("vec_id"), col("embedding"),
+        (-col("m.negid")).as("cell_id"), col("m.aff").as("aff"))
       .cache()
     // refineCells' population probes materialize the cache before its
     // irreducible-cell guard can throw — release on the failure path or
@@ -777,21 +802,29 @@ object Ann {
     * trailing D - m*(D/m) dimensions and a mismatched codebook yields
     * null distances through zip_with padding.
     */
-  def pqEncode(emb: DataFrame, codebooks: DataFrame, m: Int): DataFrame = {
-    val sd = size(col("embedding")) / m
-    val subs = emb
-      .select(col("vec_id"), explode(sequence(lit(0), lit(m - 1))).as("sub"),
-        guardDivisible(col("embedding"), m, "pqEncode").as("embedding"))
-      .select(col("vec_id"), col("sub"),
-        slice(col("embedding"), col("sub") * sd + 1, sd).as("sv"))
-    subs.join(broadcast(codebooks), "sub")
-      .select(col("vec_id"), col("sub"), col("code"),
-        Det.r4(VectorFunctions.l2sq(col("sv"),
-          guardSubLength(col("cvec"), col("sv"), "pqEncode"))).as("dq"))
-      .groupBy(col("vec_id"), col("sub"))
-      .agg(min(struct(col("dq"), col("code"))).as("mn"))
-      .select(col("vec_id"), col("sub").cast("long").as("sub"),
-        col("mn.code").as("code"))
+  def pqEncode(emb: DataFrame, codebooks: DataFrame, m: Int): DataFrame =
+    pqCodeArrays(emb, codebooks, m)
+      .select(col("vec_id"), posexplode(col("codes")).as(Seq("sub", "code")))
+      .select(col("vec_id"), col("sub").cast("long").as("sub"), col("code"))
+
+  /** (vec_id, codes array<long>) — the encode as ONE map-side pass: the
+    * whole codebook rides a single broadcast row and PqCodesExpr runs
+    * all m*k quantized-L2 argmins per vector in a tight JVM loop. The
+    * previous plan (explode to m subvector rows, broadcast-join m*k
+    * codebook entries, min(struct(dq, code)) aggregation) paid a
+    * SortAggregate — per-partition sort of n*m*k rows — plus an
+    * Exchange, for an argmin that is a pure per-row function; at corpus
+    * scale that was the encode's only shuffle and its dominant sort
+    * (guide §2.4). Code choice is bit-identical (PqCodesExpr scaladoc).
+    */
+  private[operators] def pqCodeArrays(emb: DataFrame, codebooks: DataFrame,
+      m: Int): DataFrame = {
+    val cb = codebooks.groupBy().agg(collect_list(struct(
+      col("sub").cast("int").as("sub"), col("code").cast("long").as("code"),
+      col("cvec"))).as("cb"))
+    emb.crossJoin(broadcast(cb))
+      .select(col("vec_id"), graft.expressions.PqExpressions.pqCodes(
+        col("embedding"), col("cb"), m).as("codes"))
   }
 
   /** Per-subspace k-means codebook trainer — the offline producer of
@@ -834,8 +867,24 @@ object Ann {
     */
   def pqTopK(codes: DataFrame, queries: DataFrame, codebooks: DataFrame,
       m: Int, k: Int, topK: Int): DataFrame =
-    adcTopK(pqVecCodes(codes).crossJoin(
+    adcTopK(pqVecCodes(codes, m).crossJoin(
       broadcast(pqDistanceTables(queries, codebooks, m, k))), m, k, topK)
+
+  /** [[pqTopK]] straight from the embeddings: encodes each vector's m
+    * codes map-side ([[pqCodeArrays]]) and scores them in the same scan
+    * stage — for the encode-then-search composition this skips
+    * [[pqEncode]]'s posexplode to m rows and [[pqVecCodes]]'
+    * re-collection of those rows into an array (an exchange of
+    * |corpus| x m rows that existed only to undo the explode). Results
+    * are identical to pqTopK(pqEncode(emb, ...), ...) by construction —
+    * same code arrays, same distance tables, same ranking.
+    */
+  def pqTopKFromEmb(emb: DataFrame, queries: DataFrame,
+      codebooks: DataFrame, m: Int, k: Int, topK: Int): DataFrame =
+    adcTopK(pqCodeArrays(emb, codebooks, m)
+      .where(col("codes").isNotNull)
+      .crossJoin(broadcast(pqDistanceTables(queries, codebooks, m, k))),
+      m, k, topK)
 
   /** IVF+PQ — the two scale stories composed, the shape a 100 TB ANN
     * index actually ships with: the IVF probe prunes which vectors are
@@ -860,7 +909,7 @@ object Ann {
       .where(col("prn") <= nprobe)
       .select(col("q_id"), col("cell_id"))
       .join(pqDistanceTables(queries, codebooks, m, k), "q_id")
-    val candidates = pqVecCodes(codes)
+    val candidates = pqVecCodes(codes, m)
       .join(cells.select(col("vec_id"), col("cell_id")), "vec_id")
       .join(broadcast(probes), "cell_id")
     adcTopK(candidates, m, k, topK)
@@ -903,13 +952,20 @@ object Ann {
       lit(s"$op: codebook subvector length "), size(cvec).cast("string"),
       lit(" != expected "), size(sv).cast("string"))))
 
-  // Per-query ADC distance tables: one INTEGER-quantized entry per
-  // (sub, code), keyed sub*k+code, carried as a broadcast-able map.
-  // Misconfigured m or codebook raises via the same plan-embedded
-  // guards as pqEncode.
+  // Per-query ADC distance tables as POSITION-INDEXED arrays: entry
+  // sub*k+code holds the quantized subdistance, so scoring is an O(1)
+  // array index per sub. The previous map<int,long> form probed an
+  // ArrayBasedMapData per lookup — a LINEAR scan of all m*k entries per
+  // element_at, run m times per scored candidate row, the hottest row
+  // count of the PQ path (guide §4). Values are the identical r4q
+  // longs; the size guard fails loudly on a codebook that doesn't
+  // cover the full (sub, code) grid instead of silently mis-indexing.
   private def pqDistanceTables(queries: DataFrame, codebooks: DataFrame,
       m: Int, k: Int): DataFrame = {
     val sd = size(col("q_emb")) / m
+    val dtable = transform(
+      array_sort(collect_list(struct(col("key"), col("d")))),
+      e => e.getField("d"))
     queries
       .select(col("q_id"), explode(sequence(lit(0), lit(m - 1))).as("sub"),
         guardDivisible(col("q_emb"), m, "pqDistanceTables").as("q_emb"))
@@ -922,27 +978,40 @@ object Ann {
           guardSubLength(col("cvec"), col("qv"), "pqDistanceTables")))
           .cast("long").as("d"))
       .groupBy(col("q_id"))
-      .agg(map_from_arrays(collect_list(col("key")),
-        collect_list(col("d"))).as("dmap"))
+      .agg(dtable.as("dtable"))
+      .select(col("q_id"),
+        when(size(col("dtable")) === m * k, col("dtable"))
+          .otherwise(raise_error(concat(
+            lit(s"pqDistanceTables: codebook grid has "),
+            size(col("dtable")).cast("string"),
+            lit(s" entries, expected ${m * k}")))).as("dtable"))
   }
 
-  // One row per vector with its m codes as a lookup map.
-  private def pqVecCodes(codes: DataFrame): DataFrame =
+  // One row per vector with its m codes as a position array (index =
+  // sub): array_sort over the collected (sub, code) structs orders by
+  // sub ascending; the size guard replaces the old ANSI missing-map-key
+  // error for a vector whose code rows don't cover every sub.
+  private def pqVecCodes(codes: DataFrame, m: Int): DataFrame =
     codes.groupBy(col("vec_id"))
-      .agg(map_from_arrays(collect_list(col("sub").cast("int")),
-        collect_list(col("code").cast("int"))).as("cmap"))
+      .agg(transform(
+        array_sort(collect_list(struct(col("sub"), col("code")))),
+        e => e.getField("code").cast("long")).as("codes"))
+      .select(col("vec_id"),
+        when(size(col("codes")) === m, col("codes"))
+          .otherwise(raise_error(concat(
+            lit("pqVecCodes: vector has "),
+            size(col("codes")).cast("string"),
+            lit(s" code rows, expected m=$m")))).as("codes"))
 
-  // ADC scoring + per-query top-k over a (q_id, vec_id, cmap, dmap)
-  // candidate frame: m exact-integer lookups summed, rank ascending.
+  // ADC scoring + per-query top-k over a (q_id, vec_id, codes, dtable)
+  // candidate frame: m exact-integer O(1) array lookups summed in one
+  // native loop (AdcSumExpr), rank ascending.
   private def adcTopK(candidates: DataFrame, m: Int, k: Int,
       topK: Int): DataFrame = {
     val scored = candidates
       .select(col("q_id"), col("vec_id"),
-        aggregate(sequence(lit(0), lit(m - 1)),
-          lit(0L),
-          (acc, s) => acc + element_at(col("dmap"),
-            (s * k + element_at(col("cmap"), s.cast("int"))).cast("int")))
-          .as("dist"))
+        graft.expressions.PqExpressions.adcSum(
+          col("codes"), col("dtable"), k).as("dist"))
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("dist").asc, col("vec_id"))
     scored.withColumn("rn", row_number().over(w).cast("long"))
@@ -965,13 +1034,22 @@ object Ann {
   def kmeansStep(emb: DataFrame, centroids: DataFrame): DataFrame = {
     val cent = centroids.select(col("cluster_id"), col("cvec"),
       VectorFunctions.dot(col("cvec"), col("cvec")).as("cn"))
-    emb.crossJoin(broadcast(cent))
-      .select(col("vec_id"), col("embedding"), col("cluster_id"),
-        Det.r4(lit(-2.0) *
-          VectorFunctions.dot(col("embedding"), col("cvec")) + col("cn"))
-          .as("dq"))
-      .groupBy(col("vec_id"), col("embedding"))
-      .agg(min(struct(col("dq"), col("cluster_id"))).as("m"))
+    // Map-only argmin (the assignCells move): one broadcast row of
+    // centroids, per-row array_min over (dq, cluster_id) structs —
+    // array_min's struct ordering is the same interpreted ordering
+    // min(struct(dq, cluster_id)) used, so the assignment is unchanged;
+    // what disappears is the |corpus| x k scored-row blowup and the
+    // struct-buffer SortAggregate + Exchange it needed (guide §2.4).
+    val centsRow = cent.groupBy().agg(collect_list(
+      struct(col("cluster_id"), col("cvec"), col("cn"))).as("cents"))
+    emb.crossJoin(broadcast(centsRow))
+      .select(col("vec_id"), col("embedding"),
+        array_min(transform(col("cents"), c => struct(
+          Det.r4(lit(-2.0) *
+            VectorFunctions.dot(col("embedding"), c.getField("cvec")) +
+            c.getField("cn")).as("dq"),
+          c.getField("cluster_id").as("cluster_id")))).as("m"))
+      .where(col("m").isNotNull)
       .select(col("m.cluster_id").as("cluster_id"),
         posexplode(col("embedding")).as(Seq("pos", "x")))
       .groupBy(col("cluster_id"), (col("pos") + 1).cast("long").as("dim"))
@@ -1006,14 +1084,19 @@ object Ann {
           row_number().over(Window.orderBy(col("vec_id"))).cast("long") - 1)
         .select(col("cluster_id"), col("v").as("cvec")))
     for (_ <- 0 until iters) {
+      // same map-only argmin rewrite as kmeansStep (raw d here — the
+      // trainer never quantized its assignment distance)
       val cn = cent.select(col("cluster_id"), col("cvec"),
-        VectorFunctions.dot(col("cvec"), col("cvec")).as("cn"))
+          VectorFunctions.dot(col("cvec"), col("cvec")).as("cn"))
+        .groupBy().agg(collect_list(
+          struct(col("cluster_id"), col("cvec"), col("cn"))).as("cents"))
       val next = embD.crossJoin(broadcast(cn))
-        .select(col("vec_id"), col("v"), col("cluster_id"),
-          (lit(-2.0) * VectorFunctions.dot(col("v"), col("cvec")) +
-            col("cn")).as("d"))
-        .groupBy(col("vec_id"), col("v"))
-        .agg(min(struct(col("d"), col("cluster_id"))).as("m"))
+        .select(col("vec_id"), col("v"),
+          array_min(transform(col("cents"), c => struct(
+            (lit(-2.0) * VectorFunctions.dot(col("v"), c.getField("cvec")) +
+              c.getField("cn")).as("d"),
+            c.getField("cluster_id").as("cluster_id")))).as("m"))
+        .where(col("m").isNotNull)
         .select(col("m.cluster_id").as("cluster_id"),
           posexplode(col("v")).as(Seq("pos", "x")))
         .groupBy("cluster_id", "pos")

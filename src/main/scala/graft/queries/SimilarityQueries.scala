@@ -1332,9 +1332,11 @@ object SimilarityQueries {
         val cb = pqCodebooks(emb)
         val q = emb.where(col("vec_id") < 8)
           .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
-        graft.operators.Ann.pqTopK(
-          graft.operators.Ann.pqEncode(emb, cb, PqM), q, cb,
-          PqM, PqCodes, 10)
+        // encode-and-score in one scan stage (pqTopKFromEmb): identical
+        // output to pqTopK(pqEncode(...)) — the oracle recomputes the
+        // full encode+ADC chain — without the explode-to-m-rows +
+        // re-collect exchange between them
+        graft.operators.Ann.pqTopKFromEmb(emb, q, cb, PqM, PqCodes, 10)
       },
       Some(s"""WITH $pqOracleCtes,
         q AS (SELECT vec_id AS q_id, embedding AS q_emb
@@ -1372,9 +1374,8 @@ object SimilarityQueries {
         val cb = pqCodebooks(emb)
         val q = emb.where(col("vec_id") < 8)
           .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
-        val cand = graft.operators.Ann.pqTopK(
-          graft.operators.Ann.pqEncode(emb, cb, PqM), q, cb,
-          PqM, PqCodes, 20)
+        val cand = graft.operators.Ann.pqTopKFromEmb(
+          emb, q, cb, PqM, PqCodes, 20)
         graft.operators.Ann.rerankTopK(cand, emb, q, 5)
       },
       Some(s"""WITH $pqOracleCtes,
