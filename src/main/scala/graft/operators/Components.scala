@@ -70,9 +70,11 @@ object Components {
     // unnecessary passes). Equivalence: min-label propagation from the
     // identity labeling after one round assigns exactly
     // min(v, min over neighbors) to v.
+    val obs0 = Observation()
     var labels = sym.groupBy(col("a"))
       .agg(least(min(col("b")), col("a")).as("label"))
       .select(col("a").as("doc_id"), col("label"))
+      .observe(obs0, sum(col("label").cast("decimal(38,0)")).as("s"))
       .localCheckpoint()
     // Convergence signal: per-vertex labels are non-increasing under min
     // propagation and the vertex set is fixed, so sum(label) is strictly
@@ -82,7 +84,11 @@ object Components {
     // second join+count job per round, which at small SF doubled the
     // scheduling-floor cost of the loop. Decimal(38,0) sum: exact, and
     // immune to ANSI bigint-overflow traps on huge vertex sets.
-    var prevSum: Option[Any] = None
+    // The init IS round 1, so its observed sum seeds the comparison: a
+    // graph whose init already sits at the fixpoint (diameter-1
+    // clusters — the common near-dup shape) is confirmed by ONE loop
+    // round instead of two.
+    var prevSum: Option[Any] = Some(obs0.get("s"))
     var changed = true
     var rounds = 0
     while (changed) {
@@ -102,9 +108,10 @@ object Components {
       labels = prop
     }
     freeCheckpoint(sym) // the fixpoint labels no longer need the edges
-    // one line of driver-side observability: rounds = propagation
-    // diameter + 1 (the fixpoint must repeat once to be observed)
-    System.err.println(s"[components] converged in $rounds rounds")
+    // one line of driver-side observability: with the init fused as
+    // round 1 and its sum observed, loop rounds = propagation diameter
+    // (the last round doubles as the fixpoint confirmation)
+    System.err.println(s"[components] converged in $rounds loop rounds")
     labels.select(col("doc_id"), col("label").as("component_id"))
   }
 }

@@ -597,8 +597,20 @@ object PipelineQueries {
           .groupBy("b").agg(
             sum(when(col("is_tgt"), col("c")).otherwise(0L)).as("ct"),
             sum(when(!col("is_tgt"), col("c")).otherwise(0L)).as("cs"))
-        val tot = counts.agg(sum("ct").as("tt"), sum("cs").as("ts"))
-        val lm = counts.crossJoin(broadcast(tot))
+        // totals via a global window over the <=B-row counts frame: the
+        // old separate `counts.agg` + crossJoin(broadcast) branch was a
+        // THIRD corpus explode+md5 subtree in the plan (exchange reuse
+        // across it is a runtime maybe, not a guarantee); the window
+        // keeps lm a single linear subtree of counts, so the corpus is
+        // tokenized at most twice and the totals are free (256 rows
+        // through one single-partition window). Same long sums, same
+        // downstream arithmetic.
+        val w = org.apache.spark.sql.expressions.Window
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+            org.apache.spark.sql.expressions.Window.unboundedFollowing)
+        val lm = counts
+          .withColumn("tt", sum("ct").over(w))
+          .withColumn("ts", sum("cs").over(w))
           .select(col("b"),
             (floor(log((col("ct") + 1) /
               (col("tt") + lit(B.toDouble))) * 10000 + 0.5) -
