@@ -56,8 +56,12 @@ object Incremental {
     val dh = dl.select(col("doc_id"),
       coalesce(md5(col("text").cast("binary")),
         concat(lit("null:"), col("doc_id"))).as("h"))
-    val exH = ex.select(md5(col("text").cast("binary")).as("h")).distinct()
-    val exactExisting = dh.join(exH, "h").select("doc_id")
+    // left_semi instead of distinct + inner join: the semi join needs no
+    // dedup of the existing digest set (one exchange fewer), and emits
+    // each delta doc at most once — exactly what the old distinct
+    // guaranteed
+    val exH = ex.select(md5(col("text").cast("binary")).as("h"))
+    val exactExisting = dh.join(exH, Seq("h"), "left_semi").select("doc_id")
     val exactInternal = dh
       .withColumn("mn", min("doc_id").over(Window.partitionBy("h")))
       .where(col("doc_id") =!= col("mn")).select("doc_id")

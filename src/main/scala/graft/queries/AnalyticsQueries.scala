@@ -38,15 +38,24 @@ object AnalyticsQueries {
     */
   def seriesCorrelationSeeded(events: org.apache.spark.sql.DataFrame,
       seedIds: Option[Seq[Long]]): org.apache.spark.sql.DataFrame = {
-    val hourly = events
+    def hourlyOf(ev: org.apache.spark.sql.DataFrame) = ev
       .groupBy(col("user_id"),
         (col("ts").cast("long") / 3600).cast("long").as("h"))
       .agg(sum(col("value").cast("decimal(18,2)")).cast("double")
         .as("sv"))
+    val hourly = hourlyOf(events)
+    // The seed filter commutes with the per-(user, hour) aggregation, so
+    // it is applied to the EVENTS SCAN, not to a second copy of the full
+    // hourly aggregation: the old `hourly.where(seed)` subtree planned as
+    // a complete second scan+aggregate of the corpus (runtime exchange
+    // reuse measurably does not fire across these branches — the
+    // q_importance_weights lesson), while the pushed filter reads only
+    // the seed users' rows (parquet predicate pushdown) and aggregates a
+    // |seeds|-sized stream. Same seed series, bit-identical sv values.
     val seeds = seedIds match {
-      case Some(ids) => hourly.where(col("user_id").isin(ids: _*))
-      case None => hourly.where(col("user_id") % 25 === 0 &&
-        col("user_id") < 25L * MaxDefaultSeeds)
+      case Some(ids) => hourlyOf(events.where(col("user_id").isin(ids: _*)))
+      case None => hourlyOf(events.where(col("user_id") % 25 === 0 &&
+        col("user_id") < 25L * MaxDefaultSeeds))
     }
     val paired = broadcast(seeds).as("a").join(hourly.as("b"),
         col("a.h") === col("b.h") &&
