@@ -687,8 +687,16 @@ object TextQueries {
             explode(TextFunctions.tokens(col("text"))).as("token"))
           .groupBy("doc_id", "token").agg(count(lit(1)).as("c"))
         val vocab = tf.groupBy("token").agg(sum("c").as("n"))
-        val total = vocab.agg(sum("n").as("n_total"))
-        val nll = vocab.crossJoin(broadcast(total))
+        // n_total via a global window over the vocabulary frame: the old
+        // separate agg + crossJoin(broadcast) branch planned the whole
+        // scan+explode+tf+vocab chain a THIRD time (exchange reuse
+        // across branches measurably does not fire — the
+        // q_importance_weights lesson); the window keeps nll a single
+        // linear subtree. Same exact long sum, same arithmetic.
+        val wAll = Window.rowsBetween(
+          Window.unboundedPreceding, Window.unboundedFollowing)
+        val nll = vocab
+          .withColumn("n_total", sum("n").over(wAll))
           .select(col("token"),
             floor(-log(col("n") / col("n_total")) * 10000 + 0.5)
               .as("nll_i4"))
@@ -729,8 +737,15 @@ object TextQueries {
           .groupBy("doc_id", "bg").agg(count(lit(1)).as("c"))
         val cb = tf2.groupBy("bg").agg(sum("c").as("nb"))
           .withColumn("h", element_at(split(col("bg"), " "), 1))
-        val ch = cb.groupBy("h").agg(sum("nb").as("nh"))
-        val nll = cb.join(ch, "h")
+        // head totals via a window over cb instead of a self-derived
+        // groupBy + join: the join's two inputs each re-planned the full
+        // scan+shingle+tf2+cb chain (plus the scoring side's copy, THREE
+        // corpus passes total; runtime exchange reuse measurably does
+        // not fire across such branches). The h-partitioned window sum
+        // produces the identical per-head long total in one linear
+        // subtree.
+        val nll = cb
+          .withColumn("nh", sum("nb").over(Window.partitionBy("h")))
           .select(col("bg"),
             floor(-log(col("nb") / col("nh")) * 10000 + 0.5).as("nll_i4"))
         tf2.join(nll, "bg")
