@@ -58,14 +58,24 @@ object Packing {
       valueCol: Column,
       cumCol: String,
       numPartitions: Int = 32): DataFrame = {
+    // Materialize FIRST, then sketch boundaries from the checkpoint:
+    // the old order ran approxQuantile directly on the input — a full
+    // extra pass over the source (for q_token_packing that means
+    // tokenizing every document twice, once for the sketch and once for
+    // the checkpoint; guide §1.2). The checkpoint is also what totals
+    // and the final cumsum read, so all three consumers now share one
+    // materialization. Boundary QUALITY is unaffected (same rows
+    // sampled); boundaries only ever affect balance, never the result.
+    // Unlike cache(), the checkpoint is not advisory (no
+    // eviction-triggered recompute) and does not linger in CacheManager
+    // for later identical plans to silently reuse.
     val input = df
       .withColumn("__val", valueCol.cast("long"))
       .withColumn("__key", orderKey.cast("double"))
+      .localCheckpoint()
 
-    // Equi-depth boundaries, frozen as literals. Accuracy affects only
-    // bucket balance (a nondeterministic source may even be sampled on
-    // different rows here — harmless, boundaries are advisory); dedup
-    // guards degenerate (few-distinct-keys) input.
+    // Equi-depth boundaries, frozen as literals; dedup guards
+    // degenerate (few-distinct-keys) input.
     val probs = (1 until numPartitions).map(_.toDouble / numPartitions)
     val bounds = input.stat
       .approxQuantile("__key", probs.toArray, 0.01)
@@ -74,11 +84,7 @@ object Packing {
       if (bounds.isEmpty) lit(0)
       else size(filter(array(bounds.toIndexedSeq.map(lit): _*),
         b => col("__key") > b))
-    // Materialize ONCE: totals below and the final cumsum must see the
-    // same rows (see scaladoc). Unlike cache(), the checkpoint is not
-    // advisory (no eviction-triggered recompute) and does not linger in
-    // CacheManager for later identical plans to silently reuse.
-    val staged = input.withColumn("__pid", bucket).localCheckpoint()
+    val staged = input.withColumn("__pid", bucket)
 
     // Pass 1: one row per bucket — the only thing that reaches the
     // driver. Sorted by bucket (== key range order), then prefix-summed.
