@@ -66,12 +66,46 @@ object Ann {
       .select(col("vec_id"), col("embedding"),
         (-col("m.negid")).as("cell_id"))
 
+  /** Hard cap on k x dim for the single-row centroid broadcast: 2^26
+    * elements is ~512 MB of double payload — comfortably inside the
+    * 2 GiB single-row and 8 GiB broadcast hard limits while far above
+    * any IVF/semdedup centroid set this engine declares (k in the
+    * hundreds, dim <= a few thousand). Raise via
+    * SPARK_GRAFT_MAX_CENTROID_ELEMS on executors sized for it. Above
+    * the cap the row raises LOUDLY (plan-embedded, no extra job)
+    * instead of silently approaching the 2 GiB wall with an opaque
+    * buffer error — the same guard convention as the PQ grid checks.
+    * A def (read per assignCells call): the `graft.maxCentroidElems`
+    * system property lets AnnSpec exercise the guard without building a
+    * half-GiB centroid set.
+    */
+  private[operators] def MaxCentroidElems: Long =
+    sys.env.get("SPARK_GRAFT_MAX_CENTROID_ELEMS")
+      .orElse(sys.props.get("graft.maxCentroidElems"))
+      .map(_.toLong).getOrElse(1L << 26)
+
   /** The whole centroid frame as ONE broadcastable row
-    * (array<struct<cell_id, cell_emb>>).
+    * (array<struct<cell_id, cell_emb>>), guarded against silently
+    * outgrowing the single-row/broadcast limits.
     */
   private def centroidsRow(centroids: DataFrame): DataFrame =
-    centroids.groupBy().agg(collect_list(
-      struct(col("cell_id"), col("cell_emb"))).as("cents"))
+    centroids.groupBy().agg(
+        collect_list(struct(col("cell_id"), col("cell_emb"))).as("cents"),
+        count(lit(1)).as("__k"),
+        max(size(col("cell_emb"))).cast("long").as("__dim"))
+      .select(
+        // coalesce: an EMPTY centroid frame aggregates __dim to null —
+        // it must keep the old contract (empty cents array -> bestCell
+        // null -> rows dropped), not trip the guard
+        when(col("__k") * coalesce(col("__dim"), lit(0L)) <=
+            MaxCentroidElems, col("cents"))
+          .otherwise(raise_error(concat(
+            lit("assignCells: centroid set too large for the single-row " +
+              "broadcast: k="), col("__k").cast("string"),
+            lit(" x dim="), col("__dim").cast("string"),
+            lit(s" exceeds $MaxCentroidElems elements (set " +
+              "SPARK_GRAFT_MAX_CENTROID_ELEMS to raise on executors " +
+              "sized for it)")))).as("cents"))
 
   /** Per-row nearest-centroid argmax: score every centroid with the
     * same quantized cosine, take the array_max of (aff, -cell_id)

@@ -57,7 +57,21 @@ object Packing {
       orderKey: Column,
       valueCol: Column,
       cumCol: String,
-      numPartitions: Int = 32): DataFrame = {
+      numPartitions: Int = 32): DataFrame =
+    globalCumsumWithTotal(df, orderKey, valueCol, cumCol, numPartitions)._1
+
+  /** [[globalCumsum]] plus the GRAND TOTAL of `valueCol`, which the
+    * two-pass scheme already holds on the driver (the per-bucket totals
+    * vector) — callers that also need the total (Windows'
+    * scale-safe global counting windows need the row count) get it
+    * for free instead of paying a second aggregation job.
+    */
+  def globalCumsumWithTotal(
+      df: DataFrame,
+      orderKey: Column,
+      valueCol: Column,
+      cumCol: String,
+      numPartitions: Int = 32): (DataFrame, Long) = {
     // Materialize FIRST, then sketch boundaries from the checkpoint:
     // the old order ran approxQuantile directly on the input — a full
     // extra pass over the source (for q_token_packing that means
@@ -114,8 +128,9 @@ object Packing {
     // Pass 2: per-bucket cumsum (parallel) + bucket offset.
     val w = Window.partitionBy("__pid").orderBy(orderKey)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    staged
+    (staged
       .withColumn(cumCol, sum(col("__val")).over(w) + offExpr)
-      .drop("__val", "__key", "__pid")
+      .drop("__val", "__key", "__pid"),
+      totals.map(_._2).sum)
   }
 }

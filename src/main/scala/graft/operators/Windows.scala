@@ -76,15 +76,35 @@ object Windows {
       partitionBy: Seq[Column] = Nil): DataFrame => DataFrame = {
     require(n > 0 && shift > 0)
     df => {
-      val w =
-        if (partitionBy.isEmpty) Window.orderBy(orderBy: _*)
-        else Window.partitionBy(partitionBy: _*).orderBy(orderBy: _*)
-      val rn = row_number().over(w) - 1 // 0-based
-      // total rows (per partition) in the same single pass — no extra job
-      val total = count(lit(1)).over(
-        if (partitionBy.isEmpty) Window.partitionBy()
-        else Window.partitionBy(partitionBy: _*))
-      val withRn = df.withColumn("_rn", rn).withColumn("_total", total)
+      val withRn = if (partitionBy.nonEmpty) {
+        val w = Window.partitionBy(partitionBy: _*).orderBy(orderBy: _*)
+        val rn = row_number().over(w) - 1 // 0-based
+        // per-key total in the same single pass — no extra job
+        val total = count(lit(1)).over(Window.partitionBy(partitionBy: _*))
+        df.withColumn("_rn", rn).withColumn("_total", total)
+      } else {
+        // GLOBAL arrival numbering, scale-safe: the old
+        // `row_number().over(Window.orderBy(key))` planned a
+        // single-partition WindowExec — every event row moved to ONE
+        // task (the "No Partition Defined" WARN), which serializes the
+        // operator at corpus scale. Packing.globalCumsum's two-pass
+        // scheme (literal equi-depth key buckets, per-bucket window,
+        // driver-side prefix offsets over |buckets| rows) computes the
+        // identical 0-based rank for a UNIQUE NUMERIC order key —
+        // rn = cumsum(1) - 1 — and its driver-side totals vector gives
+        // the global row count without a second pass. Contract
+        // (inherited from globalCumsum): the global form needs a
+        // single numeric, non-null, unique order key (true for the
+        // event_id callers); with duplicate keys the rank among equal
+        // keys is tie-order-arbitrary in BOTH formulations.
+        require(orderBy.size == 1,
+          "global counting windows need a single numeric order key " +
+            "(the per-key variant takes arbitrary orderBy columns)")
+        val (cum, total) = Packing.globalCumsumWithTotal(
+          df, orderBy.head, lit(1L), "_cum1")
+        cum.withColumn("_rn", col("_cum1") - 1).drop("_cum1")
+          .withColumn("_total", lit(total))
+      }
       // row r belongs to window w iff w*shift <= r < w*shift + n
       val firstW = greatest(ceil((col("_rn") - n + 1).cast("double") / shift), lit(0)).cast("long")
       val lastW = floor(col("_rn").cast("double") / shift).cast("long")

@@ -135,6 +135,13 @@ object SimilarityQueries {
     graft.core.CacheHygiene.unpersistAfterFirstUse(sets, result)
   }
 
+  /** Profiling accessor (CorpusBuildProfile): the thresholded pair graph
+    * exactly as q_corpus_build consumes it.
+    */
+  private[graft] def jaccardPairsForProfile(s: SparkSession,
+      dir: String): DataFrame =
+    jaccardPairs(s, dir).where(col("jq") >= JaccardThresholdQ)
+
   /** Verified STAR edges per shared-shingle bucket — the text-path twin
     * of [[graft.operators.Ann.nearDupStarEdges]] (VERDICT r17 item 6),
     * with the same exactness/refinement contract. Each shingle-hash
@@ -870,22 +877,39 @@ object SimilarityQueries {
       (s, dir) => {
         import org.apache.spark.sql.expressions.Window
         val docs = Tables.load(s, dir, "documents")
-        val exactKeep = docs
-          // per-doc sentinel for NULL text: q_dedup_exact's contract —
-          // failed extractions are not copies of each other, they flow
-          // to the quality gate (which rejects them) instead of being
-          // silently absorbed as exact dups of one survivor
-          .withColumn("h", coalesce(md5(col("text").cast("binary")),
-            concat(lit("null:"), col("doc_id"))))
-          .withColumn("rn",
-            row_number().over(Window.partitionBy("h").orderBy("doc_id")))
-          .where(col("rn") === 1)
-          .select(col("doc_id"), col("text"))
+        // Exact-dedup DECISION on a lightweight (doc_id, digest)
+        // projection (guide §8: decide with small rows): the old form
+        // ranked a window whose rows CARRIED text, shuffling the whole
+        // corpus' bytes through the md5-keyed exchange just to pick
+        // keeper ids. The dup-id set (doc_id != min doc_id of its
+        // digest group — identical keep decision, doc_ids are unique)
+        // anti-joins back on doc_id, the SAME key as the components
+        // drop anti-join below: both filters share one partitioning
+        // (broadcast anti joins when the dup/drop sets are small), and
+        // the consumer stage — scan, two anti probes, quality gate,
+        // chunk explode — is map-only.
+        // per-doc sentinel for NULL text: q_dedup_exact's contract —
+        // failed extractions are not copies of each other, they flow
+        // to the quality gate (which rejects them) instead of being
+        // silently absorbed as exact dups of one survivor
+        val dupIds = docs
+          .select(col("doc_id"),
+            coalesce(md5(col("text").cast("binary")),
+              concat(lit("null:"), col("doc_id"))).as("h"))
+          .withColumn("mn", min("doc_id").over(Window.partitionBy("h")))
+          .where(col("doc_id") =!= col("mn"))
+          .select("doc_id")
         val drop = graft.operators.Components.connectedComponents(
           jaccardPairs(s, dir).where(col("jq") >= JaccardThresholdQ)
             .select(col("a"), col("b")))
           .where(col("doc_id") =!= col("component_id"))
-        val clean = exactKeep.join(drop, Seq("doc_id"), "left_anti")
+        // one anti join against the UNION of the two small drop sets
+        // (exact dups + component non-reps) instead of two chained anti
+        // joins: anti(anti(D, A), B) = anti(D, A ∪ B), and the union
+        // rides a single broadcast build
+        val clean = docs.select(col("doc_id"), col("text"))
+          .join(dupIds.unionByName(drop.select("doc_id")),
+            Seq("doc_id"), "left_anti")
           .where(TextFunctions.qualityScoreQ(col("text")) >= QualityGateQ)
         val t = TextFunctions.tokens(col("text"))
         val lastIdx =

@@ -686,17 +686,22 @@ object TextQueries {
           .select(col("doc_id"),
             explode(TextFunctions.tokens(col("text"))).as("token"))
           .groupBy("doc_id", "token").agg(count(lit(1)).as("c"))
+        // The vocabulary is materialized ONCE (localCheckpoint, the
+        // Packing.globalCumsum pattern: storage released when the frame
+        // is GC'd), so the totals agg and the nll projection read the
+        // same rows without re-planning the scan+explode+tf chain a
+        // THIRD time (exchange reuse across branches measurably does
+        // not fire — the q_importance_weights lesson). n_total then
+        // rides a scalar agg + 1-row broadcast instead of the r18
+        // unpartitioned window, whose single-partition WindowExec
+        // serialized the ENTIRE vocab frame (10⁸-10⁹ distinct tokens at
+        // corpus scale) through one task (guide §2.4/§5 — the "No
+        // Partition Defined" WARN was this). Same exact long sum, same
+        // arithmetic, same rows.
         val vocab = tf.groupBy("token").agg(sum("c").as("n"))
-        // n_total via a global window over the vocabulary frame: the old
-        // separate agg + crossJoin(broadcast) branch planned the whole
-        // scan+explode+tf+vocab chain a THIRD time (exchange reuse
-        // across branches measurably does not fire — the
-        // q_importance_weights lesson); the window keeps nll a single
-        // linear subtree. Same exact long sum, same arithmetic.
-        val wAll = Window.rowsBetween(
-          Window.unboundedPreceding, Window.unboundedFollowing)
+          .localCheckpoint()
         val nll = vocab
-          .withColumn("n_total", sum("n").over(wAll))
+          .crossJoin(broadcast(vocab.agg(sum("n").as("n_total"))))
           .select(col("token"),
             floor(-log(col("n") / col("n_total")) * 10000 + 0.5)
               .as("nll_i4"))
@@ -735,17 +740,32 @@ object TextQueries {
           .select(col("doc_id"),
             explode(TextFunctions.wordShingles(col("text"), 2)).as("bg"))
           .groupBy("doc_id", "bg").agg(count(lit(1)).as("c"))
+        // The bigram LM is materialized ONCE (localCheckpoint, the
+        // q_unigram_nll treatment), so the head-total branch reads the
+        // checkpoint instead of re-planning the scan+shingle+tf2 chain
+        // (runtime exchange reuse measurably does not fire across such
+        // branches — the r18 lesson that first motivated a window
+        // here). Head totals then come from a partial-aggregated
+        // groupBy + BROADCAST join rather than the r18 h-partitioned
+        // window: stopword head tokens concentrate bigrams, and a hot
+        // head in a WindowExec partition CANNOT be split (no partial
+        // aggregation, no AQE rescue), while the agg combines hot heads
+        // map-side and the broadcast attach never shuffles cb at all
+        // (guide §2.5). Head totals are UNIGRAM-vocab-sized (one row
+        // per distinct head token) — broadcastable by exactly the
+        // q_unigram_nll vocab argument; the bg-keyed LM join below
+        // stays a shuffle join (a web-scale BIGRAM vocabulary remains
+        // orders beyond broadcastable). Measured (NllSkewBench, 20M
+        // synthetic bigram rows, min of 3): window 12.1 s at a
+        // 90%-one-head corpus vs 3.2 s for this form; 5.3 vs 3.4 s at
+        // 30%; 2.5 vs 3.2 s on balanced heads — the window wins only
+        // when no head is hot, and a Zipfian corpus always has hot
+        // heads. Same exact long sums, same arithmetic, same rows.
         val cb = tf2.groupBy("bg").agg(sum("c").as("nb"))
           .withColumn("h", element_at(split(col("bg"), " "), 1))
-        // head totals via a window over cb instead of a self-derived
-        // groupBy + join: the join's two inputs each re-planned the full
-        // scan+shingle+tf2+cb chain (plus the scoring side's copy, THREE
-        // corpus passes total; runtime exchange reuse measurably does
-        // not fire across such branches). The h-partitioned window sum
-        // produces the identical per-head long total in one linear
-        // subtree.
+          .localCheckpoint()
         val nll = cb
-          .withColumn("nh", sum("nb").over(Window.partitionBy("h")))
+          .join(broadcast(cb.groupBy("h").agg(sum("nb").as("nh"))), "h")
           .select(col("bg"),
             floor(-log(col("nb") / col("nh")) * 10000 + 0.5).as("nll_i4"))
         tf2.join(nll, "bg")

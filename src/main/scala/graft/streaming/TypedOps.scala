@@ -165,11 +165,28 @@ object TypedOps {
     implicit val e: Encoder[EventEnvelope[String]] = enc[String]
     val banded = bandedProjection(delay, nGram, nPerms, nBands, seed)(
       ds.toDF())
-    banded.dropDuplicatesWithinWatermark("band", "h")
+    // The envelope (stamp + content — the document's heavy bytes) rides
+    // ONE designated band row (band 0) into the band-claim exchange
+    // instead of all nBands rows (guide §8: shuffle keys and metadata,
+    // move the payload once — previously every document's content
+    // crossed the state-store exchange nBands times). Recovery is
+    // loss-free: a kept document by definition keeps ALL its band rows
+    // (n_claimed === nBands), so its band-0 row — the only envelope
+    // carrier — is always in the group; per (window, doc_key) there is
+    // at most one surviving (band=0, h) claimant, so the
+    // null-skipping first() is deterministic. Cross-micro-batch
+    // first-arrival-wins is unchanged (the first arrival claims every
+    // bucket including band 0); intra-batch duplicate arrivals remain
+    // arbitrary exactly as dropDuplicates' intra-batch choice always
+    // was (NearDupStreamSpec's order-invariance pins stay green).
+    banded
+      .select(col("event_time"), col("doc_key"), col("band"), col("h"),
+        when(col("band") === 0,
+          struct(col("stamp"), col("content"))).as("ev0"))
+      .dropDuplicatesWithinWatermark("band", "h")
       .groupBy(window(col("event_time"), granule), col("doc_key"))
       .agg(count(lit(1)).as("n_claimed"),
-        min_by(struct(col("stamp"), col("content")), col("event_time"))
-          .as("ev"))
+        first(col("ev0"), ignoreNulls = true).as("ev"))
       .where(col("n_claimed") === nBands)
       .select(col("ev.stamp").as("stamp"), col("ev.content").as("content"))
       .as[EventEnvelope[String]]

@@ -67,6 +67,30 @@ class AnnSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(sizes.values.forall(_ == 50)) // clean cluster separation
   }
 
+  test("assignCells guards the single-row centroid broadcast: k x dim " +
+      "over the cap raises loudly, at/under the cap assigns normally") {
+    val centroids = corpus.where(col("vec_id") < 4)
+      .select(col("vec_id").as("cell_id"), col("embedding").as("cell_emb"))
+    // 4 centroids x 16 dims = 64 elements: a cap of 63 must trip, 64 not
+    sys.props("graft.maxCentroidElems") = "63"
+    try {
+      val e = intercept[Exception] {
+        Ann.assignCells(corpus, centroids).collect()
+      }
+      val msg = Iterator.iterate[Throwable](e)(_.getCause)
+        .takeWhile(_ != null).map(t => Option(t.getMessage).getOrElse(""))
+        .mkString(" | ")
+      assert(msg.contains("centroid set too large") &&
+        msg.contains("SPARK_GRAFT_MAX_CENTROID_ELEMS"),
+        s"guard message should name the cause and the dial, got: $msg")
+      sys.props("graft.maxCentroidElems") = "64"
+      assert(Ann.assignCells(corpus, centroids).count() == 200)
+      // empty centroid frame keeps the old contract: no rows, no raise
+      assert(Ann.assignCells(corpus,
+        centroids.where(col("cell_id") < 0)).count() == 0)
+    } finally sys.props.remove("graft.maxCentroidElems")
+  }
+
   test("nearDupPairs releases its banded cache after the first action") {
     val before = spark.sparkContext.getPersistentRDDs.size
     val pairs = Ann.nearDupPairs(corpus, dim = 16, threshold = 0.9)

@@ -60,6 +60,39 @@ class ExpressionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(diffs.forall(_ == 0.0)) // identical fold order -> bit-identical
   }
 
+  test("graft_adc_sum: codegen matches the interpreted eval (values and " +
+      "out-of-range guard)") {
+    import graft.expressions.{AdcSumExpr, PqExpressions}
+    // k=4, m=3: table entry sub*4+code holds (sub+1)*100 + code
+    val dtable = (0 until 12).map(i => ((i / 4 + 1) * 100 + i % 4).toLong)
+    val df = Seq(
+      (Seq(0L, 1L, 2L), dtable),
+      (Seq(3L, 3L, 3L), dtable),
+      (Seq(1L, 0L, 0L), dtable)).toDF("codes", "dt")
+    val expr = PqExpressions.adcSum(col("codes"), col("dt"), 4)
+    val got = df.select(expr.as("s")).as[Long].collect().toSeq
+    // interpreted reference: same rows through nullSafeEval directly
+    val ref = Seq(
+      Seq(0, 1, 2), Seq(3, 3, 3), Seq(1, 0, 0)).map { codes =>
+      codes.zipWithIndex.map { case (c, sub) => dtable(sub * 4 + c) }.sum
+    }
+    assert(got == ref)
+    // codegen path really is active: the expression must not be a
+    // CodegenFallback anymore
+    assert(!AdcSumExpr(null, null, 4).isInstanceOf[
+      org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback])
+    // out-of-range code raises with the same message shape
+    val bad = Seq((Seq(0L, 4L, 0L), dtable)).toDF("codes", "dt")
+    val e = intercept[Exception] {
+      bad.select(expr.as("s")).collect()
+    }
+    val msgs = Iterator.iterate[Throwable](e)(_.getCause)
+      .takeWhile(_ != null).map(t => Option(t.getMessage).getOrElse(""))
+      .mkString(" | ")
+    assert(msgs.contains("adcSum") && msgs.contains("out of range"),
+      s"guard message mismatch: $msgs")
+  }
+
   test("l2 distance, normalize, char n-grams") {
     val df = Seq((Seq(3.0f, 4.0f), Seq(0.0f, 0.0f))).toDF("a", "b")
     val row = df.select(
