@@ -74,9 +74,11 @@ object CorpusBuildProfile {
         import s.implicits._
         import graft.functions.TextFunctions
         val cms = graft.functions.Aggregators.countMin(4, 2048)
-        graft.queries.Tables.load(s, dir, "documents")
+        val toks = graft.queries.Tables.load(s, dir, "documents")
           .select(explode(TextFunctions.tokens(col("text"))).as("token"))
-          .as[String].select(cms.toColumn.name("grid"))
+          .as[String]
+        val grid = toks.select(cms.toColumn.name("grid"))
+        grid.toDF()
       }),
       "hh_candidates_only" -> ((s: SparkSession, dir: String) => {
         import graft.functions.TextFunctions

@@ -33,38 +33,43 @@ object PipelineQueries {
           SELECT unnest($oracleTokens) AS token FROM documents) t
         GROUP BY token ORDER BY n DESC, token LIMIT 20""")),
 
-    // Heavy hitters via the Count-Min sketch (Aggregators.countMin): ONE
-    // constant-memory pass builds the mergeable 4x2048 counter grid — at
-    // corpus scale the shuffle carries 64 KB partial grids per task,
-    // never per-token counts. Estimation is a BROADCAST equi-join: the
-    // finished grid posexplodes to (row, bucket, count) rows (8192 of
-    // them), each distinct candidate token emits its depth probe
-    // coordinates in one pass of the native CmsBuckets expression
-    // (bucket-identical to the aggregator — pinned by SourcesSpec), and
-    // min-over-rows is a plain groupBy. Everything is one lazy plan —
-    // no job runs until an action (the r4 fix of the construction-time
-    // head() that baked the sketch into a closure) — and no row ever
-    // carries the whole grid. CMS guarantees est >= exact with error
-    // <= 2N/width w.h.p.; AnalyticsSpec pins the bounds and the top-20
-    // overlap vs exact q_top_tokens. FULLY ORACLED (round 11): the row
-    // hashes are the md5-sliced double-hash family (Md5DoubleHash, the
-    // q_minhash_lsh recipe), so the oracle below rebuilds the ENTIRE
-    // grid — every counter, every probe, the min — in exact BIGINT
-    // arithmetic and the sketch is hash-compared end to end.
+    // Heavy hitters via the Count-Min sketch, in ONE corpus pass (r19;
+    // guide §1.2 — the r18 form ran TWO full scan+tokenize passes, one
+    // for the typed CountMinSketch aggregator's grid and one for the
+    // candidate distinct). The per-token counts tf (one combiner-
+    // friendly exchange — the same per-token rows the old candidate
+    // distinct already shuffled, plus 8 bytes of count) are
+    // checkpointed once at VOCAB scale (the q_unigram_nll pattern,
+    // firmly not the corpus-scale stream cache the old scaladoc
+    // rejected); the grid is then rebuilt from tf — cell (r, b) of the
+    // CMS is EXACTLY the sum of counts of the tokens CmsBuckets hashes
+    // there (the aggregator increments per occurrence; grouping
+    // occurrences by token first changes the addition order of the
+    // same integers) — and estimation stays the broadcast probe join.
+    // Probed cells are always present in the sparse grid (a candidate's
+    // own count makes its 4 cells non-zero). CMS guarantees est >=
+    // exact with error <= 2N/width w.h.p.; AnalyticsSpec pins the
+    // bounds and the top-20 overlap vs exact q_top_tokens. FULLY
+    // ORACLED (round 11): the row hashes are the md5-sliced
+    // double-hash family (Md5DoubleHash, the q_minhash_lsh recipe), so
+    // the oracle below rebuilds the ENTIRE grid — every counter, every
+    // probe, the min — in exact BIGINT arithmetic and the sketch is
+    // hash-compared end to end.
     "q_heavy_hitters" -> QueryDef(
       (s, dir) => {
-        import s.implicits._
-        val cms = Aggregators.countMin(CmsDepth, CmsWidth)
-        val toks = Tables.load(s, dir, "documents")
+        // LAZY checkpoint: construction must run zero jobs (the r4
+        // closure-capture contract, pinned by AnalyticsSpec); the vocab
+        // materializes once inside the first action and both the grid
+        // and probe branches read that one copy
+        val tf = Tables.load(s, dir, "documents")
           .select(explode(TextFunctions.tokens(col("text"))).as("token"))
-        val grid = toks.as[String].select(cms.toColumn.name("grid"))
-          .select(posexplode(col("grid")).as(Seq("pos", "cnt")))
-          .select(expr(s"pos div $CmsWidth").cast("int").as("r"),
-            expr(s"pos % $CmsWidth").cast("int").as("b"), col("cnt"))
-        toks.distinct()
-          .select(col("token"),
-            posexplode(graft.expressions.CmsBuckets(col("token"),
-              CmsDepth, CmsWidth)).as(Seq("r", "b")))
+          .groupBy("token").agg(count(lit(1)).as("c"))
+          .localCheckpoint(false)
+        val buckets = tf.select(col("token"), col("c"),
+          posexplode(graft.expressions.CmsBuckets(col("token"),
+            CmsDepth, CmsWidth)).as(Seq("r", "b")))
+        val grid = buckets.groupBy("r", "b").agg(sum("c").as("cnt"))
+        buckets.select(col("token"), col("r"), col("b"))
           .join(broadcast(grid), Seq("r", "b"))
           .groupBy("token").agg(min(col("cnt")).as("est_n"))
           .orderBy(col("est_n").desc, col("token"))

@@ -698,8 +698,11 @@ object TextQueries {
         // corpus scale) through one task (guide §2.4/§5 — the "No
         // Partition Defined" WARN was this). Same exact long sum, same
         // arithmetic, same rows.
+        // lazy: the materialization rides the first consuming job
+        // (the 1-row totals broadcast build) instead of a separate
+        // construction-time job
         val vocab = tf.groupBy("token").agg(sum("c").as("n"))
-          .localCheckpoint()
+          .localCheckpoint(false)
         val nll = vocab
           .crossJoin(broadcast(vocab.agg(sum("n").as("n_total"))))
           .select(col("token"),
@@ -761,9 +764,11 @@ object TextQueries {
         // 30%; 2.5 vs 3.2 s on balanced heads — the window wins only
         // when no head is hot, and a Zipfian corpus always has hot
         // heads. Same exact long sums, same arithmetic, same rows.
+        // lazy checkpoint: materializes inside the head-total broadcast
+        // build, not as a separate construction-time job
         val cb = tf2.groupBy("bg").agg(sum("c").as("nb"))
           .withColumn("h", element_at(split(col("bg"), " "), 1))
-          .localCheckpoint()
+          .localCheckpoint(false)
         val nll = cb
           .join(broadcast(cb.groupBy("h").agg(sum("nb").as("nh"))), "h")
           .select(col("bg"),
